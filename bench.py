@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (M5, SURVEY.md §7.1 / BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 1 warmup + 3 timed
+runs per query, reports the median. Materialization uses the `noop`
+sink so every output column is computed but nothing is collected to
+the driver (collect would measure driver serialization, not the plan).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from flights_data_pipeline_spark.queries import REGISTRY
+from flights_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "watermark_scan",
+    "pruned_projection",
+    "dedup_latest",
+    "multiway_join",
+    "left_join_daily_count",
+    "sum_decimal_by_key",
+    "window_rank_lag",
+    "date_delay_metrics",
+    "pricing_summary",
+    "topk",
+    # extension operators (added as they land; gated on registry presence)
+    "token_stats",
+    "exact_dedup",
+    "minhash_near_dup",
+    "embedding_topk_bruteforce",
+    "tumbling_window_agg",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("fdp-spark-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        try:
+            materialize(q.fn(spark, sf_dir))  # warmup (JIT, parquet footer cache)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # never let one query sink the whole bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from .catalog import TESTDATA_TABLES, load_tables, register_views  # noqa: F401

@@ -1,0 +1,76 @@
+"""Catalog of the driver-provided test tables (TESTDATA.md).
+
+Parquet scans are the engine's canonical source: columnar, vectorized
+reader, predicate pushdown and column pruning for free via Catalyst.
+The reference's JDBC/CSV sources are modelled in ``csv_codec`` and
+``operators.sources``; the parquet path here is what every query and
+benchmark runs on.
+
+Timestamp handling (two parquet quirks, both fixed here so every query
+sees plain ``TimestampType`` in a UTC session):
+
+* ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+  rejects outright. We read it via ``spark.sql.legacy.parquet
+  .nanosAsLong`` (ns-since-epoch as LongType) and convert with
+  **integer** division to microseconds — ns-since-epoch (~1.7e18) is
+  far beyond double's 53-bit mantissa, so a float divide silently
+  corrupts the low microseconds. Floor division matches DuckDB's
+  TIMESTAMP_NS → µs truncation, so oracle comparisons stay exact.
+* The other tables' timestamps are not adjusted to UTC, which Spark 4
+  infers as TIMESTAMP_NTZ. NTZ datetime kernels (datediff, casts to
+  date, trunc) run 4-8× slower than the µs-since-epoch TimestampType
+  path, so we pin ``spark.sql.parquet.inferTimestampNTZ.enabled=false``
+  — with the session timezone pinned to UTC the values are identical.
+
+Both confs are runtime-settable session confs; ``_pin_parquet_confs``
+sets them idempotently so the engine behaves the same under any caller's
+SparkSession (e.g. the driver's own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def _pin_parquet_confs(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table with engine-typed columns."""
+    _pin_parquet_confs(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _NANOS_TS_COLS.get(name, []):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver-provided parquet table as a DataFrame."""
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

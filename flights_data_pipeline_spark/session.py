@@ -1,0 +1,67 @@
+"""SparkSession factory — M0 of the build plan (SURVEY.md §7.1).
+
+Design decisions (all aimed at oracle-exact correctness + 100 TB posture):
+
+* ``spark.sql.session.timeZone=UTC`` — the reference compares
+  ``'{ds} 23:59:59'`` strings against timestamptz columns
+  (reference ``dags/flights_data_pipeline.py:104-105``); pinning UTC makes
+  day-window semantics deterministic and matches DuckDB's UTC-naive
+  timestamps for the oracle tests.
+* AQE on (+ coalescePartitions + skewJoin) — runtime re-planning at shuffle
+  boundaries is the main lever that keeps a static plan viable at 1000×
+  the test data.
+* ``partitionOverwriteMode=dynamic`` — the engine's only mutation primitive
+  is delete-day-window+insert (reference ``:168-177``); dynamic partition
+  overwrite is the Spark-native equivalent (SURVEY.md §2.1 S6).
+* shuffle partitions default to the local core count — 200 is wrong for
+  local[32]; on a real cluster this would be set to ~2-3× total cores.
+* Arrow enabled — every Python-side exchange (createDataFrame, toPandas,
+  pandas_udf) is vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "flights-data-pipeline-spark",
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession with pinned semantics."""
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,36 @@
+"""Every registered query hash-matches its DuckDB oracle (SURVEY.md §5.2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flights_data_pipeline_spark.queries import REGISTRY
+
+from .oracle_utils import compare_query
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+WEAK_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, sf_dir, name):
+    q = REGISTRY[name]
+    compare_query(spark, sf_dir, q.fn, q.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", WEAK_QUERIES)
+def test_runs_and_stable_schema(spark, sf_dir, name):
+    """Non-SQL-expressible ops: runs, returns rows, schema is stable."""
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    assert df.columns, name
+    df.collect()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
