@@ -33,12 +33,16 @@ HEADLINE = [
     "date_delay_metrics",
     "pricing_summary",
     "topk",
-    # extension operators (added as they land; gated on registry presence)
+    # extension operators (LLM-pipeline surface)
     "token_stats",
+    "lang_id_token_profile",
     "exact_dedup",
-    "minhash_near_dup",
+    "minhash_lsh_candidates",
+    "simhash_fingerprint",
     "embedding_topk_bruteforce",
+    "ann_lsh_bucketed",
     "tumbling_window_agg",
+    "session_window_agg",
 ]
 
 

@@ -1,1 +1,327 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication operators over the ``documents`` table.
+
+Extension surface for large-scale training-data pipelines (SURVEY.md
+§2.10/2.11, build plan M4): exact dedup, MinHash+LSH candidate
+generation, n-gram Jaccard similarity, and SimHash fingerprinting.
+The reference's only dedup is business-key DISTINCT for dim_passenger
+(SURVEY.md §2.2 P5); everything here is the declared extension surface.
+
+Cross-engine determinism strategy (the whole point of this module's
+design): **no engine-native hash functions** — Spark's ``hash`` is
+murmur3 with Spark's seeding, DuckDB's ``hash`` is its own — so every
+hash here is md5 over UTF-8 strings, which both engines render as
+identical lowercase hex. MinHash takes lexicographic minima of md5 hex
+strings (uniformly distributed, order-isomorphic to the integer value);
+SimHash extracts bits from md5 hex digits with pure integer arithmetic.
+
+Scale posture: exact dedup and fingerprinting are one shuffle each
+(groupBy md5); MinHash banding turns the quadratic all-pairs problem
+into an equi-join on (band, signature) — the canonical 100 TB-safe
+near-dup plan. The n-gram Jaccard query is the *verification* kernel
+(quadratic within candidate blocks only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.catalog import load_table as t
+from .registry import query
+
+#: number of MinHash permutations (each is an independent LSH band of
+#: r=1 — max recall, precision restored by the verify step).
+N_PERMS = 4
+
+#: shingle width in tokens.
+SHINGLE_K = 3
+
+
+def _norm_text() -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def _shingles() -> F.Column:
+    """Distinct K-token shingles of the normalized text (JVM-side)."""
+    arr = F.split(_norm_text(), " ")
+    idx = F.sequence(F.lit(1), F.size(arr) - (SHINGLE_K - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(SHINGLE_K)]
+            ),
+        )
+    )
+
+
+#: DuckDB twin of ``_shingles`` (1-based list indexing, range() excl stop).
+_DUCK_SHINGLES = """
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingles
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication: hash-groupBy on normalized content.
+# ---------------------------------------------------------------------------
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS content_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per content hash.
+
+    One shuffle on the md5 key; at 100 TB this is the cheapest possible
+    dedup plan (partial aggregation collapses copies map-side).
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(_norm_text()).alias("content_fp"), "doc_id")
+        .groupBy("content_fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard: top-20 most similar pairs (verification kernel).
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_topk",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.a_id, p.b_id, p.n_common,
+           p.n_common / (sa.n + sb.n - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.a_id = sa.doc_id
+    JOIN sizes sb ON p.b_id = sb.doc_id
+    ORDER BY jaccard DESC, p.a_id, p.b_id
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 doc pairs by 3-token-shingle Jaccard similarity.
+
+    All-pairs via a self-equi-join on the shingle (no cartesian); the
+    Jaccard value is a raw int/int IEEE division — bit-identical in
+    both engines, so ordering and the LIMIT cutoff agree exactly. At
+    100 TB this exact kernel only ever runs on LSH candidate blocks
+    (see ``minhash_lsh_candidates``), never corpus-wide.
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_common",
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.col("jaccard").desc(), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (the 100 TB-scale dedup plan).
+# ---------------------------------------------------------------------------
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    sigs AS (
+      SELECT e.doc_id, p.i,
+             MIN(md5(p.i::VARCHAR || '|' || e.s)) AS sig
+      FROM e CROSS JOIN (SELECT unnest(range({N_PERMS})) AS i) p
+      GROUP BY e.doc_id, p.i
+    ),
+    cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM sigs a JOIN sigs b
+        ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.a_id, c.b_id, c.n_shared_bands,
+           cm.n_common / (sa.n + sb.n - cm.n_common) AS jaccard
+    FROM cand c
+    JOIN common cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({N_PERMS} perms) + LSH banding (r=1) → candidate pairs,
+    verified with exact shingle Jaccard.
+
+    The signature for permutation *i* is the lexicographic min of
+    ``md5(i || '|' || shingle)`` — md5 hex minima are order-isomorphic
+    to integer minima, and identical across engines. Candidates are an
+    equi-join on (perm, signature): linear shuffle + per-bucket pairs,
+    never an all-pairs cartesian — this is the plan that survives
+    100 TB (collision probability per band equals the pair's true
+    Jaccard, so buckets stay small on a non-degenerate corpus).
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig{i}")
+        for i in range(N_PERMS)
+    ]
+    wide = e.groupBy("doc_id").agg(*mins)
+    stack = ", ".join(f"{i}, sig{i}" for i in range(N_PERMS))
+    sigs = wide.selectExpr(
+        "doc_id", f"stack({N_PERMS}, {stack}) AS (i, sig)"
+    )
+
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    )
+
+    ea, eb = e.alias("ea"), e.alias("eb")
+    common = (
+        ea.join(
+            eb,
+            (F.col("ea.s") == F.col("eb.s"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .groupBy(F.col("ea.doc_id").alias("a_id"), F.col("eb.doc_id").alias("b_id"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        cand.join(common, ["a_id", "b_id"])
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared_bands",
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (32-bit) — linear-cost near-dup sketch.
+# ---------------------------------------------------------------------------
+def _hex_val_spark(p: int) -> str:
+    """Spark SQL: integer value of hex digit p (0-based) of md5(token)."""
+    return f"(instr('0123456789abcdef', substr(md5(token), {p + 1}, 1)) - 1)"
+
+
+def _hex_val_duck(p: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(token), {p + 1}, 1)) - 1)"
+
+
+def _simhash_oracle() -> str:
+    bit_cols = ", ".join(
+        f"((({_hex_val_duck(b // 4)}) >> {b % 4}) & 1) AS bit{b}" for b in range(32)
+    )
+    sums = ", ".join(f"SUM(2 * bit{b} - 1) AS s{b}" for b in range(32))
+    fp = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)),
+                                                '\\s+', ' ', 'g'), ' '))
+               AS token
+      FROM documents
+    ),
+    bits AS (SELECT doc_id, {bit_cols} FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM bits GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@query("simhash_fingerprint", oracle=_simhash_oracle())
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (term-frequency weighted).
+
+    Bits come from md5 hex digits via pure integer arithmetic (strpos/
+    shift/mask) — no engine-native hash — so fingerprints are identical
+    across engines. Linear cost: explode tokens, one groupBy(doc_id)
+    with 32 integer sums (partial aggregation collapses map-side).
+    Near-dup search at scale: split the 32 bits into 4 bytes and
+    equi-join on any shared byte (Hamming ≤ 3 guaranteed recall).
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(), " ")).alias("token"),
+    )
+    bit_exprs = [
+        f"((shiftright({_hex_val_spark(b // 4)}, {b % 4})) & 1) AS bit{b}"
+        for b in range(32)
+    ]
+    bits = tok.selectExpr("doc_id", *bit_exprs)
+    sums = bits.groupBy("doc_id").agg(
+        *[F.sum(F.expr(f"2 * bit{b} - 1")).alias(f"s{b}") for b in range(32)]
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b}L ELSE 0L END)" for b in range(32)
+    )
+    return sums.selectExpr("doc_id", f"CAST({fp} AS BIGINT) AS simhash")

@@ -1,1 +1,236 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis operators over the ``documents`` table.
+
+Extension surface for large-scale training-data pipelines (SURVEY.md
+§2.11 / build plan M4): token counting, quality scoring, language-ID,
+document fingerprinting. The reference has no text operators — its only
+string handling is JSON stringify/extract (reference
+``dags/flights_data_pipeline.py:120-123``) — so everything here is the
+declared LLM-pipeline extension surface.
+
+Engine discipline (applies to each query):
+
+* Pure JVM-side expressions — higher-order array functions
+  (``transform``/``filter``/``aggregate``), never a Python UDF: at
+  100 TB the tokenizer runs inside whole-stage codegen.
+* Per-document work is embarrassingly parallel (narrow, no shuffle);
+  the only shuffles are the explicit corpus-level aggregations, which
+  run partial+final.
+* Cross-engine-exact outputs: integer counts, md5 hex strings, and
+  raw IEEE divisions (deterministic) — never ``ROUND(double)`` at a
+  potential half boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io.catalog import load_table as t
+from .registry import query
+
+def _tokens() -> F.Column:
+    """Tokens column: whitespace-split of the trimmed text (lazy — Column
+    construction needs an active SparkContext)."""
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+#: closed stopword list used by the quality scorer (the synthetic
+#: corpus' function words).
+STOPWORDS = ("a", "the")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokenizer).
+# ---------------------------------------------------------------------------
+@query(
+    "token_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+             AS total_token_chars,
+           CAST(list_max(list_transform(toks, x -> len(x))) AS BIGINT)
+             AS longest_token
+    FROM tok
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts per document — narrow, codegen'd, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_token_chars"),
+        F.array_max(F.transform(toks, F.length)).cast("bigint").alias("longest_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / stopword-ratio / punctuation heuristics.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars, n_punct,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks,
+                      x -> x IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}')))
+                  AS BIGINT) AS n_stopwords
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           CAST(n_punct AS BIGINT) AS n_punct,
+           n_stopwords / n_tokens AS stopword_ratio,
+           CASE WHEN n_tokens < 50 THEN 'short'
+                WHEN n_stopwords / n_tokens > 0.08 THEN 'stopword_heavy'
+                ELSE 'ok' END AS quality_bucket
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality score.
+
+    ``stopword_ratio`` is a raw int/int IEEE division — deterministic
+    across engines without any rounding.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    ).cast("bigint")
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    ).cast("bigint")
+    ratio = n_stop / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        ratio.alias("stopword_ratio"),
+        F.when(n_tokens < 50, "short")
+        .when(ratio > 0.08, "stopword_heavy")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification: corpus-trained token-profile classifier.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_id_token_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ), profile AS (
+      SELECT lang AS plang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY lang, token
+    ), scores AS (
+      SELECT tok.doc_id, p.plang, CAST(SUM(p.cnt) AS BIGINT) AS score
+      FROM tok JOIN profile p ON tok.token = p.token
+      GROUP BY tok.doc_id, p.plang
+    ), ranked AS (
+      SELECT doc_id, plang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, plang) AS rn
+      FROM scores
+    )
+    SELECT r.doc_id, d.lang AS actual_lang,
+           r.plang AS predicted_lang, r.score
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rn = 1
+    """,
+)
+def lang_id_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via a token-frequency profile trained on the corpus.
+
+    Naive-Bayes-style heuristic with *integer* scores (sum of profile
+    counts for each token instance) so the argmax is exact in both
+    engines; ties break on language name. At scale the profile is tiny
+    (|vocab| × |langs|) and broadcasts — the classification join never
+    shuffles the corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("token")
+    )
+    profile = tok.groupBy(F.col("lang").alias("plang"), "token").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    scores = (
+        tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum("cnt").cast("bigint").alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("plang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.col("plang").alias("predicted_lang"),
+        "score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: normalized-content hash + min-token-hash.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           list_min(list_transform(
+             regexp_split_to_array(norm, ' '), x -> md5(x)))
+             AS min_token_hash
+    FROM n
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized text, plus the
+    minimum token md5 (a 1-permutation MinHash — the seed of the full
+    MinHash in ``dedup.minhash_lsh_candidates``).
+
+    md5 hex strings are byte-identical across engines (UTF-8 input,
+    lowercase hex output), so fingerprints hash-match exactly.
+    """
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.array_min(
+            F.transform(F.split(norm, " "), lambda x: F.md5(x))
+        ).alias("min_token_hash"),
+    )
