@@ -1,0 +1,168 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Extension surface for large-scale training-data pipelines: image/audio/
+video ride through the engine as ``BinaryType`` columns with a typed
+metadata struct, and per-batch Python transforms (decode, resize,
+feature-extract, frame-sample) run as Arrow-batched ``mapInPandas``
+stages — the *only* place this engine drops out of the JVM, and it does
+so vectorized (Arrow batch transfer), never row-at-a-time.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED: ``decode_image_stub`` is a deterministic fake that derives
+"pixels" from the payload bytes (so tests pin real schemas, batch
+shapes and partitioning), and ``decode_image_real`` raises
+``NotImplementedError`` with the dependency it would use. The
+Spark-side plumbing — schema contract, ``mapInPandas`` signature,
+Arrow batching, partition parallelism — is real and tested
+(``tests/test_multimodal.py``).
+
+Scale posture: payloads stay opaque end-to-end (no driver collect);
+per-partition Python workers stream Arrow batches, so memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × row
+size. Metadata-only plans (filter/join on the struct) never touch the
+binary column — column pruning drops it at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the multimodal column contract: payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType(), False),  # image|audio|video
+                    T.StructField("format", T.StringType(), True),  # png|wav|mp4|...
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+#: output schema of the (stubbed) image feature extractor.
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload_sha", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("mean_pixel", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - env-gated
+    """Real decode path — requires an image codec absent from this
+    container; the stub below keeps the pipeline testable."""
+    raise NotImplementedError(
+        "image decode requires Pillow/opencv (not installed in this "
+        "environment); use decode_image_stub for plumbing tests"
+    )
+
+
+def decode_image_stub(payload: bytes, n_features: int = 8) -> tuple[float, list[float]]:
+    """Deterministic fake decode: derives a 'mean pixel' and a feature
+    vector purely from the payload bytes (stable across runs/engines)."""
+    if payload is None:
+        return None, None
+    digest = hashlib.sha256(payload).digest()
+    mean_pixel = sum(payload) / len(payload) if len(payload) else 0.0
+    feature = [digest[i] / 255.0 for i in range(n_features)]
+    return mean_pixel, feature
+
+
+def extract_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over media rows (``mapInPandas``).
+
+    The generator signature (iterator of pandas batches in/out) is the
+    100 TB-safe shape: constant memory per worker, one Python process
+    per core, Arrow transfer both ways.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "payload_sha": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                ),
+                "n_bytes": pdf["payload"].map(
+                    lambda b: len(b) if b is not None else 0
+                ),
+            }
+            decoded = pdf["payload"].map(lambda b: decode_image_stub(b, n_features))
+            out["mean_pixel"] = decoded.map(lambda d: d[0])
+            out["feature"] = decoded.map(lambda d: d[1])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: explode frame indices 0,
+    ``every_n``, 2·``every_n``… per video — pure JVM (sequence+explode),
+    the decode of each sampled frame would then be a ``mapInPandas``
+    stage like ``extract_image_features``."""
+    return (
+        df.filter(F.col("meta.kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1,
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize bookkeeping (pure JVM): compute target dims preserving
+    aspect ratio; the pixel work itself is the stubbed decode stage."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_side, F.greatest(w, h) / F.lit(max_side)
+    ).otherwise(F.lit(1.0))
+    return df.filter(F.col("meta.kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.ceil(w / scale).cast("int").alias("target_width"),
+        F.ceil(h / scale).cast("int").alias("target_height"),
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic in-repo media fixture (no external files needed)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        kind = ["image", "audio", "video"][i % 3]
+        meta = {
+            "kind": kind,
+            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+            "width": 640 + (i % 5) * 160 if kind != "audio" else None,
+            "height": 360 + (i % 5) * 90 if kind != "audio" else None,
+            "n_frames": 30 * (1 + i % 4) if kind == "video" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+        }
+        rows.append((i, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

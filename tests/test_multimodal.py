@@ -1,0 +1,86 @@
+"""Multimodal plumbing tests: schema contract, Arrow batch shape,
+deterministic stub decode, metadata-only column pruning."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flights_data_pipeline_spark.extensions import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = mm.synthetic_media(spark, n=64)
+    df.cache().count()
+    return df
+
+
+def test_schema_contract(media):
+    assert media.schema == mm.MEDIA_SCHEMA
+
+
+def test_extract_image_features_deterministic(spark, media):
+    feats = mm.extract_image_features(media, n_features=8)
+    assert feats.schema == mm.IMAGE_FEATURES_SCHEMA
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 64
+    # independently recompute one row's stub decode
+    payload = bytes(hashlib.sha256(b"media-3").digest() * (4 + 3 % 7))
+    mean_pixel, feature = mm.decode_image_stub(payload, 8)
+    got = rows[3]
+    assert got.payload_sha == hashlib.sha256(payload).hexdigest()
+    assert got.n_bytes == len(payload)
+    assert got.mean_pixel == pytest.approx(mean_pixel)
+    assert [pytest.approx(x, rel=1e-6) for x in got.feature] == list(feature)
+
+
+def test_extract_runs_partitioned(spark, media):
+    """mapInPandas must work across multiple partitions (batch-per-part)."""
+    feats = mm.extract_image_features(media.repartition(8))
+    assert feats.count() == 64
+
+
+def test_frame_sampling(media):
+    frames = mm.sample_frames(media, every_n=10)
+    rows = frames.collect()
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    # a 120-frame video sampled every 10 → 12 frames
+    meta = {r.media_id: r.meta.n_frames for r in media.filter("meta.kind = 'video'").collect()}
+    for mid, idxs in by_id.items():
+        assert len(idxs) == -(-meta[mid] // 10)
+
+
+def test_resize_plan_bounds(media):
+    plan = mm.resize_plan(media, max_side=224).collect()
+    assert len(plan) > 0
+    for r in plan:
+        assert max(r.target_width, r.target_height) <= 224
+        # aspect ratio preserved within rounding
+        assert abs(r.target_width / r.target_height - r.width / r.height) < 0.02
+
+
+def test_metadata_plan_prunes_payload(media, spark):
+    """A metadata-only query must not read the payload column."""
+    tmp = "/tmp/fdp_media_prune"
+    media.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("media_prune")
+    formatted = "\n".join(
+        r[0]
+        for r in spark.sql(
+            "EXPLAIN FORMATTED SELECT media_id, meta.format "
+            "FROM media_prune WHERE meta.kind = 'image'"
+        ).collect()
+    )
+    read_schema = [l for l in formatted.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("payload" not in l for l in read_schema), formatted
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"\x89PNG")
