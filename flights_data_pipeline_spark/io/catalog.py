@@ -63,6 +63,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_window(
+    spark: SparkSession, sf_dir: str, start: str, end: str
+) -> DataFrame:
+    """Events within a closed ``[start, end]`` wall-clock window, with the
+    range predicate pushed into the parquet scan.
+
+    A filter on the *converted* timestamp column cannot be pushed below
+    the ns→µs conversion expression, so a naive
+    ``load_table(...).filter(ts.between(...))`` reads every row group —
+    a full scan at 100 TB. This helper translates the bounds to raw
+    nanoseconds-since-epoch and filters the underlying LongType column
+    first (Catalyst pushes plain long comparisons into the scan, so
+    row groups outside the window are skipped via parquet min/max
+    stats), then converts.
+    """
+    _pin_parquet_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bounds = df.sparkSession.sql(
+        f"SELECT CAST(unix_micros(TIMESTAMP '{start}') AS BIGINT) * 1000 AS lo,"
+        f"       CAST(unix_micros(TIMESTAMP '{end}') AS BIGINT) * 1000 AS hi"
+    ).first()
+    return df.filter(F.col("ts").between(bounds.lo, bounds.hi)).withColumn(
+        "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver-provided parquet table as a DataFrame."""
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}

@@ -1,0 +1,118 @@
+"""Custom join operators the built-in surface lacks.
+
+The reference has no as-of/range joins (SURVEY.md §2.3 — absence
+observed), but they are core training-data-pipeline operators (point-
+in-time feature lookup), so the engine ships them as extensions.
+
+Both operators are compositions of existing DataFrame primitives —
+no UDFs, no cartesian products — chosen for their 100 TB shape:
+
+* ``asof_join``: ONE shuffle+sort per key partition (the union sorts
+  by (key, time)), then a running ``last(..., ignorenulls=True)``
+  window. This is the classic merge-asof plan; cost is O(n log n) per
+  key partition regardless of time-gap distribution. A naive
+  formulation (per-left-row max-subquery, or a range theta-join)
+  degrades to O(n_left · n_right) per key.
+* ``salted_join``: standard skew salting — replicate the small side K
+  ways, spray the big side across the K copies — so one hot key
+  spreads over K reducers. AQE's skew handling covers sort-merge
+  joins; salting remains the lever for skewed broadcast-ineligible
+  hash joins and for deterministic layout control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time <= left_time`` (``<`` when ``strict``), per ``on`` key.
+
+    Left-outer semantics: left rows with no earlier right row keep
+    NULLs (matches DuckDB ``ASOF LEFT JOIN``). ``right_values`` names
+    must not collide with left column names.
+
+    Implementation: tag and union both sides, then per key sort by
+    (time, side) and carry the last non-null right value forward.
+    For inclusive semantics right rows sort *before* left rows at equal
+    timestamps; for strict semantics they sort after (so an equal-time
+    right row is not yet visible to the left row's frame).
+    """
+    # side markers chosen so ascending sort yields the wanted tie order
+    right_marker, left_marker = (0, 1) if not strict else (1, 0)
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(right_marker).alias("__side"),
+        F.lit(True).alias("__is_right"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(left_marker).alias("__side"),
+        F.lit(False).alias("__is_right"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
+            for c in right_values
+        ],
+        *left.columns,
+    )
+    unioned = l.unionByName(r)
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_values
+        ],
+    )
+    return carried.filter(~F.col("__is_right")).select(
+        *left.columns,
+        *[F.col(f"__asof_{c}").alias(c) for c in right_values],
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with hot-key skew spread over ``n_salts`` reducers.
+
+    The small side is replicated ``n_salts`` times; each big-side row
+    picks one replica via a per-row salt. Result equals
+    ``big.join(small, on, how)`` exactly for ``inner``/``left`` (the
+    only sides where replication cannot duplicate unmatched rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(n_salts)
+        ).cast("int"),
+    )
+    return salted_big.join(salted_small, [on, "__salt"], how).drop("__salt")

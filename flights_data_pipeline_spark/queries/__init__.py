@@ -16,5 +16,6 @@ from . import text  # noqa: F401
 from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import streaming  # noqa: F401
+from . import advanced  # noqa: F401
 from . import flights  # noqa: F401
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

@@ -1,0 +1,140 @@
+"""Advanced extension operators: as-of join, exact percentiles,
+regex/array scalar coverage.
+
+These extend the reference's declared surface (SURVEY.md §2.3 notes
+as-of/range joins as absent; §2.8 notes regex/array functions as
+extension-only) with the operators a point-in-time feature pipeline
+needs, each DuckDB-oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io.catalog import load_table as t
+from ..operators.joins import asof_join
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# As-of join: point-in-time lookup (merge-asof plan; operators/joins.py).
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click gets the user's most recent purchase at-or-before it.
+
+    Spark side is the merge-asof composition in ``operators.joins``
+    (one sort shuffle + running window); the oracle is DuckDB's native
+    ``ASOF LEFT JOIN`` — two independent implementations of the same
+    semantics.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["purchase_event_id", "purchase_value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles via row_number (engine-portable).
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50_totalprice,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p90_totalprice
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90 per group, defined by row_number — the
+    portable percentile (built-in percentile functions interpolate
+    differently across engines). One window + one aggregate shuffle."""
+    o = t(spark, sf_dir, "orders")
+    wr = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    target = lambda p: F.ceil(F.lit(p) * F.col("n")).cast("bigint")  # noqa: E731
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max(F.when(F.col("rn") == target(0.5), F.col("o_totalprice"))).alias(
+            "p50_totalprice"
+        ),
+        F.max(F.when(F.col("rn") == target(0.9), F.col("o_totalprice"))).alias(
+            "p90_totalprice"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex + array scalar functions (SURVEY.md §2.8 extension surface).
+# ---------------------------------------------------------------------------
+@query(
+    "regex_array_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+           string_split(p_name, ' ')[1] AS first_name_word,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_name_words,
+           list_contains(string_split(p_name, ' '), 'widget') AS is_widget,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',')
+             AS sorted_words,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_promo_economy
+    FROM part
+    """,
+)
+def regex_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / split / array ops / rlike over the part table."""
+    p = t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.element_at(words, 1).alias("first_name_word"),
+        F.size(words).cast("int").alias("n_name_words"),
+        F.array_contains(words, "widget").alias("is_widget"),
+        F.array_join(F.array_sort(words), ",").alias("sorted_words"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_promo_economy"),
+    )

@@ -42,17 +42,32 @@ def _norm_text() -> F.Column:
 
 
 def _shingles() -> F.Column:
-    """Distinct K-token shingles of the normalized text (JVM-side)."""
-    arr = F.split(_norm_text(), " ")
-    idx = F.sequence(F.lit(1), F.size(arr) - (SHINGLE_K - 1))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(arr, i + j) for j in range(SHINGLE_K)]
-            ),
-        )
+    """Distinct K-token shingles of the normalized text (JVM-side).
+
+    Built with ``zip_with`` over shifted copies of the token array, NOT
+    ``element_at(arr, i)`` inside a ``transform`` lambda: higher-order
+    lambdas get no common-subexpression elimination, so an indexed
+    lambda re-evaluates the whole ``split(regexp_replace(...))`` on
+    every element access — ~150 regex evaluations per row (measured
+    ~100 ms/doc at sf0.1). ``zip_with`` evaluates each array argument
+    exactly once.
+    """
+    toks = F.split(_norm_text(), " ")
+    s12 = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
+    sh = F.zip_with(
+        s12,
+        F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+        # zip_with pads the shorter array with NULL; concat(...) of a
+        # NULL yields NULL, marking the incomplete trailing shingles.
+        lambda xy, z: F.when(z.isNull(), F.lit(None)).otherwise(
+            F.concat_ws(" ", xy, z)
+        ),
+    )
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
 
 
 #: DuckDB twin of ``_shingles`` (1-based list indexing, range() excl stop).
@@ -205,25 +220,41 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The signature for permutation *i* is the lexicographic min of
     ``md5(i || '|' || shingle)`` — md5 hex minima are order-isomorphic
-    to integer minima, and identical across engines. Candidates are an
-    equi-join on (perm, signature): linear shuffle + per-bucket pairs,
-    never an all-pairs cartesian — this is the plan that survives
-    100 TB (collision probability per band equals the pair's true
-    Jaccard, so buckets stay small on a non-degenerate corpus).
-    """
-    d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles().alias("shingles"))
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    to integer minima, and identical across engines.
 
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig{i}")
-        for i in range(N_PERMS)
-    ]
-    wide = e.groupBy("doc_id").agg(*mins)
-    stack = ", ".join(f"{i}, sig{i}" for i in range(N_PERMS))
-    sigs = wide.selectExpr(
-        "doc_id", f"stack({N_PERMS}, {stack}) AS (i, sig)"
+    Plan shape (the part that survives 100 TB):
+
+    1. signatures are computed **map-side** with ``array_min`` over the
+       shingle array — no explode, no groupBy, zero shuffle;
+    2. candidates come from ONE equi-join on (perm, signature) —
+       linear shuffle, per-bucket pairs, never an all-pairs cartesian;
+    3. verification joins the ~|candidates| pairs back to the two docs'
+       shingle *arrays* and intersects them per pair
+       (``array_intersect``) — O(|candidates| · shingles) instead of a
+       second corpus-wide self-join (an earlier draft did exactly
+       that, and recomputing both self-join lineages made the final
+       join ~20× slower at sf0.1).
+    """
+    # The test corpus is one small parquet file → one input split; the
+    # md5-heavy signature stage would run on a single core. Spreading
+    # by doc_id mirrors what a many-split corpus gives for free.
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+
+    sig_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERMS - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+    sigs = sh.select(
+        "doc_id",
+        F.posexplode(sig_arr).alias("i", "sig"),
     )
 
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -238,29 +269,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
     )
 
-    ea, eb = e.alias("ea"), e.alias("eb")
-    common = (
-        ea.join(
-            eb,
-            (F.col("ea.s") == F.col("eb.s"))
-            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
-        )
-        .groupBy(F.col("ea.doc_id").alias("a_id"), F.col("eb.doc_id").alias("b_id"))
-        .agg(F.count("*").cast("bigint").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    sha = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
     return (
-        cand.join(common, ["a_id", "b_id"])
-        .join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(sha, "a_id")
+        .join(shb, "b_id")
         .select(
             "a_id",
             "b_id",
             "n_shared_bands",
-            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
+            (
+                n_common
+                / (F.size("sh_a") + F.size("sh_b") - n_common)
+            ).alias("jaccard"),
         )
     )
 

@@ -52,11 +52,19 @@ def dec(c) -> F.Column:
     """,
 )
 def watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed day-window scan; the predicate pushes into the parquet scan."""
-    ev = t(spark, sf_dir, "events")
-    return ev.filter(
-        F.col("ts").between("2024-01-02 00:00:00", "2024-01-02 23:59:59")
-    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    """Closed day-window scan with the predicate pushed into the scan.
+
+    Uses ``load_events_window`` so the range filter lands on the raw
+    nanosecond LongType column *below* the ns→µs conversion — parquet
+    row groups outside the day are skipped via min/max stats (the
+    100 TB-critical property of S2).
+    """
+    from ..io.catalog import load_events_window
+
+    ev = load_events_window(
+        spark, sf_dir, "2024-01-02 00:00:00", "2024-01-02 23:59:59"
+    )
+    return ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 # ---------------------------------------------------------------------------
@@ -313,11 +321,13 @@ def sum_decimal_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def empty_window_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over an empty day window → single row (0, true)."""
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("ts").between("2030-01-01 00:00:00", "2030-01-01 23:59:59"))
-        .agg(F.count("*").alias("n_rows"))
-        .select("n_rows", (F.col("n_rows") == 0).alias("is_empty"))
+    from ..io.catalog import load_events_window
+
+    ev = load_events_window(
+        spark, sf_dir, "2030-01-01 00:00:00", "2030-01-01 23:59:59"
+    )
+    return ev.agg(F.count("*").alias("n_rows")).select(
+        "n_rows", (F.col("n_rows") == 0).alias("is_empty")
     )
 
 

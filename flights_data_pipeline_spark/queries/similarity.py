@@ -99,17 +99,20 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
+    cand = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     scored = (
-        e.crossJoin(F.broadcast(q))
+        cand.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
                 _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+                / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
     )
@@ -175,7 +178,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_PLANES)
         ]
     )
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    # norms are computed once per vector BEFORE the pair join — inside
+    # the join each norm would be re-folded for every pair (~bucket-size
+    # times redundantly). Same fold, same bits, ~2x fewer array folds.
+    b = e.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
     a, c = b.alias("a"), b.alias("c")
     scored = a.join(
         c,
@@ -187,7 +198,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.vec_id").alias("neighbor_id"),
         (
             _dot(F.col("a.embedding"), F.col("c.embedding"))
-            / (_norm(F.col("a.embedding")) * _norm(F.col("c.embedding")))
+            / (F.col("a.nrm") * F.col("c.nrm"))
         ).alias("cosine"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -246,9 +257,13 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    cand = e.select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("nrm")
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        cand.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -257,7 +272,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             (
                 _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+                / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
     )

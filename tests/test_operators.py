@@ -1,0 +1,93 @@
+"""Custom operator tests: as-of join semantics, salted join equivalence."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from flights_data_pipeline_spark.operators.joins import asof_join, salted_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "t1"),
+            (1, "2024-01-01 10:05:00", "t2"),
+            (1, "2024-01-01 09:00:00", "t0"),
+            (2, "2024-01-01 10:00:00", "t3"),
+            (3, "2024-01-01 10:00:00", "t4"),  # key with no quotes
+        ],
+        "k INT, ts_s STRING, trade_id STRING",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "trade_id")
+    quotes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", 100.0),
+            (1, "2024-01-01 10:00:00", 101.0),  # equal-time row
+            (1, "2024-01-01 10:04:00", 102.0),
+            (2, "2024-01-01 09:59:59", 200.0),
+        ],
+        "k INT, ts_s STRING, px DOUBLE",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "px")
+    return quotes, trades
+
+
+def test_asof_inclusive(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, on="k", left_time="ts", right_time="ts", right_values=["px"]
+        ).collect()
+    }
+    assert out == {
+        "t0": None,      # before any quote
+        "t1": 101.0,     # equal timestamp included
+        "t2": 102.0,
+        "t3": 200.0,
+        "t4": None,      # key never quoted
+    }
+
+
+def test_asof_strict(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades,
+            quotes,
+            on="k",
+            left_time="ts",
+            right_time="ts",
+            right_values=["px"],
+            strict=True,
+        ).collect()
+    }
+    # strict: the 10:00:00 quote is NOT visible to the 10:00:00 trade
+    assert out["t1"] == 100.0
+    assert out["t2"] == 102.0
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from flights_data_pipeline_spark.io.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = Counter(map(tuple, li.join(o, "l_orderkey").collect()))
+    salted = Counter(map(tuple, salted_join(li, o, "l_orderkey", n_salts=4).collect()))
+    assert plain == salted
+
+    plain_l = Counter(map(tuple, li.join(o, "l_orderkey", "left").collect()))
+    salted_l = Counter(
+        map(tuple, salted_join(li, o, "l_orderkey", n_salts=4, how="left").collect())
+    )
+    assert plain_l == salted_l
+
+
+def test_salted_join_rejects_right(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError):
+        salted_join(trades, quotes, "k", how="right")
