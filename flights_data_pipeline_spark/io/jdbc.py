@@ -1,0 +1,95 @@
+"""JDBC source/sink wrappers (SURVEY.md §2.1 S1/S2/S5).
+
+The reference extracts with ``SELECT * FROM bookings.<t>`` over
+psycopg2 (reference ``dags/flights_data_pipeline.py:111-112``) and
+loads with batch inserts (``:194-195``). Spark's JDBC source replaces
+both; these wrappers pin the engine's conventions:
+
+* incremental extracts push the day window into the database
+  (predicate appears in the generated WHERE clause — S2),
+* reads parallelize with ``partitionColumn`` bounds (the reference is
+  single-connection pandas, its documented scale ceiling —
+  SURVEY.md §4.2),
+* writes batch with rewriteBatchedStatements-style options.
+
+No database ships in this environment, so tests cover option
+construction only; the parquet path (``catalog``) stands in for JDBC
+everywhere else (SURVEY.md §2.1 S1 note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+@dataclass
+class JdbcConfig:
+    url: str
+    table: str
+    user: str | None = None
+    password: str | None = None
+    driver: str | None = None
+    fetch_size: int = 10_000
+    batch_size: int = 10_000
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def reader_options(self) -> dict[str, str]:
+        opts = {"url": self.url, "dbtable": self.table,
+                "fetchsize": str(self.fetch_size), **self.properties}
+        if self.user:
+            opts["user"] = self.user
+        if self.password:
+            opts["password"] = self.password
+        if self.driver:
+            opts["driver"] = self.driver
+        return opts
+
+
+def jdbc_scan(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    *,
+    ds: str | None = None,
+    watermark_col: str = "updated_at",
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: str | None = None,
+    upper_bound: str | None = None,
+) -> DataFrame:
+    """S1 full / S2 incremental scan over JDBC.
+
+    With ``ds``, the closed day window lands in a pushed-down query so
+    only the day's rows leave the database — the reference's watermark
+    extract (``dags/flights_data_pipeline.py:102-109``). With
+    ``partition_column`` bounds, the read fans out over
+    ``num_partitions`` connections (the scale axis the reference's
+    single pandas connection lacks).
+    """
+    opts = cfg.reader_options()
+    if ds is not None:
+        opts["dbtable"] = (
+            f"(SELECT * FROM {cfg.table} "
+            f"WHERE {watermark_col} >= '{ds} 00:00:00' "
+            f"AND {watermark_col} <= '{ds} 23:59:59') AS w"
+        )
+    reader: DataFrameReader = spark.read.format("jdbc")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return reader.load()
+
+
+def jdbc_write(df: DataFrame, cfg: JdbcConfig, mode: str = "append") -> None:
+    """S5 batch-insert sink (reference ``execute_values``, ``:194-195``)."""
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in cfg.reader_options().items():
+        writer = writer.option(k, v)
+    writer.option("batchsize", str(cfg.batch_size)).save()

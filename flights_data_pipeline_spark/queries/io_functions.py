@@ -1,0 +1,126 @@
+"""IO-codec and scalar-function queries closing SURVEY.md §2 line items.
+
+* ``csv_roundtrip`` — S3/S4: the reference's CSV landing convention as a
+  *tested* query: write through the engine codec, read back, aggregate;
+  the oracle aggregates the pristine parquet — any codec lossiness
+  (nulls, quoting, timestamps, decimals) breaks the hash-match.
+* ``json_build_extract`` — F1 (to_json), F2 (extract), F3 (null
+  handling), F9 (deterministic surrogate keys via md5, SURVEY.md
+  §7.4.4's replacement for uuid()).
+* ``token_count_pandas_udf`` — §2.11: the Arrow-vectorized Python path
+  (pandas_udf), oracle-matched against the same JVM-side semantics.
+  Kept OUT of the hot paths by design — it exists to prove the
+  vectorized UDF surface, and its oracle equality shows the JVM
+  implementation (token_stats) and the Arrow implementation agree.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import csv_codec
+from ..io.catalog import load_table as t
+from .registry import query
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → engine CSV codec → parquet-equivalent aggregate.
+
+    The aggregate covers the lossiness hot spots: row counts, null
+    counts on a string column, exact decimal sums, timestamp extremes.
+    """
+    o = t(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="fdp_csv_rt_") + "/orders"
+    csv_codec.write_csv(o, land)
+    back = csv_codec.read_csv(spark, land, o.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "json_build_extract",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(user_id := user_id,
+                               event_type := event_type)) AS ctx_json,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           COALESCE(json_extract_string(props, '$.missing'), 'absent')
+             AS missing_with_default,
+           md5(CAST(user_id AS VARCHAR) || chr(9247) || event_type)
+             AS surrogate_key
+    FROM events
+    """,
+)
+def json_build_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json (F1), null-safe extract with default (F2+F3), md5
+    surrogate key (F9 — the deterministic stand-in for uuid(),
+    reference audit columns, SURVEY.md §7.4.4)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("user_id", "event_type")).alias("ctx_json"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("missing_with_default"),
+        F.md5(
+            F.concat_ws("␟", F.col("user_id").cast("string"), F.col("event_type"))
+        ).alias("surrogate_key"),
+    )
+
+
+def _n_tokens_arrow():
+    """Vectorized token counter UDF — built lazily (pandas_udf return-
+    type parsing needs an active SparkContext)."""
+
+    @pandas_udf("bigint")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.split().str.len().astype("int64")
+
+    return n_tokens
+
+
+@query(
+    "token_count_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 Arrow-vectorized pandas_udf path, oracle-matched.
+
+    pandas ``str.split()`` (whitespace, trimmed) and the oracle's
+    regexp split agree on this corpus; equality with the JVM-side
+    ``token_stats`` pins that the Arrow path computes the same thing.
+    """
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", _n_tokens_arrow()(F.col("text")).alias("n_tokens"))
