@@ -1,0 +1,138 @@
+"""Structured Streaming job builders (SURVEY.md §2.10 extension surface).
+
+The reference's only "streaming" is Airflow daily scheduling with a
+watermark column (reference ``dags/flights_data_pipeline.py:63-66``);
+this module is the engine's real streaming surface over
+``events(event_id, ts, user_id, event_type, value, props)``:
+
+* file-source readStream with explicit schema (no inference in the
+  engine proper — SURVEY.md §1.1),
+* watermarked tumbling/session window aggregations (same kernels as
+  the batch queries in ``queries/streaming.py`` — batch/stream parity
+  is asserted in ``tests/test_streaming.py``),
+* ``dropDuplicatesWithinWatermark`` exactly-once-per-event_id,
+* a *custom stateful operator* via ``applyInPandasWithState``:
+  per-user running counters with inactivity timeout — the shape Spark's
+  built-in windows can't express (state machine + timeout emission).
+
+Scale posture: state size is bounded by (keys × state row), not data
+volume; the watermark horizon bounds how long state lives. The
+stateful map is Arrow-batched per group — the only Python in the
+streaming path, and it is the operator that genuinely needs it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of events parquet under ``path``."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """10-minute tumbling counts per event type (batch twin:
+    ``queries/streaming.tumbling_window_agg``)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once per event_id within the watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+#: output schema of the stateful user-counter operator.
+USER_COUNTER_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, emitted_on_timeout BOOLEAN"
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def _count_events_with_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running (count, sum) per user; emits on every update and flushes
+    a final timeout row when the user goes quiet past the timeout."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "emitted_on_timeout": [True],
+            }
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(30_000)  # 30s of processing-time silence
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "emitted_on_timeout": [False],
+        }
+    )
+
+
+def user_running_counters(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) with a
+    processing-time inactivity flush — ``applyInPandasWithState``."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_events_with_state,
+            outputStructType=USER_COUNTER_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,70 @@
+"""streaming/jobs.py under real micro-batch execution, including the
+applyInPandasWithState custom stateful operator."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flights_data_pipeline_spark.io.catalog import load_table
+from flights_data_pipeline_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="fdp_sjobs_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{d}/events")
+    yield f"{d}/events"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_tumbling_counts_stream(spark, events_dir, sf_dir):
+    stream = jobs.read_events_stream(spark, events_dir)
+    _run(jobs.tumbling_counts(stream), "sj_tumbling", "complete")
+    got = spark.sql("SELECT SUM(n_events) AS n FROM sj_tumbling").collect()[0].n
+    want = load_table(spark, sf_dir, "events").count()
+    assert got == want
+
+
+def test_stateful_user_counters(spark, events_dir, sf_dir):
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    _run(jobs.user_running_counters(stream), "sj_counters", "update")
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n FROM sj_counters GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: r.n for r in rows}
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every user's final running count equals the batch count
+    assert got == want
+
+
+def test_dedup_stream_unique(spark, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir)
+    doubled = stream.unionByName(stream)
+    _run(jobs.dedup_stream(doubled).select("event_id"), "sj_dedup", "append")
+    r = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM sj_dedup"
+    ).collect()[0]
+    assert r.n == r.d and r.n > 0
