@@ -1,0 +1,103 @@
+"""Physical-layout tests: the 100 TB levers actually engage.
+
+Asserts (via EXPLAIN FORMATTED) that:
+* bucketed tables join WITHOUT a shuffle exchange (co-located join —
+  SURVEY.md §4.4 "bucket facts by join keys"),
+* writing date-partitioned staging gives partition-pruned scans
+  (PartitionFilters, distinct from parquet row-group pruning),
+* the day-window upsert rewrites only the targeted partition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flights_data_pipeline_spark.io.catalog import load_table
+
+
+def _explain(spark, df) -> str:
+    df.createOrReplaceTempView("_explain_target")
+    return "\n".join(
+        r[0] for r in spark.sql("EXPLAIN FORMATTED SELECT * FROM _explain_target").collect()
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (
+        li.write.mode("overwrite")
+        .option("path", str(wh / "li"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        o.write.mode("overwrite")
+        .option("path", str(wh / "o"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("o_bucketed")
+    )
+    lb = spark.table("li_bucketed")
+    ob = spark.table("o_bucketed")
+    joined = lb.join(
+        ob.hint("merge"), lb.l_orderkey == ob.o_orderkey
+    )  # force sort-merge so broadcast can't mask bucketing
+    plan = _explain(spark, joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+    # sanity: result matches the plain join
+    assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
+def test_partition_pruning_on_staged_table(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("staged"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+
+    q = spark.read.parquet(base).filter(F.col("event_date") == "2024-01-02")
+    plan = _explain(spark, q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_date" in pf[0], plan
+    # partition pruning must reduce the files read to one day's worth
+    assert q.count() > 0
+
+
+def test_dynamic_overwrite_touches_one_partition(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("upsert"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+    before = {
+        r.event_date: r.n
+        for r in spark.read.parquet(base).groupBy("event_date").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+
+    # rewrite only 2024-01-02 with a filtered slice (half the rows)
+    day = ev.filter(F.col("event_date") == "2024-01-02")
+    half = day.filter(F.col("event_id") % 2 == 0)
+    (
+        half.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(base)
+    )
+    after = {
+        r.event_date: r.n
+        for r in spark.read.parquet(base).groupBy("event_date").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    import datetime as dt
+
+    target = dt.date(2024, 1, 2)
+    assert after[target] < before[target]
+    for d in before:
+        if d != target:
+            assert after[d] == before[d], f"partition {d} was touched"
