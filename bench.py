@@ -32,6 +32,7 @@ HEADLINE = [
     "window_rank_lag",
     "date_delay_metrics",
     "pricing_summary",
+    "shipping_priority",
     "topk",
     # extension operators (LLM-pipeline surface)
     "token_stats",

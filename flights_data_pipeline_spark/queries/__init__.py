@@ -18,5 +18,6 @@ from . import similarity  # noqa: F401
 from . import streaming  # noqa: F401
 from . import advanced  # noqa: F401
 from . import io_functions  # noqa: F401
+from . import shapes  # noqa: F401
 from . import flights  # noqa: F401
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

@@ -1,0 +1,134 @@
+"""Classic analytic query shapes widening the relational surface.
+
+TPC-H-style shapes (shipping-priority Q3, scalar subquery, HAVING)
+over the driver's tables — each a distinct Catalyst plan family
+(join→agg→topk; subquery broadcast; post-aggregate filter) with a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.catalog import load_table as t
+from .registry import query
+
+
+def _dec(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: selective join → aggregate → top-k by measure.
+# ---------------------------------------------------------------------------
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: two selective joins, decimal revenue, top-10.
+
+    Filters sit on each table BEFORE the joins (Catalyst pushes them
+    into the scans); the final top-k is a TakeOrderedAndProject over
+    the aggregate, not a global sort.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey", "o_orderdate"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_extendedprice"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery — above-average filter kept EXACT by avoiding division:
+# balance > avg  ⇔  balance * n > sum  (decimal both sides).
+# ---------------------------------------------------------------------------
+@query(
+    "above_average_balance",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total
+      FROM customer
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM customer c CROSS JOIN stats s
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * s.n > s.total
+    """,
+)
+def above_average_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the mean balance — the scalar-subquery shape.
+
+    The comparison ``bal > sum/n`` is restated as ``bal*n > sum`` so
+    every operand stays exact DECIMAL (a divided mean is a double with
+    engine-specific representation at the comparison boundary). The
+    stats row broadcasts — no per-row subquery execution.
+    """
+    c = t(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("total"),
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("total"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            _dec("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING: post-aggregate filter.
+# ---------------------------------------------------------------------------
+@query(
+    "frequent_buyers_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def frequent_buyers_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — the filter runs after the final aggregate."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
