@@ -132,3 +132,43 @@ def frequent_buyers_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (sketches) — rows-only check: HLL/quantile-sketch
+# values are implementation-specific by design, so no value oracle exists;
+# instead the query itself embeds exactness *bounds* that must hold.
+# ---------------------------------------------------------------------------
+@query("approx_aggregates")
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + approx_percentile per
+    group, emitted alongside the exact values with in-row error checks.
+
+    At 100 TB sketches replace exact distinct counts (no giant hash
+    tables, mergeable partials); the ``within_5pct``/``quantile_ok``
+    booleans make the accuracy contract part of the result so the
+    driver's rows-only gate still exercises correctness bounds.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx_median_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_median_qty"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        "approx_parts",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
+        "approx_median_qty",
+        (
+            F.abs(F.col("approx_median_qty") - F.col("exact_median_qty"))
+            <= F.lit(1.0)
+        ).alias("quantile_ok"),
+    )
