@@ -90,6 +90,45 @@ def asof_join(
     )
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_time: str,
+    bin_seconds: int = 1800,
+) -> DataFrame:
+    """Point-in-interval range join: pairs where
+    ``left_start <= right_time <= left_end``, per ``on`` key.
+
+    Naive Spark planning turns a pure inequality join into an equi-join
+    on the key with a post-filter — per-key quadratic on hot keys. This
+    operator uses **interval binning**: each left interval is exploded
+    into the coarse time bins it covers; each right point maps to its
+    single bin; the join becomes an equi-join on (key, bin) followed by
+    the exact range filter. A point lies in exactly one bin, so no
+    dedup is needed; work scales with rows × bins-per-interval instead
+    of per-key row products. ``bin_seconds`` should be on the order of
+    the typical interval length.
+    """
+    ls, le = F.col(left_start).cast("long"), F.col(left_end).cast("long")
+    lbins = F.sequence(
+        F.floor(ls / bin_seconds).cast("long"),
+        F.floor(le / bin_seconds).cast("long"),
+    )
+    l = left.withColumn("__bin", F.explode(lbins))
+    r = right.withColumn(
+        "__bin",
+        F.floor(F.col(right_time).cast("long") / bin_seconds).cast("long"),
+    )
+    joined = l.join(r, [on, "__bin"]).drop("__bin")
+    return joined.filter(
+        (F.col(right_time) >= F.col(left_start))
+        & (F.col(right_time) <= F.col(left_end))
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -61,6 +61,65 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join: point-in-interval attribution (binned plan).
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_attribution",
+    oracle="""
+    SELECT c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           c.user_id,
+           p.value AS purchase_value,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS seconds_after
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 30 minutes after a click, per user — a
+    point-in-interval range join via the binned operator
+    (``operators.joins.range_join_binned``). The oracle is DuckDB's
+    native inequality join (IEJoin) — independent plan, same semantics.
+    """
+    from ..operators.joins import range_join_binned
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("click_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = range_join_binned(
+        clicks,
+        purchases,
+        on="user_id",
+        left_start="click_ts",
+        left_end="click_end",
+        right_time="purchase_ts",
+        bin_seconds=1800,
+    )
+    return joined.select(
+        "click_event_id",
+        "purchase_event_id",
+        "user_id",
+        "purchase_value",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("bigint").alias("seconds_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact discrete percentiles via row_number (engine-portable).
 # ---------------------------------------------------------------------------
 @query(

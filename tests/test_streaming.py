@@ -90,6 +90,27 @@ def test_streaming_tumbling_equals_batch(spark, stream_dir, sf_dir):
     assert got == want
 
 
+def test_streaming_sliding_equals_batch(spark, stream_dir, sf_dir):
+    stream = _read_stream(spark, stream_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    _run_to_completion(agg, "t_sliding")
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM t_sliding").collect()
+    }
+
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    batch = REGISTRY["sliding_window_agg"].fn(spark, sf_dir)
+    want = {r.window_start: r.n_events for r in batch.collect()}
+    assert got == want
+
+
 def test_streaming_session_window_runs(spark, stream_dir):
     stream = _read_stream(spark, stream_dir)
     agg = (
