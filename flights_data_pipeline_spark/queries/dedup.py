@@ -189,7 +189,7 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
     sigs AS (
       SELECT e.doc_id, p.i,
-             MIN(md5(p.i::VARCHAR || '|' || e.s)) AS sig
+             MIN(substr(md5(e.s), p.i * 8 + 1, 8)) AS sig
       FROM e CROSS JOIN (SELECT unnest(range({N_PERMS})) AS i) p
       GROUP BY e.doc_id, p.i
     ),
@@ -218,14 +218,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash({N_PERMS} perms) + LSH banding (r=1) → candidate pairs,
     verified with exact shingle Jaccard.
 
-    The signature for permutation *i* is the lexicographic min of
-    ``md5(i || '|' || shingle)`` — md5 hex minima are order-isomorphic
-    to integer minima, and identical across engines.
+    The {N_PERMS} permutation values per shingle are the four 8-hex-char
+    slices of ONE ``md5(shingle)`` — independent uniform hashes from a
+    single digest (so one md5 per shingle instance, not one per perm),
+    and their lexicographic minima are order-isomorphic to integer
+    minima, identical across engines.
 
     Plan shape (the part that survives 100 TB):
 
-    1. signatures are computed **map-side** with ``array_min`` over the
-       shingle array — no explode, no groupBy, zero shuffle;
+    1. one md5 per exploded shingle row; the signature groupBy reuses
+       the doc_id repartition (no extra shuffle);
     2. candidates come from ONE equi-join on (perm, signature) —
        linear shuffle, per-bucket pairs, never an all-pairs cartesian;
     3. verification joins the ~|candidates| pairs back to the two docs'
@@ -243,19 +245,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = d.select("doc_id", _shingles().alias("shingles"))
 
-    sig_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERMS - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
+    e_h = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
     )
-    sigs = sh.select(
-        "doc_id",
-        F.posexplode(sig_arr).alias("i", "sig"),
+    wide = e_h.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 8 * i + 1, 8)).alias(f"sig{i}")
+            for i in range(N_PERMS)
+        ]
     )
+    stack = ", ".join(f"{i}, sig{i}" for i in range(N_PERMS))
+    sigs = wide.selectExpr("doc_id", f"stack({N_PERMS}, {stack}) AS (i, sig)")
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
