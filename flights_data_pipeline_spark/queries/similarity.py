@@ -210,6 +210,72 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup family, LSH-blocked).
+# ---------------------------------------------------------------------------
+NEAR_DUP_COSINE = 0.3
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {{bucket}} AS bucket,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, e.vec_id AS b_id,
+           {_duck_dot('a.embedding', 'e.embedding')} / (a.nrm * e.nrm)
+             AS cosine
+    FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+    WHERE {_duck_dot('a.embedding', 'e.embedding')} / (a.nrm * e.nrm)
+          >= {NEAR_DUP_COSINE}
+    """.replace("{bucket}", _duck_bucket("embedding")),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ {NEAR_DUP_COSINE} within
+    sign-LSH blocks (threshold calibrated to this synthetic corpus's
+    similarity range — real near-dup corpora would use ~0.95).
+
+    The dedup-family twin of ``ann_lsh_bucketed``: same blocking (near-
+    identical vectors agree on leading-dimension signs with high
+    probability), but the output is the near-dup *pair list* a dedup
+    pipeline would feed into connected-components / keep-one-per-group.
+    At 100 TB: more planes + multi-probe for recall; candidate pairs
+    stay linear in corpus size for a non-degenerate embedding space.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(N_PLANES)
+        ]
+    )
+    b = e.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cosine = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
+        F.col("a.nrm") * F.col("c.nrm")
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("c.vec_id").alias("b_id"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-NN label vote (classification on top of the exact top-k kernel).
 # ---------------------------------------------------------------------------
 @query(
