@@ -614,6 +614,27 @@ def rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_aggregate",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 2^k subtotal combinations in one pass
+    (Expand + partial/final aggregation under the hood)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
     "count_distinct",
     oracle="""
     SELECT l_returnflag,
