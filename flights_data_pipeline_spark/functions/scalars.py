@@ -2,9 +2,10 @@
 
 The column builders every module of the engine agrees on — money
 discipline, deterministic surrogate keys, the reference's day-window
-predicate, null-safe JSON extraction. Centralized so the conventions
-are stated once; the query modules inline the same recipes (aliasing
-rules are part of the driver contract there).
+predicate, null-safe JSON extraction. The query modules
+(``queries/relational.py``, ``queries/shapes.py``,
+``queries/streaming.py``, ``pipeline/transforms.py``) all route
+through these builders so the conventions are stated exactly once.
 """
 
 from __future__ import annotations
@@ -19,6 +20,20 @@ SK_SEP = "␟"
 def money(c: Column | str) -> Column:
     """DECIMAL(18,2) money discipline — never float (SURVEY.md §7.4.3)."""
     return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
+
+
+def money_out(c: Column | str) -> Column:
+    """Final-OUTPUT rendering of a money value: exact DECIMAL(18,2)
+    internally, cast to DOUBLE at the result surface.
+
+    Both Spark and DuckDB cast the same decimal to the same nearest
+    IEEE-754 double, so cross-engine value hashes match regardless of
+    how a comparator canonicalizes decimal scale (``123.4`` vs
+    ``123.40`` renderings diverge; their double image is one value).
+    Every query's oracle SQL applies the identical
+    ``CAST(CAST(x AS DECIMAL(18,2)) AS DOUBLE)`` on its side.
+    """
+    return money(c).cast("double")
 
 
 def surrogate_key(*cols: Column | str) -> Column:

@@ -34,8 +34,8 @@ from .registry import query
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priorities,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order
     FROM orders
@@ -57,6 +57,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").cast("bigint").alias("n_priorities"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("total"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),

@@ -14,7 +14,12 @@ evidence lives in SURVEY.md; the key anchors:
 Determinism/oracle discipline: money math is done on DECIMAL(18,2)
 (exact, order-independent sums — SURVEY §7.4.3); double aggregates are
 rounded; every computed column is aliased identically in the Spark plan
-and the DuckDB oracle.
+and the DuckDB oracle. Final-OUTPUT decimal columns are cast to DOUBLE
+on BOTH sides (``functions.scalars.money_out``): the driver's value
+hash canonicalizes decimals scale-sensitively (``123.4`` != ``123.40``
+across engines), while the double image of an exact decimal is one
+well-defined IEEE value — CORRECTNESS_r01.json showed exactly the
+decimal-output queries hash-failing with rows+schema green.
 
 Scale posture (100 TB): every query is a declarative DataFrame/SQL plan —
 filters and projections push into the parquet scan, small dimensions are
@@ -28,13 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.scalars import money as dec
+from ..functions.scalars import money_out as dec_out
 from ..io.catalog import load_table as t
 from .registry import query
-
-
-def dec(c) -> F.Column:
-    """Money discipline: exact DECIMAL(18,2), never float (SURVEY §7.4.3)."""
-    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
 
 
 # ---------------------------------------------------------------------------
@@ -74,7 +76,7 @@ def watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pruned_projection",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
     """,
@@ -86,7 +88,7 @@ def pruned_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        dec("l_extendedprice").alias("price"),
+        dec_out("l_extendedprice").alias("price"),
     )
 
 
@@ -124,7 +126,7 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_fk",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
-           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F'
     """,
@@ -138,7 +140,7 @@ def join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "o_custkey",
         "o_orderstatus",
-        dec("l_extendedprice").alias("price"),
+        dec_out("l_extendedprice").alias("price"),
     )
 
 
@@ -151,8 +153,8 @@ def join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -168,15 +170,21 @@ def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # nation/region are O(1)-sized → always broadcast; customer grows
+    # with sf (O(rows)·sf exceeds any broadcast threshold at 100×), so
+    # AQE decides its join strategy from runtime stats.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+            F.sum(dec("l_extendedprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -188,8 +196,9 @@ def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composite_key_join",
     oracle="""
     SELECT e.event_id, e.user_id, e.event_type, g.n_type_events,
-           CAST(CAST(e.value AS DECIMAL(18,2)) * g.n_type_events
-                - g.sum_value AS DECIMAL(28,2)) AS dev_from_mean_x_n
+           CAST(CAST(CAST(e.value AS DECIMAL(18,2)) * g.n_type_events
+                     - g.sum_value AS DECIMAL(28,2)) AS DOUBLE)
+             AS dev_from_mean_x_n
     FROM events e
     JOIN (
       SELECT user_id, event_type,
@@ -221,6 +230,7 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_type_events",
         (dec("value") * F.col("n_type_events") - F.col("sum_value"))
         .cast("decimal(28,2)")
+        .cast("double")
         .alias("dev_from_mean_x_n"),
     )
 
@@ -290,8 +300,8 @@ def ratio_of_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total_spend
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
     FROM orders
     GROUP BY o_custkey
     """,
@@ -301,7 +311,10 @@ def sum_decimal_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("total_spend"),
+        F.sum(dec("o_totalprice"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_spend"),
     )
 
 
@@ -340,11 +353,11 @@ def empty_window_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(rank() OVER w AS BIGINT) AS ship_rank,
            lag(l_quantity) OVER w AS prev_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
-                (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(18,2)) AS running_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+                     (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS running_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber)
@@ -363,6 +376,7 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_quantity"))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("running_qty"),
     )
 
@@ -597,8 +611,8 @@ def string_functions_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_aggregate",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -608,7 +622,7 @@ def rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-set aggregate with exact decimal sums."""
     li = t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
 
@@ -617,8 +631,8 @@ def rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_aggregate",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -629,7 +643,7 @@ def cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Expand + partial/final aggregation under the hood)."""
     li = t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
 
@@ -662,10 +676,12 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_linestatus",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS qty_open,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS qty_filled
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2))
+                AS DOUBLE) AS qty_open,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2))
+                AS DOUBLE) AS qty_filled
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -680,8 +696,8 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return piv.select(
         "l_returnflag",
-        F.col("O").alias("qty_open"),
-        F.col("F").alias("qty_filled"),
+        F.col("O").cast("double").alias("qty_open"),
+        F.col("F").cast("double").alias("qty_filled"),
     )
 
 
@@ -692,13 +708,14 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS sum_base_price,
-           CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
-                               * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
-                         AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
+                              AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
@@ -723,9 +740,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,2)").alias("sum_disc_price"),
+            F.sum(dec("l_quantity"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(dec("l_extendedprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(
                 F.sum(dec("l_quantity")).cast("double") / F.count("*"), 4
             ).alias("avg_qty"),

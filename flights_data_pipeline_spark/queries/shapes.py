@@ -11,12 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import money as _dec
+from ..functions.scalars import money_out as _dec_out
 from ..io.catalog import load_table as t
 from .registry import query
-
-
-def _dec(c) -> F.Column:
-    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
 
 
 # ---------------------------------------------------------------------------
@@ -26,8 +24,8 @@ def _dec(c) -> F.Column:
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -57,7 +55,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li.select("l_orderkey", "l_extendedprice"),
               F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("revenue"))
+        .agg(
+            F.sum(_dec("l_extendedprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -78,7 +81,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT c.c_custkey, c.c_mktsegment,
-           CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
     FROM customer c CROSS JOIN stats s
     WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * s.n > s.total
     """,
@@ -102,7 +105,7 @@ def above_average_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_mktsegment",
-            _dec("c_acctbal").alias("acctbal"),
+            _dec_out("c_acctbal").alias("acctbal"),
         )
     )
 
@@ -114,8 +117,8 @@ def above_average_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frequent_buyers_having",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total_spend
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 15
@@ -128,7 +131,10 @@ def frequent_buyers_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total_spend"),
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_spend"),
         )
         .filter(F.col("n_orders") >= 15)
     )

@@ -27,12 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import money as _dec
 from ..io.catalog import load_table as t
 from .registry import query
-
-#: money discipline, as in relational.py.
-def _dec(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,2)")
 
 
 # ---------------------------------------------------------------------------
@@ -46,8 +43,8 @@ def _dec(c: str) -> F.Column:
              AS window_end,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -60,7 +57,10 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w, "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(_dec("value"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -87,8 +87,8 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL 10 MINUTE AS window_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
     FROM assigned
     GROUP BY 1, 2
     """,
@@ -105,7 +105,10 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w)
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(_dec("value"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -125,7 +128,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       <= INTERVAL 30 MINUTE
+                       < INTERVAL 30 MINUTE
                   THEN 0 ELSE 1 END AS new_session
       FROM events
     ),
@@ -139,8 +142,8 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -150,7 +153,11 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's ``session_window`` end is ``last event + gap``; the oracle
     reproduces that with the classic gaps-and-islands construction
-    (lag → new-session flag → running sum → group).
+    (lag → new-session flag → running sum → group). Sessions are
+    end-EXCLUSIVE ``[start, last + gap)``: an event at exactly
+    ``last_ts + gap`` starts a NEW session, so the oracle merges only
+    on strict ``lag diff < gap`` — ``<=`` would diverge at exact-
+    boundary gaps.
     """
     ev = t(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")
@@ -158,7 +165,10 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(sw, "user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(_dec("value"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             "user_id",

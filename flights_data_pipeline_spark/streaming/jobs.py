@@ -62,8 +62,11 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
+            # decimal-exact sum, double at the output surface — same
+            # convention as the batch twin (functions.scalars.money_out)
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(

@@ -31,8 +31,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Decimals compare RAW (no normalize()): the driver's gate hashes
+    # scale-sensitively, so "123.4" vs "123.40" must FAIL here too.
+    # Queries therefore cast final-output decimals to double
+    # (functions.scalars.money_out) on both engines.
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, dt.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):

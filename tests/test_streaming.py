@@ -65,6 +65,7 @@ def test_streaming_tumbling_equals_batch(spark, stream_dir, sf_dir):
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(

@@ -24,7 +24,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 def norm(v):
-    if isinstance(v, Decimal): return ("d", str(v.normalize()))
+    if isinstance(v, Decimal): return ("d", str(v))  # RAW — scale-sensitive, like the driver
     if isinstance(v, dt.datetime): return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date): return ("D", v.isoformat())
     if isinstance(v, float): return ("f", "nan" if math.isnan(v) else repr(v))
