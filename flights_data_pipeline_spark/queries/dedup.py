@@ -29,9 +29,17 @@ from pyspark.sql import functions as F
 from ..io.catalog import load_table as t
 from .registry import query
 
-#: number of MinHash permutations (each is an independent LSH band of
-#: r=1 — max recall, precision restored by the verify step).
-N_PERMS = 4
+#: number of MinHash permutations — the 8 disjoint 4-hex-char slices of
+#: one md5 digest per shingle (so one md5 per shingle instance).
+N_PERMS = 8
+
+#: LSH banding: N_BANDS bands of r = N_PERMS // N_BANDS rows each. With
+#: r=2 a candidate needs BOTH minima of some band to agree — candidate
+#: probability is the classic 1-(1-j^r)^b S-curve, so near-random pairs
+#: (j≈0.1 → ~0.04 per-band) rarely collide while true near-dups
+#: (j≥0.8 → 0.64 per-band) almost always do. r=1 (any single matching
+#: permutation) makes everything a candidate on a real corpus.
+N_BANDS = 4
 
 #: shingle width in tokens.
 SHINGLE_K = 3
@@ -181,109 +189,120 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup candidates (the 100 TB-scale dedup plan).
 # ---------------------------------------------------------------------------
-@query(
-    "minhash_lsh_candidates",
-    oracle=f"""
+def _minhash_oracle() -> str:
+    r = N_PERMS // N_BANDS
+    sig_cols = ", ".join(
+        f"MIN(substr(md5(s), {4 * i + 1}, 4)) AS sig{i}" for i in range(N_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + " || ".join(f"sig{j * r + k}" for k in range(r))
+        + " AS bkey FROM sigs"
+        for j in range(N_BANDS)
+    )
+    return f"""
     WITH sh AS ({_DUCK_SHINGLES}),
     e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-    sigs AS (
-      SELECT e.doc_id, p.i,
-             MIN(substr(md5(e.s), p.i * 8 + 1, 8)) AS sig
-      FROM e CROSS JOIN (SELECT unnest(range({N_PERMS})) AS i) p
-      GROUP BY e.doc_id, p.i
-    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM e GROUP BY doc_id),
+    bands AS ({band_selects}),
     cand AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-      FROM sigs a JOIN sigs b
-        ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    common AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT c.a_id, c.b_id, c.n_shared_bands,
-           cm.n_common / (sa.n + sb.n - cm.n_common) AS jaccard
+           len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
     FROM cand c
-    JOIN common cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
-    JOIN sizes sa ON c.a_id = sa.doc_id
-    JOIN sizes sb ON c.b_id = sb.doc_id
-    """,
-)
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash({N_PERMS} perms) + LSH banding (r=1) → candidate pairs,
-    verified with exact shingle Jaccard.
+    JOIN sh sa ON c.a_id = sa.doc_id
+    JOIN sh sb ON c.b_id = sb.doc_id
+    """
 
-    The {N_PERMS} permutation values per shingle are the four 8-hex-char
-    slices of ONE ``md5(shingle)`` — independent uniform hashes from a
-    single digest (so one md5 per shingle instance, not one per perm),
-    and their lexicographic minima are order-isomorphic to integer
-    minima, identical across engines.
+
+@query("minhash_lsh_candidates", oracle=_minhash_oracle())
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({N_PERMS} perms) banded {N_BANDS}×r={N_PERMS//N_BANDS}
+    LSH → candidate pairs, verified with exact shingle Jaccard.
+
+    The {N_PERMS} permutation values per shingle are the eight disjoint
+    4-hex-char slices of ONE ``md5(shingle)`` — independent uniform
+    hashes from a single digest (one md5 per shingle instance, not one
+    per perm); lexicographic minima of fixed-width hex are
+    order-isomorphic to integer minima, identical across engines. A
+    band key concatenates r=2 of the minima, so a candidate must agree
+    on two independent permutations — the S-curve precision a real
+    corpus needs (r=1 fires on any single agreement).
 
     Plan shape (the part that survives 100 TB):
 
-    1. one md5 per exploded shingle row; the signature groupBy reuses
-       the doc_id repartition (no extra shuffle);
-    2. candidates come from ONE equi-join on (perm, signature) —
-       linear shuffle, per-bucket pairs, never an all-pairs cartesian;
-    3. verification joins the ~|candidates| pairs back to the two docs'
-       shingle *arrays* and intersects them per pair
-       (``array_intersect``) — O(|candidates| · shingles) instead of a
-       second corpus-wide self-join (an earlier draft did exactly
-       that, and recomputing both self-join lineages made the final
-       join ~20× slower at sf0.1).
+    1. ONE per-doc aggregate computes all {N_PERMS} signature minima
+       AND the md5-shingle set used later for verification — the
+       shingle/md5 work happens in a single linear pass per branch, and
+       the groupBy reuses the doc_id partitioning (no extra shuffle);
+    2. candidates come from ONE equi-join on (band, key) — linear
+       shuffle, per-bucket pairs, never an all-pairs cartesian;
+    3. verification joins the ~|candidates| pairs back to the per-doc
+       hash sets with the CANDIDATE side broadcast — a few hundred
+       rows — so the corpus-sized set side streams. (The previous
+       shape let the planner broadcast the corpus-wide shingle arrays:
+       two ~15 MB driver collects whose GC made the query
+       intermittently ~15× slower, and a driver OOM waiting to happen
+       at any real scale.)
     """
-    # The test corpus is one small parquet file → one input split; the
-    # md5-heavy signature stage would run on a single core. Spreading
-    # by doc_id mirrors what a many-split corpus gives for free.
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    sh = d.select("doc_id", _shingles().alias("shingles"))
+    d = t(spark, sf_dir, "documents")
+    # A small corpus arrives as one parquet split → the md5-heavy pass
+    # would run on one core. Spread by doc_id only when the scan has
+    # fewer splits than cores; a real many-split corpus skips this
+    # shuffle entirely.
+    n_cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, n_cores // 2):
+        d = d.repartition(n_cores, "doc_id")
 
-    e_h = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+    e_h = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
-    wide = e_h.groupBy("doc_id").agg(
+    r = N_PERMS // N_BANDS
+    per_doc = e_h.groupBy("doc_id").agg(
         *[
-            F.min(F.substring("h", 8 * i + 1, 8)).alias(f"sig{i}")
+            F.min(F.substring("h", 4 * i + 1, 4)).alias(f"sig{i}")
             for i in range(N_PERMS)
-        ]
+        ],
+        F.collect_set("h").alias("hset"),
     )
-    stack = ", ".join(f"{i}, sig{i}" for i in range(N_PERMS))
-    sigs = wide.selectExpr("doc_id", f"stack({N_PERMS}, {stack}) AS (i, sig)")
 
-    a, b = sigs.alias("a"), sigs.alias("b")
+    band_exprs = ", ".join(
+        f"{j}, concat({', '.join(f'sig{j * r + k}' for k in range(r))})"
+        for j in range(N_BANDS)
+    )
+    bands = per_doc.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, bkey)"
+    )
+
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
     )
 
-    sha = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
-    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
-    return (
-        cand.join(sha, "a_id")
-        .join(shb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            "n_shared_bands",
-            (
-                n_common
-                / (F.size("sh_a") + F.size("sh_b") - n_common)
-            ).alias("jaccard"),
-        )
+    sha = per_doc.select(F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a"))
+    shb = per_doc.select(F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b"))
+    paired = sha.join(F.broadcast(cand), "a_id")
+    both = shb.join(F.broadcast(paired), "b_id")
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("bigint")
+    return both.select(
+        "a_id",
+        "b_id",
+        "n_shared_bands",
+        (n_common / (F.size("hs_a") + F.size("hs_b") - n_common)).alias("jaccard"),
     )
 
 
