@@ -45,19 +45,30 @@ def asof_join(
     must not collide with left column names.
 
     Implementation: tag and union both sides, then per key sort by
-    (time, side) and carry the last non-null right value forward.
+    (time, side) and carry the last matched right ROW forward as ONE
+    struct — ``last(ignorenulls=True)`` over per-column carries would
+    tear rows when a right value column is NULL (that column filled
+    from an older right row while siblings come from the newer one);
+    a struct is non-null whenever the right row exists, so all value
+    columns travel together and NULL fields stay NULL, matching DuckDB
+    ``ASOF LEFT JOIN`` row semantics.
     For inclusive semantics right rows sort *before* left rows at equal
     timestamps; for strict semantics they sort after (so an equal-time
     right row is not yet visible to the left row's frame).
     """
+    from pyspark.sql import types as T
+
     # side markers chosen so ascending sort yields the wanted tie order
     right_marker, left_marker = (0, 1) if not strict else (1, 0)
+    rv_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in right_values]
+    )
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(right_marker).alias("__side"),
         F.lit(True).alias("__is_right"),
-        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("__rv"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
     )
     l = left.select(
@@ -65,10 +76,7 @@ def asof_join(
         F.col(left_time).cast("timestamp").alias("__t"),
         F.lit(left_marker).alias("__side"),
         F.lit(False).alias("__is_right"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
-            for c in right_values
-        ],
+        F.lit(None).cast(rv_type).alias("__rv"),
         *left.columns,
     )
     unioned = l.unionByName(r)
@@ -78,15 +86,11 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_values
-        ],
+        "*", F.last("__rv", ignorenulls=True).over(w).alias("__asof")
     )
     return carried.filter(~F.col("__is_right")).select(
         *left.columns,
-        *[F.col(f"__asof_{c}").alias(c) for c in right_values],
+        *[F.col("__asof").getField(c).alias(c) for c in right_values],
     )
 
 
@@ -148,10 +152,13 @@ def salted_join(
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+    # deterministic salt: hash of the full row, so reruns produce the
+    # same layout/plan (monotonically_increasing_id varies per run);
+    # only byte-identical duplicate rows share a salt, which is harmless
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(
-            F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(n_salts)
-        ).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
     )
     return salted_big.join(salted_small, [on, "__salt"], how).drop("__salt")

@@ -53,10 +53,12 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-#: DuckDB twin: fold over an index range (1-based list access).
+#: DuckDB twin: fold over an index range (1-based list access). The
+#: bound derives from the actual array length — a hardcoded dimension
+#: would silently truncate or NULL-pollute if the corpus dim changed.
 def _duck_dot(a: str, b: str) -> str:
     return (
-        f"list_reduce(list_transform(range(1, 65), "
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
         f"(x, y) -> x + y)"
     )

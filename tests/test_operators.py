@@ -70,6 +70,38 @@ def test_asof_strict(spark, quotes_trades):
     assert out["t2"] == 102.0
 
 
+def test_asof_null_right_values_do_not_tear(spark):
+    """A matched right row with a NULL value column must yield NULL for
+    that column — not a stale value carried from an OLDER right row
+    (per-column last(ignorenulls) tears rows; the struct carry fixes it).
+    """
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 10:06:00", "t1")],
+        "k INT, ts_s STRING, trade_id STRING",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "trade_id")
+    quotes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100.0, 10.0),
+            # newest matching row: bid present, ask NULL
+            (1, "2024-01-01 10:05:00", 101.0, None),
+        ],
+        "k INT, ts_s STRING, bid DOUBLE, ask DOUBLE",
+    ).select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "bid", "ask"
+    )
+    rows = asof_join(
+        trades,
+        quotes,
+        on="k",
+        left_time="ts",
+        right_time="ts",
+        right_values=["bid", "ask"],
+    ).collect()
+    assert len(rows) == 1
+    # both columns from the SAME (newest) right row: ask stays NULL
+    assert rows[0].bid == 101.0 and rows[0].ask is None
+
+
 def test_salted_join_equals_plain(spark, sf_dir):
     from flights_data_pipeline_spark.io.catalog import load_table
 
