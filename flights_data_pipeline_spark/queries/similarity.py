@@ -35,9 +35,24 @@ from .registry import query
 #: number of query vectors for the brute-force baseline.
 N_QUERIES = 10
 TOP_K = 5
-#: sign-LSH: number of leading dimensions used as separating planes.
+#: sign-LSH plane count for the in-bucket queries below. A plane count
+#: is a RECALL/COST dial that must scale with the corpus: 2^planes
+#: buckets ⇒ in-bucket pairwise work is O(N²/2^planes), so a fixed
+#: small count is quadratic at scale. Rule of thumb: planes ≈
+#: log2(N / target_bucket_size) — ≥16-20 bits for a 100 TB corpus —
+#: combined with multi-probe (see ``ann_recall_multiprobe``) to buy
+#: back the recall that finer bucketing costs. 4 here keeps the tiny
+#: test corpora's buckets statistically populated.
 N_PLANES = 4
 BUCKET_TOP_K = 3
+#: plane count for the multi-probe recall measurement — the rule of
+#: thumb applied to THIS corpus: log2(2000 vectors / ~128 per bucket)
+#: = 4. Measured at sf0.1 (see BASELINE.md): Hamming≤1 multi-probe
+#: lifts mean recall@5 from 0.10 (own bucket only) to 0.66 while
+#: scanning ~31% of the corpus; 8 planes here would drop recall to
+#: 0.10 because this synthetic corpus's "neighbors" sit at cosine
+#: ≈0.34 — barely closer than random, the worst case for any LSH.
+N_PROBE_PLANES = 4
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -129,10 +144,24 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sign-LSH bucketed ANN (the 100 TB scale path).
 # ---------------------------------------------------------------------------
-def _duck_bucket(col: str) -> str:
+def _bucket(col: str, n_planes: int) -> Column:
+    """Sign-pattern LSH bucket key: '0'/'1' per separating plane.
+
+    Axis-aligned planes (leading dimensions' signs) — data-independent,
+    so the bucketing is a narrow map with no fitting step.
+    """
+    return F.concat(
+        *[
+            F.when(F.element_at(col, i + 1) >= 0, "1").otherwise("0")
+            for i in range(n_planes)
+        ]
+    )
+
+
+def _duck_bucket(col: str, n_planes: int = N_PLANES) -> str:
     digits = " || ".join(
         f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
-        for i in range(N_PLANES)
+        for i in range(n_planes)
     )
     return f"({digits})"
 
@@ -174,19 +203,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe neighboring buckets, and salt any hot bucket.
     """
     e = t(spark, sf_dir, "embeddings")
-    bucket = F.concat(
-        *[
-            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
-            for i in range(N_PLANES)
-        ]
-    )
     # norms are computed once per vector BEFORE the pair join — inside
     # the join each norm would be re-folded for every pair (~bucket-size
     # times redundantly). Same fold, same bits, ~2x fewer array folds.
     b = e.select(
         "vec_id",
         "embedding",
-        bucket.alias("bucket"),
+        _bucket("embedding", N_PLANES).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     a, c = b.alias("a"), b.alias("c")
@@ -246,16 +269,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay linear in corpus size for a non-degenerate embedding space.
     """
     e = t(spark, sf_dir, "embeddings")
-    bucket = F.concat(
-        *[
-            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
-            for i in range(N_PLANES)
-        ]
-    )
     b = e.select(
         "vec_id",
         "embedding",
-        bucket.alias("bucket"),
+        _bucket("embedding", N_PLANES).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     a, c = b.alias("a"), b.alias("c")
@@ -274,6 +291,165 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH ANN + recall-vs-bruteforce measurement (scale path).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_recall_multiprobe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_bucket('embedding', N_PROBE_PLANES)} AS bucket,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, bucket
+          FROM b WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, q_emb, q_nrm, bucket AS probe FROM q
+      UNION ALL
+      SELECT query_id, q_emb, q_nrm,
+             substr(bucket, 1, i.i)
+             || (CASE WHEN substr(bucket, i.i + 1, 1) = '1'
+                      THEN '0' ELSE '1' END)
+             || substr(bucket, i.i + 2) AS probe
+      FROM q CROSS JOIN (SELECT unnest(range({N_PROBE_PLANES})) AS i) i
+    ),
+    approx_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_duck_dot('p.q_emb', 'c.embedding')}
+                          / (p.q_nrm * c.nrm) DESC, c.vec_id) AS rn
+        FROM probes p JOIN b c
+          ON p.probe = c.bucket AND c.vec_id != p.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_duck_dot('q.q_emb', 'c.embedding')}
+                          / (q.q_nrm * c.nrm) DESC, c.vec_id) AS rn
+        FROM q CROSS JOIN b c WHERE c.vec_id != q.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM approx_topk a JOIN exact_topk x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) / {TOP_K} AS recall_at_k
+    FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+)
+def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN, measured: recall@{TOP_K} against the
+    exact brute-force top-{TOP_K} per query vector.
+
+    The scale path the module docstring promises, with its knobs
+    exercised: plane count follows log2(corpus / target_bucket_size)
+    (4 for this 2k corpus; 16-20 at 100 TB), and Hamming-distance-1
+    multi-probe — each query searches its own bucket plus the
+    {N_PROBE_PLANES} buckets with one sign flipped — buys back the
+    recall finer bucketing costs (0.10 → 0.66 mean recall@5 at sf0.1).
+    Candidate work stays O(probes · bucket_size) per query — one
+    equi-join on the probe key, no quadratic blow-up — and the probe
+    fan-out is a constant factor, not a corpus factor.
+
+    The recall column IS the measurement: the driver gate pins it
+    cross-engine, the bench records it at sf0.1 (see BASELINE.md).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    nb = N_PROBE_PLANES
+    b = e.select(
+        "vec_id",
+        "embedding",
+        _bucket("embedding", nb).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    q = (
+        b.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "bucket",
+        )
+    )
+    flips = [
+        F.expr(
+            f"concat(substring(bucket, 1, {i}), "
+            f"CASE WHEN substring(bucket, {i + 1}, 1) = '1' "
+            f"THEN '0' ELSE '1' END, "
+            f"substring(bucket, {i + 2}))"
+        )
+        for i in range(nb)
+    ]
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(F.array(F.col("bucket"), *flips)).alias("probe"),
+    )
+    # each corpus vector lives in exactly one bucket and probe keys are
+    # distinct, so no (query, neighbor) pair can appear twice
+    approx = (
+        b.join(F.broadcast(probes), F.col("probe") == F.col("bucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    approx_topk = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        b.crossJoin(F.broadcast(q.select("query_id", "q_emb", "q_nrm")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    exact_topk = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = approx_topk.join(exact_topk, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(TOP_K)
+            ).alias("recall_at_k"),
+        )
     )
 
 
