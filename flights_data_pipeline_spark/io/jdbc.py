@@ -12,16 +12,39 @@ both; these wrappers pin the engine's conventions:
   SURVEY.md §4.2),
 * writes batch with rewriteBatchedStatements-style options.
 
-No database ships in this environment, so tests cover option
-construction only; the parquet path (``catalog``) stands in for JDBC
-everywhere else (SURVEY.md §2.1 S1 note).
+No database *server* ships in this environment; the live-path tests
+(``tests/test_jdbc.py``) run against an embedded file database when a
+DuckDB JDBC driver jar is discoverable on the machine (see
+``find_duckdb_jdbc_jar``), and skip otherwise. The parquet path
+(``catalog``) stands in for JDBC everywhere else (SURVEY.md §2.1 S1
+note).
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+def find_duckdb_jdbc_jar() -> str | None:
+    """Locate a DuckDB JDBC driver jar in the usual local caches
+    (maven/ivy/coursier layouts). Returns None when absent — callers
+    gate the live JDBC path on it.
+    """
+    home = os.path.expanduser("~")
+    patterns = [
+        f"{home}/.m2/repository/org/duckdb/**/duckdb_jdbc-*.jar",
+        f"{home}/.ivy2/**/duckdb_jdbc*.jar",
+        f"{home}/.cache/coursier/**/duckdb_jdbc-*.jar",
+    ]
+    for p in patterns:
+        hits = sorted(glob.glob(p, recursive=True))
+        if hits:
+            return hits[-1]
+    return None
 
 
 @dataclass

@@ -1,0 +1,136 @@
+"""Library MERGE (upsert) on plain Spark DataFrames.
+
+SURVEY.md §4.4 infers ``ON CONFLICT DO UPDATE`` semantics for the
+reference's dimension loads (dims load after staging upserts,
+reference ``dags/flights_data_pipeline.py:229-251``); the engine's
+other mutation primitive — day-window delete+insert (S6) — covers
+facts but not keyed dim updates once a dim is too big to rebuild.
+This module supplies the missing primitive as a *library function*
+(no Delta, no custom Catalyst rule — SURVEY.md §7.3):
+
+    WHEN MATCHED THEN UPDATE SET *   (source row wins)
+    WHEN NOT MATCHED THEN INSERT *
+    [WHEN MATCHED AND <cond> THEN DELETE]
+
+Scale posture (100 TB): one full-outer shuffle on the merge keys —
+the same cost class as any keyed MERGE engine pays. On a real
+cluster the target should be bucketed by the merge keys so only the
+source side shuffles; rewriting only the partitions that contain
+matched keys (dynamic partition overwrite) bounds write amplification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """MERGE ``source`` into ``target`` on ``keys``; returns the merged
+    DataFrame (caller persists it — e.g. ``merge_parquet`` below).
+
+    Semantics: matched rows take ALL non-key columns from the source
+    (update), unmatched source rows insert, unmatched target rows are
+    kept. ``delete_condition`` (evaluated on the matched source row)
+    drops matched rows instead of updating them. ``source`` must be
+    unique per key (enforced — a duplicate-key source makes MERGE
+    ambiguous; engines reject it at runtime, so do we).
+
+    Idempotent by construction: merging the same source twice yields a
+    byte-identical table.
+    """
+    if target.columns != source.columns:
+        raise ValueError(
+            f"merge_upsert: schema mismatch target={target.columns} "
+            f"source={source.columns}"
+        )
+    non_keys = [c for c in target.columns if c not in keys]
+
+    # ambiguity guard: >1 source row per key cannot merge deterministically
+    dup = (
+        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("merge_upsert: source has duplicate merge keys")
+
+    t = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        F.lit(True).alias("__in_t"),
+        *[F.col(c).alias(f"__t_{c}") for c in non_keys],
+    )
+    s = source.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        F.lit(True).alias("__in_s"),
+        *[F.col(c).alias(f"__s_{c}") for c in non_keys],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__tk_{k}").eqNullSafe(F.col(f"__sk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col("__in_t").isNotNull() & F.col("__in_s").isNotNull()
+    if delete_condition is not None:
+        # delete_condition references source column names: rebind them
+        src_view = joined.select(
+            "*",
+            *[F.col(f"__sk_{k}").alias(k) for k in keys],
+            *[F.col(f"__s_{c}").alias(c) for c in non_keys],
+        )
+        joined = src_view.filter(
+            ~(matched & F.coalesce(delete_condition, F.lit(False)))
+        ).select(joined.columns)
+
+    out_cols = [
+        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col("__in_s").isNotNull(), F.col(f"__s_{c}"))
+        .otherwise(F.col(f"__t_{c}"))
+        .alias(c)
+        for c in non_keys
+    ]
+    return joined.select(*out_cols)
+
+
+def merge_parquet(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    delete_condition: Column | None = None,
+) -> int:
+    """MERGE ``source`` into the parquet table at ``target_path``
+    (created if absent); returns the resulting row count.
+
+    The merged snapshot is written to a staging directory and swapped
+    in whole — never ``collect()`` (the result is table-sized) and
+    never an in-place overwrite of files the plan is still reading.
+    The swap is the same snapshot-flip a table format performs on
+    commit, done here at directory granularity.
+    """
+    import os
+    import shutil
+
+    try:
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(
+            target, source, keys, delete_condition=delete_condition
+        )
+    except Exception as exc:  # first load: no target yet
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        merged = source
+    staged = target_path.rstrip("/") + "__staged"
+    merged.write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(staged, target_path)
+    return n

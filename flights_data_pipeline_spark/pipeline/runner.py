@@ -9,18 +9,50 @@ Absorbs the reference's orchestration-level behavior (SURVEY.md §2.12):
   reference ``dags/flights_data_pipeline.py:116-117``),
 * O4 — fixed transform topological order, dims before facts
   (``:229-251``),
+* O5 — retry + failure-alert hook: the reference wires
+  ``retries=1`` and an ``on_failure_callback`` webhook alert into
+  every task (``dags/flights_data_pipeline.py:49-56``); the runner
+  mirrors that with a ``retries`` count and an ``on_failure(step,
+  exc)`` callback invoked once per step after retries are exhausted
+  (Airflow's callback timing), before the error propagates,
 * O6 — ``--ds`` driven daily runs with backfill; idempotency comes
   from the day-partition overwrite (S6), so re-running a ds is safe.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
 
 from .etl import TABLES, LoadResult, run_extract_load
 from .transforms import TRANSFORM_ORDER, TRANSFORMS
+
+#: O5 failure hook: called with (step_name, exception).
+FailureCallback = Callable[[str, Exception], None]
+
+
+def _with_retries(
+    step: str,
+    fn: Callable[[], object],
+    retries: int,
+    on_failure: FailureCallback | None,
+):
+    """Run ``fn``; retry up to ``retries`` times; on final failure fire
+    the callback (alerting must never mask the real error) and re-raise.
+    """
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as exc:
+            if attempt == retries:
+                if on_failure is not None:
+                    try:
+                        on_failure(step, exc)
+                    except Exception:
+                        pass
+                raise
 
 
 def run_day(
@@ -30,6 +62,9 @@ def run_day(
     staging_dir: str,
     ds: str | None,
     max_parallel: int = 8,
+    *,
+    retries: int = 0,
+    on_failure: FailureCallback | None = None,
 ) -> list[LoadResult]:
     """Extract+load all 8 tables for one ds (None ⇒ full load).
 
@@ -39,18 +74,35 @@ def run_day(
     with ThreadPoolExecutor(max_workers=max_parallel) as pool:
         futures = [
             pool.submit(
-                run_extract_load, spark, source_dir, landing_dir, staging_dir, t, ds
+                _with_retries,
+                f"extract_load:{t}",
+                lambda t=t: run_extract_load(
+                    spark, source_dir, landing_dir, staging_dir, t, ds
+                ),
+                retries,
+                on_failure,
             )
             for t in TABLES
         ]
         return [f.result() for f in futures]
 
 
-def run_transforms(spark: SparkSession, staging_dir: str, warehouse_dir: str) -> None:
+def run_transforms(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse_dir: str,
+    *,
+    retries: int = 0,
+    on_failure: FailureCallback | None = None,
+) -> None:
     """Materialize dims then facts in the reference's fixed order (O4)."""
     for name in TRANSFORM_ORDER:
-        df = TRANSFORMS[name](spark, staging_dir)
-        df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}")
+
+        def step(name=name):
+            df = TRANSFORMS[name](spark, staging_dir)
+            df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}")
+
+        _with_retries(f"transform:{name}", step, retries, on_failure)
 
 
 def run_pipeline(
@@ -60,12 +112,25 @@ def run_pipeline(
     staging_dir: str,
     warehouse_dir: str,
     ds_list: list[str],
+    *,
+    retries: int = 0,
+    on_failure: FailureCallback | None = None,
 ) -> list[LoadResult]:
     """Backfill-style run over a list of logical dates, then transforms."""
     results: list[LoadResult] = []
     for ds in ds_list:
         results.extend(
-            run_day(spark, source_dir, landing_dir, staging_dir, ds)
+            run_day(
+                spark,
+                source_dir,
+                landing_dir,
+                staging_dir,
+                ds,
+                retries=retries,
+                on_failure=on_failure,
+            )
         )
-    run_transforms(spark, staging_dir, warehouse_dir)
+    run_transforms(
+        spark, staging_dir, warehouse_dir, retries=retries, on_failure=on_failure
+    )
     return results

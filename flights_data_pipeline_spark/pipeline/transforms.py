@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.scalars import surrogate_key as _sk
 from .etl import read_staging
 
 #: transform order — dims before facts (reference ``:229-251`` [observed]).
@@ -39,11 +40,6 @@ TRANSFORM_ORDER = [
     "fct_flight_activity",
     "fct_seat_occupied_daily",
 ]
-
-
-def _sk(*cols) -> F.Column:
-    """Deterministic surrogate key: md5 over the business key."""
-    return F.md5(F.concat_ws("␟", *[F.col(c) for c in cols]))
 
 
 # ---------------------------------------------------------------------------
