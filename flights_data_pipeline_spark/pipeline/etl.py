@@ -55,10 +55,35 @@ def day_window(ds: str):
     return F.col("updated_at").between(f"{ds} 00:00:00", f"{ds} 23:59:59")
 
 
+#: JDBC driver class per URL scheme (extend as sources are added).
+_JDBC_DRIVERS = {
+    "jdbc:duckdb:": "org.duckdb.DuckDBDriver",
+    "jdbc:postgresql:": "org.postgresql.Driver",
+}
+
+
 def extract(
     spark: SparkSession, source_dir: str, table: str, ds: str | None = None
 ) -> DataFrame:
-    """S1 (full) / S2 (incremental watermark) scan of a source table."""
+    """S1 (full) / S2 (incremental watermark) scan of a source table.
+
+    ``source_dir`` is either a directory of per-table parquet (the test
+    fixture layout) or a ``jdbc:`` URL — the reference's real source is
+    a database over the wire (``dags/flights_data_pipeline.py:111-112``),
+    and the JDBC path pushes the day window INTO the database as a
+    subquery so only the day's rows cross the wire (S2 semantics,
+    identical blind-spot behavior).
+    """
+    if source_dir.startswith("jdbc:"):
+        from ..io.jdbc import JdbcConfig, jdbc_scan
+
+        driver = next(
+            (d for prefix, d in _JDBC_DRIVERS.items()
+             if source_dir.startswith(prefix)),
+            None,
+        )
+        cfg = JdbcConfig(url=source_dir, table=table, driver=driver)
+        return jdbc_scan(spark, cfg, ds=ds)
     df = spark.read.parquet(f"{source_dir}/{table}")
     if ds is not None:
         df = df.filter(day_window(ds))
