@@ -307,6 +307,57 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster closure: connected components over candidate pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION
+      SELECT e.v AS node, r.lbl
+      FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lbl) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           doc_id = component AS is_representative
+    FROM comp
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup closure: connected components over the banded-MinHash
+    candidate pairs → one cluster id (the minimum member doc_id) per
+    near-dup group, with the keep-one-per-group representative flag.
+
+    This is the step that turns near-dup PAIRS into an actionable
+    dedup decision. The Spark side runs iterative min-label
+    propagation (``operators.graph.connected_components`` — linear
+    shuffles per round, rounds bounded by cluster diameter); the
+    oracle computes the same closure with a recursive CTE. Cluster
+    ids are exact integers, so the gate pins the full clustering.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprint (32-bit) — linear-cost near-dup sketch.
 # ---------------------------------------------------------------------------
 def _hex_val_spark(p: int) -> str:

@@ -123,3 +123,39 @@ def test_salted_join_rejects_right(spark, quotes_trades):
     quotes, trades = quotes_trades
     with pytest.raises(ValueError):
         salted_join(trades, quotes, "k", how="right")
+
+
+def _uf_components(edges):
+    """Union-find reference implementation (pure Python)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2)],
+        [(1, 2), (2, 3), (3, 4)],                   # chain (diameter > 1)
+        [(1, 2), (3, 4), (5, 6), (6, 3)],           # two components
+        [(10, 2), (2, 30), (7, 7), (30, 1)],        # self-loop + min not first
+        [(i, i + 1) for i in range(1, 12)],         # long chain, many rounds
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from flights_data_pipeline_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
