@@ -45,11 +45,12 @@ def merge_upsert(
     Idempotent by construction: merging the same source twice yields a
     byte-identical table.
     """
-    if target.columns != source.columns:
+    if set(target.columns) != set(source.columns):
         raise ValueError(
-            f"merge_upsert: schema mismatch target={target.columns} "
-            f"source={source.columns}"
+            f"merge_upsert: schema mismatch target={sorted(target.columns)} "
+            f"source={sorted(source.columns)}"
         )
+    source = source.select(*target.columns)  # align column order
     non_keys = [c for c in target.columns if c not in keys]
 
     # ambiguity guard: >1 source row per key cannot merge deterministically
@@ -87,15 +88,18 @@ def merge_upsert(
             ~(matched & F.coalesce(delete_condition, F.lit(False)))
         ).select(joined.columns)
 
-    out_cols = [
-        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k) for k in keys
-    ] + [
-        F.when(F.col("__in_s").isNotNull(), F.col(f"__s_{c}"))
+    out_cols = {
+        k: F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k)
+        for k in keys
+    } | {
+        c: F.when(F.col("__in_s").isNotNull(), F.col(f"__s_{c}"))
         .otherwise(F.col(f"__t_{c}"))
         .alias(c)
         for c in non_keys
-    ]
-    return joined.select(*out_cols)
+    }
+    # preserve the target's column order — repeated merges must not
+    # permute the stored table's schema
+    return joined.select(*[out_cols[c] for c in target.columns])
 
 
 def merge_parquet(
@@ -115,9 +119,6 @@ def merge_parquet(
     The swap is the same snapshot-flip a table format performs on
     commit, done here at directory granularity.
     """
-    import os
-    import shutil
-
     try:
         target = spark.read.parquet(target_path)
         merged = merge_upsert(
@@ -127,6 +128,50 @@ def merge_parquet(
         if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
             raise
         merged = source
+    return _swap_in(spark, merged, target_path)
+
+
+def merge_latest_parquet(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> int:
+    """Keyed upsert where the row with the GREATEST ``order_cols``
+    wins — the out-of-order-safe merge a streaming sink needs.
+
+    Plain ``merge_upsert`` lets the source win unconditionally; with
+    micro-batches that regresses a key whenever a later batch carries
+    an older row. Here target and source rows compete on the ordering
+    columns (descending, in order) and only the winner survives, so
+    replays and out-of-order arrivals both converge to the same table.
+    ``order_cols`` should be a deterministic total order per key (e.g.
+    event time + a unique id as tiebreak).
+    """
+    try:
+        target = spark.read.parquet(target_path)
+        combined = target.unionByName(source)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        combined = source
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = (
+        combined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return _swap_in(spark, latest, target_path)
+
+
+def _swap_in(spark: SparkSession, merged: DataFrame, target_path: str) -> int:
+    """Write ``merged`` to a staging dir and swap it in whole."""
+    import os
+    import shutil
+
     staged = target_path.rstrip("/") + "__staged"
     merged.write.mode("overwrite").parquet(staged)
     n = spark.read.parquet(staged).count()

@@ -250,6 +250,35 @@ def fct_seat_occupied_daily(spark: SparkSession, stg: str) -> DataFrame:
     )
 
 
+#: natural (business) key per dimension — the MERGE key for
+#: incremental SCD-1 loads (``merge_dim`` below).
+DIM_KEYS = {
+    "dim_aircrafts": ["aircraft_code"],
+    "dim_airport": ["airport_code"],
+    "dim_passenger": ["passenger_id"],
+    "dim_seat": ["aircraft_code", "seat_no"],
+    "dim_date": ["date_key"],
+}
+
+
+def merge_dim(
+    spark: SparkSession, warehouse_dir: str, name: str, dim_df: DataFrame
+) -> int:
+    """SCD-1 incremental dimension load: MERGE the freshly-derived dim
+    rows into the warehouse table on the natural key instead of
+    rebuilding it (SURVEY.md §4.4's inferred ``ON CONFLICT DO UPDATE``
+    dim semantics — the path a user needs the first time a dim is too
+    big to rebuild). Changed attributes overwrite in place (type-1),
+    surrogate keys are md5 of the natural key so they are stable
+    across merges by construction. Returns the post-merge row count.
+    """
+    from ..operators.merge import merge_parquet
+
+    return merge_parquet(
+        spark, f"{warehouse_dir}/{name}", dim_df, DIM_KEYS[name]
+    )
+
+
 TRANSFORMS = {
     "dim_aircrafts": dim_aircrafts,
     "dim_airport": dim_airport,

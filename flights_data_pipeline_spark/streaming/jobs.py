@@ -139,3 +139,44 @@ def user_running_counters(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def upsert_stream(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Stream → keyed latest-wins MERGE into a parquet target: the
+    ``foreachBatch`` effectively-once pattern.
+
+    Structured Streaming delivers each micro-batch to ``foreachBatch``
+    AT LEAST once (a crashed batch replays), so the sink must be
+    idempotent per batch. A keyed latest-wins merge
+    (``operators.merge.merge_latest_parquet``) is idempotent AND
+    out-of-order-safe: replaying a batch rewrites the same winners,
+    and a later batch carrying an older row for a key cannot regress
+    the value (source-wins MERGE would — rows compete on event time
+    instead). ``order_cols`` must totally order rows per key; default
+    ``[ts, event_id]``.
+
+    Returns the started ``StreamingQuery``; callers await termination.
+    At scale the parquet target would be a partitioned/bucketed table
+    so each batch's merge shuffles only the source side.
+    """
+    from ..operators.merge import merge_latest_parquet
+
+    order_cols = order_cols or ["ts", "event_id"]
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        merge_latest_parquet(
+            batch.sparkSession, target_path, batch, keys, order_cols
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
