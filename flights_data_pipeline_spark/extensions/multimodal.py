@@ -21,6 +21,22 @@ per-partition Python workers stream Arrow batches, so memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × row
 size. Metadata-only plans (filter/join on the struct) never touch the
 binary column — column pruning drops it at the parquet scan.
+
+**Batch-size math for binary columns (the config that bites first at
+scale):** Arrow's records-per-batch default (10,000) is tuned for
+scalar rows. A media table with 1 MiB payloads would hand each Python
+worker ~10 GiB Arrow batches — a guaranteed OOM long before shuffle
+or scan limits matter. The worker-memory bound is
+
+    batch_bytes ≈ maxRecordsPerBatch × avg_payload_bytes
+
+so records-per-batch must be derived from payload size
+(``arrow_batch_records`` below: target ~64 MiB per batch ⇒ 64 rows
+for 1 MiB images, 6553 rows for 10 KiB thumbnails). The same math
+applies to ``spark.sql.files.maxPartitionBytes``: with 1 MiB rows a
+128 MiB split is only ~128 rows — fine — but parquet stores binary
+unencoded, so scan splits already track payload bytes; it is the
+ARROW hop that silently multiplies memory.
 """
 
 from __future__ import annotations
@@ -112,6 +128,79 @@ def extract_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def arrow_batch_records(
+    avg_payload_bytes: int, target_batch_bytes: int = 64 * 1024 * 1024
+) -> int:
+    """Records-per-Arrow-batch that keeps one batch near
+    ``target_batch_bytes`` for a given average payload size — the
+    value to set as ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    for media tables (see module docstring for the failure mode the
+    default causes).
+    """
+    if avg_payload_bytes <= 0:
+        raise ValueError("avg_payload_bytes must be positive")
+    return max(1, target_batch_bytes // avg_payload_bytes)
+
+
+#: output schema of the (stubbed) audio feature extractor.
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("batch_rows", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_audio_stub(
+    payload: bytes, sample_rate: int | None, window: int = 1024
+) -> tuple[int, float]:
+    """Deterministic fake audio decode: treats payload bytes as 8-bit
+    samples; returns (window count, RMS amplitude in [0,1])."""
+    if payload is None or not len(payload):
+        return 0, 0.0
+    n_windows = (len(payload) + window - 1) // window
+    acc = 0.0
+    for b in payload:
+        centered = (b - 128) / 128.0
+        acc += centered * centered
+    return n_windows, (acc / len(payload)) ** 0.5
+
+
+def extract_audio_features(df: DataFrame, window: int = 1024) -> DataFrame:
+    """Arrow-batched audio feature extraction over media rows.
+
+    Emits ``batch_rows`` (the size of the Arrow batch each row arrived
+    in) so tests — and production canaries — can ASSERT the batch-size
+    contract instead of trusting it: with maxRecordsPerBatch set per
+    ``arrow_batch_records``, no batch may exceed that bound.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                decode_audio_stub(p, sr, window)
+                for p, sr in zip(pdf["payload"], pdf["meta"].map(lambda m: m["sample_rate"]))
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "n_windows": [d[0] for d in decoded],
+                    "rms": [d[1] for d in decoded],
+                    "batch_rows": len(pdf),
+                }
+            )
+
+    return df.filter(F.col("meta.kind") == "audio").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:

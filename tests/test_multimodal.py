@@ -84,3 +84,38 @@ def test_metadata_plan_prunes_payload(media, spark):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"\x89PNG")
+
+
+def test_audio_features_deterministic(spark, media):
+    feats = mm.extract_audio_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    # media fixture assigns kind round-robin: audio = ids 1, 4, 7, ...
+    assert set(rows) == {i for i in range(64) if i % 3 == 1}
+    payload = bytes(hashlib.sha256(b"media-1").digest() * (4 + 1 % 7))
+    n_windows, rms = mm.decode_audio_stub(payload, 16000)
+    assert rows[1].n_bytes == len(payload)
+    assert rows[1].n_windows == n_windows
+    assert rows[1].rms == pytest.approx(rms)
+
+
+def test_arrow_batch_bound_is_respected(spark, media):
+    """With maxRecordsPerBatch set from the payload-size math, no Arrow
+    batch handed to Python may exceed the bound."""
+    bound = 4
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(bound))
+    try:
+        feats = mm.extract_audio_features(media.coalesce(1))
+        batch_sizes = [r.batch_rows for r in feats.collect()]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert batch_sizes and max(batch_sizes) <= bound
+
+
+def test_arrow_batch_records_math():
+    MiB = 1024 * 1024
+    assert mm.arrow_batch_records(1 * MiB) == 64          # 1 MiB images
+    assert mm.arrow_batch_records(10 * 1024) == 6553      # 10 KiB thumbs
+    assert mm.arrow_batch_records(512 * MiB) == 1         # video segments
+    with pytest.raises(ValueError):
+        mm.arrow_batch_records(0)
