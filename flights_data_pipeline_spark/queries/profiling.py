@@ -1,0 +1,129 @@
+"""Dataset management queries: deterministic splits + table profiling.
+
+Training-data pipelines need two operations the reference never had
+but any 100 TB corpus owner runs daily:
+
+* ``train_test_split`` — a STABLE, engine-independent assignment of
+  every document to train/val/test. Random splits are nonreproducible
+  and reshuffle when the corpus grows; hashing the primary key is the
+  standard fix (a document keeps its split forever, new documents
+  land i.i.d.). The hash is md5-hex-digit arithmetic — the engine's
+  cross-engine-exact hashing discipline (``queries/dedup.py``
+  docstring) — never ``rand()`` and never engine-native hashes.
+* ``profile_table`` — per-column null/distinct counts in ONE scan:
+  the data-quality snapshot run before/after every load. All metrics
+  are exact integers, so the gate pins them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.catalog import load_table as t
+from .registry import query
+
+#: split fractions in percent: [0, TRAIN) train, [TRAIN, VAL) val, rest test.
+TRAIN_PCT = 80
+VAL_PCT = 90
+
+
+def _hex_val_spark(expr: str, p: int) -> str:
+    return f"(instr('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
+
+
+def _hex_val_duck(expr: str, p: int) -> str:
+    return f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
+
+
+def _bucket_sql(hexval) -> str:
+    """First 4 md5 hex digits → integer in [0, 65536) → percent bucket."""
+    digits = " + ".join(
+        f"{hexval('h', p)} * {16 ** (3 - p)}" for p in range(4)
+    )
+    return f"(({digits}) % 100)"
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST({_bucket_sql(_hex_val_duck)} AS BIGINT) AS bucket,
+           CASE WHEN {_bucket_sql(_hex_val_duck)} < {TRAIN_PCT} THEN 'train'
+                WHEN {_bucket_sql(_hex_val_duck)} < {VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by hashed primary key.
+
+    Narrow map over the scan — no shuffle, no RNG state, no seed to
+    version. Stratification across any attribute (lang here) holds in
+    expectation because the hash is independent of every attribute;
+    at 100 TB the same expression assigns a split to a new document
+    without touching the rest of the corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    bucket = F.expr(_bucket_sql(_hex_val_spark))
+    return hashed.select(
+        "doc_id",
+        "lang",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+#: columns profiled by profile_table (orders).
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+
+
+@query(
+    "profile_table",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders`` — null and distinct counts.
+
+    ONE scan: all per-column aggregates run in a single pass (Spark
+    plans the multi-distinct via Expand), then the wide row unpivots
+    to the (column_name, metrics) long format. The UNION-of-scans SQL
+    in the oracle is the semantic definition; the Spark plan is the
+    efficient one.
+    """
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"distinct_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, distinct_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")

@@ -76,6 +76,140 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-style token counting (pre-tokenizer regex, GPT-2 family shape).
+# ---------------------------------------------------------------------------
+#: GPT-2-style pre-tokenizer pattern, constrained to constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+#: lookahead (RE2 lacks it), ASCII classes, leftmost-first alternation
+#: (both engines). Contractions split off first; then space-prefixed
+#: letter runs, digit runs, punctuation runs; then whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+#: the same pattern as a SQL string literal (apostrophe doubled).
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+
+@query(
+    "bpe_style_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_style_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token counts — the budget number an LLM-ingest
+    pipeline actually needs (whitespace counts underestimate by the
+    punctuation/contraction splits; emitted side by side here).
+
+    Narrow single-pass projection: one regex automaton run per row,
+    codegen'd, no shuffle — at 100 TB this is scan-bound.
+    """
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(_tokens()).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: document frequency + per-doc salient terms.
+# ---------------------------------------------------------------------------
+@query(
+    "term_doc_frequency",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'))) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY term
+    ORDER BY doc_freq DESC, term
+    LIMIT 50
+    """,
+)
+def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus terms by document frequency — the IDF side of any
+    tf-idf / stopword-discovery pass. array_distinct BEFORE explode
+    keeps the exploded row count at distinct-terms-per-doc, and the
+    groupBy collapses map-side (partial aggregation)."""
+    d = t(spark, sf_dir, "documents")
+    term = F.explode(
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ).alias("term")
+    return (
+        d.select(term)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(50)
+    )
+
+
+@query(
+    "salient_terms_per_doc",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1)
+    SELECT doc_id, term, tf, df FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+      FROM tf JOIN df ON tf.term = df.term
+    ) WHERE rn <= 3
+    """,
+)
+def salient_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document: frequent in the doc (tf desc),
+    rare in the corpus (df asc) — the tf-idf ranking expressed on
+    EXACT integers. A float tf·idf score would order identically for
+    fixed tf except at score ties, but log() is not bit-identical
+    across engines, so the gate pins the integer ordering instead
+    (term asc as the final deterministic tiebreak).
+
+    Plan: one explode, tf aggregate (reuses the doc_id partitioning),
+    df aggregate on the term key, one join back — df is vocabulary-
+    sized, so AQE broadcasts it for real corpora's Zipf-truncated
+    vocabularies and falls back to sort-merge when it grows.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality scoring: length / stopword-ratio / punctuation heuristics.
 # ---------------------------------------------------------------------------
 @query(
