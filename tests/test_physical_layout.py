@@ -68,6 +68,60 @@ def test_partition_pruning_on_staged_table(spark, sf_dir, tmp_path_factory):
     assert q.count() > 0
 
 
+def test_exists_shape_plans_semi_hash_join(spark, sf_dir):
+    """Q4 shape: the correlated EXISTS must plan as a SEMI hash join
+    with the non-equi predicate as a join filter — never a nested-loop
+    (BroadcastNestedLoopJoin would be quadratic at scale)."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["order_priority_exists"].fn(spark, sf_dir)
+    plan = _explain(spark, df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_narrow_queries_have_no_exchange(spark, sf_dir):
+    """Scan-bound per-row queries (token counts, hash split) must stay
+    shuffle-free — one narrow codegen'd stage over the scan."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    for name in ("bpe_style_token_count", "train_test_split", "token_stats"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = _explain(spark, df)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        # formatted EXPLAIN marks whole-stage-codegen nodes with a "*"
+        assert "* Project" in plan or "* ColumnarToRow" in plan, (
+            f"{name} not codegen'd:\n{plan}"
+        )
+
+
+def test_profile_table_is_single_scan(spark, sf_dir):
+    """The profiler computes every column's metrics in ONE pass —
+    exactly one parquet scan in the plan, not one per column."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["profile_table"].fn(spark, sf_dir)
+    plan = _explain(spark, df)
+    # count scan nodes in the plan TREE only (the detail section below
+    # repeats each node once more)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert "Expand" in tree, plan  # multi-distinct via Expand, not re-scans
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """The flagship aggregate must push its date filter to parquet and
+    read only the columns it uses (7 of 11)."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    plan = _explain(spark, df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], plan
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema and "l_orderkey" not in schema[0], schema  # pruned
+
+
 def test_dynamic_overwrite_touches_one_partition(spark, sf_dir, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("upsert"))
     ev = load_table(spark, sf_dir, "events").withColumn(
