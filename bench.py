@@ -42,9 +42,13 @@ HEADLINE = [
     "topk",
     # extension operators (LLM-pipeline surface)
     "token_stats",
+    "bpe_style_token_count",
     "lang_id_token_profile",
+    "train_test_split",
+    "profile_table",
     "exact_dedup",
     "minhash_lsh_candidates",
+    "near_dup_clusters",
     "simhash_fingerprint",
     "embedding_topk_bruteforce",
     "ann_lsh_bucketed",
