@@ -52,7 +52,54 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = tempfile.mkdtemp(prefix="fdp_csv_rt_") + "/orders"
     csv_codec.write_csv(o, land)
     back = csv_codec.read_csv(spark, land, o.schema)
-    return back.groupBy("o_orderstatus").agg(
+    return _orders_rollup(back)
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """
+
+
+@query("jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → JSON-lines sink → schema'd JSON source → aggregate.
+
+    The second landing format (after CSV): newline-delimited JSON with
+    an EXPLICIT read schema (never inferSchema in the engine proper —
+    SURVEY.md §1.1). Lossiness hot spots covered: row counts, nulls
+    (JSON omits null fields), doubles, timestamp round-trip through
+    ISO-8601 strings.
+    """
+    o = t(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="fdp_jsonl_rt_") + "/orders"
+    o.write.mode("overwrite").json(land)
+    back = spark.read.schema(o.schema).json(land)
+    return _orders_rollup(back)
+
+
+@query("orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → ORC sink → ORC source → aggregate: the second
+    columnar format, exercising Spark's vectorized ORC reader/writer
+    end-to-end (types, nulls, timestamps)."""
+    o = t(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="fdp_orc_rt_") + "/orders"
+    o.write.mode("overwrite").orc(land)
+    back = spark.read.schema(o.schema).orc(land)
+    return _orders_rollup(back)
+
+
+def _orders_rollup(df: DataFrame) -> DataFrame:
+    """The shared roundtrip-check aggregate (see csv_roundtrip)."""
+    return df.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.count("o_orderpriority").cast("bigint").alias("n_priorities"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))

@@ -702,6 +702,50 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Argmin via struct-min: single-pass "row with the minimum" per group.
+# ---------------------------------------------------------------------------
+@query(
+    "cheapest_item_per_part",
+    oracle="""
+    SELECT l_partkey,
+           (b).price AS min_price,
+           CAST((b).ok AS BIGINT) AS best_orderkey,
+           CAST((b).ln AS BIGINT) AS best_linenumber
+    FROM (
+      SELECT l_partkey,
+             MIN({'price': l_extendedprice,
+                  'ok': l_orderkey,
+                  'ln': l_linenumber}) AS b
+      FROM lineitem GROUP BY l_partkey
+    )
+    """,
+)
+def cheapest_item_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin without a window or join-back: ``min(struct(...))``.
+
+    The scale-preferred argmin plan — ONE hash aggregate with map-side
+    partials (a window needs a per-group sort; a groupBy+join-back
+    needs a second shuffle). Struct comparison is lexicographic in
+    both engines, so putting the measure first and unique key columns
+    after makes the result deterministic under ties.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    best = F.min(
+        F.struct(
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+        )
+    )
+    return li.groupBy("l_partkey").agg(best.alias("b")).select(
+        "l_partkey",
+        F.col("b.price").alias("min_price"),
+        F.col("b.ok").cast("bigint").alias("best_orderkey"),
+        F.col("b.ln").cast("bigint").alias("best_linenumber"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q1 shape — the canonical pricing-summary aggregate (bench headline).
 # ---------------------------------------------------------------------------
 @query(

@@ -141,6 +141,59 @@ def user_running_counters(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_attribution(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the clicks
+    of the same user in the preceding ``gap_minutes``.
+
+    The canonical watermarked stream-stream join: both sides carry a
+    watermark, and the join condition combines the user equi-key with
+    an event-time RANGE — Spark derives the state retention for each
+    side from the watermark + time bound, so join state is evicted as
+    event time advances (unbounded state otherwise; the reason the
+    time bound is NOT optional at scale).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def upsert_stream(
     stream: DataFrame,
     target_path: str,

@@ -68,3 +68,50 @@ def test_dedup_stream_unique(spark, events_dir):
         "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM sj_dedup"
     ).collect()[0]
     assert r.n == r.d and r.n > 0
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir, sf_dir):
+    """Watermarked stream-stream click→purchase attribution produces
+    exactly the rows the equivalent batch join produces once all data
+    is processed (every window closed)."""
+    from flights_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        stream_stream_attribution,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    joined = stream_stream_attribution(stream, gap_minutes=30)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_ss_join").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.c_user, r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
