@@ -382,6 +382,48 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.5 — window frames: ntile / percent_rank / RANGE frame.
+# ---------------------------------------------------------------------------
+@query(
+    "window_frames",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+           percent_rank() OVER w AS balance_pct_rank,
+           CAST(COUNT(*) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal
+                               RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+                AS BIGINT) AS n_within_100
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank + a RANGE (value-based) frame.
+
+    percent_rank is ``(rank-1)/(n-1)`` — an int/int IEEE division,
+    bit-identical across engines. The RANGE frame counts rows whose
+    ORDER BY value lies within ±100 of the current row — value-based
+    framing, a different execution path from ROWS frames (the frame
+    bound moves with the data, not the row index).
+    """
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wr = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, 100)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        F.percent_rank().over(w).alias("balance_pct_rank"),
+        F.count("*").over(wr).cast("bigint").alias("n_within_100"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.6 — sort / limit / top-k.
 # ---------------------------------------------------------------------------
 @query(
