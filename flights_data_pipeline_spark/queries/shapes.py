@@ -222,6 +222,171 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Funnel analysis: staged conversion with order-constrained timestamps.
+# ---------------------------------------------------------------------------
+@query(
+    "user_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_viewed,
+      CAST(SUM(CASE WHEN first_view IS NOT NULL
+                     AND first_click > first_view THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clicked_after_view,
+      CAST(SUM(CASE WHEN first_view IS NOT NULL
+                     AND first_click > first_view
+                     AND first_purchase > first_click THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_full_funnel
+    FROM stage
+    """,
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel, order-constrained.
+
+    Stage timestamps come from ONE conditional aggregation per user
+    (min-if per stage — no per-stage self-joins, the naive funnel
+    plan that shuffles once per stage); the ordering constraints then
+    gate each deeper stage. NULL comparisons propagate false, so a
+    user missing a stage never counts deeper — exactly the oracle's
+    CASE semantics.
+    """
+    ev = t(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return stage.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        as_int(viewed).alias("n_viewed"),
+        as_int(clicked).alias("n_clicked_after_view"),
+        as_int(purchased).alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record tolerance: malformed JSON must degrade to NULL + flag,
+# never fail the job (PERMISSIVE semantics).
+# ---------------------------------------------------------------------------
+@query(
+    "corrupt_json_tolerance",
+    oracle="""
+    WITH mangled AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN substr(props, 1, len(props) - 1)
+                  ELSE props END AS raw
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_valid(raw) AS BOOLEAN) AS is_valid,
+           CASE WHEN json_valid(raw)
+                THEN CAST(json_extract_string(raw, '$.k') AS INTEGER)
+                END AS k_value
+    FROM mangled
+    """,
+)
+def corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 7th row's JSON gets truncated (simulated corruption); the
+    engine must classify it and yield NULL for its fields — the
+    PERMISSIVE degradation a 100 TB ingest needs (FAILFAST on one bad
+    document in a trillion is an outage, and dropping silently is a
+    data bug; flag-and-null is the auditable middle).
+
+    ``get_json_object(raw, '$')`` is the validity probe: it yields
+    NULL exactly when the document doesn't parse (``from_json`` in
+    PERMISSIVE mode would instead return a struct of NULL fields —
+    indistinguishable from a valid document with missing keys),
+    matching DuckDB's ``json_valid``.
+    """
+    ev = t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    mangled = ev.select("event_id", raw.alias("raw"))
+    valid = F.get_json_object(F.col("raw"), "$").isNotNull()
+    return mangled.select(
+        "event_id",
+        valid.alias("is_valid"),
+        F.when(
+            valid, F.get_json_object(F.col("raw"), "$.k").cast("int")
+        ).alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id (beyond rollup/cube).
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_aggregate",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets — (status), (priority), grand total —
+    with the grouping_id disambiguating which set produced each row
+    (NULL-as-data vs NULL-as-subtotal is undecidable without it)."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (binned value distribution).
+# ---------------------------------------------------------------------------
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(floor(value / 25.0) * 25 AS DOUBLE) AS bin_low,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: bin index from an exact
+    IEEE division+floor (identical across engines), one aggregate."""
+    ev = t(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 25.0)
+    return ev.groupBy(
+        bin_.cast("bigint").alias("bin"),
+        (bin_ * 25).cast("double").alias("bin_low"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates (sketches) — rows-only check: HLL/quantile-sketch
 # values are implementation-specific by design, so no value oracle exists;
 # instead the query itself embeds exactness *bounds* that must hold.
