@@ -122,6 +122,106 @@ def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
     assert schema and "l_orderkey" not in schema[0], schema  # pruned
 
 
+def test_sorted_write_enables_row_group_skipping(spark, tmp_path_factory):
+    """Clustered writes make parquet min/max stats selective: after
+    ``write_sorted`` on user_id, a point lookup's candidate row groups
+    (those whose [min,max] contains the key) drop from ~all to a
+    handful. This is write-side data skipping — the layout lever, as
+    distinct from partition pruning (directory-level) and pushdown."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flights_data_pipeline_spark.io.catalog import load_table
+    from flights_data_pipeline_spark.io.layout import write_sorted
+
+    d = str(tmp_path_factory.mktemp("layout"))
+    ev = load_table(
+        spark, "/root/testdata/sf0.01", "events"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+    def candidate_row_groups(base: str, key: int) -> tuple[int, int]:
+        total = hit = 0
+        for f in glob.glob(f"{base}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                total += 1
+                for c in range(md.num_columns):
+                    col = md.row_group(g).column(c)
+                    if col.path_in_schema == "user_id":
+                        st = col.statistics
+                        if st.min <= key <= st.max:
+                            hit += 1
+        return hit, total
+
+    # random layout: small row groups, no ordering
+    ev.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", "65536"
+    ).parquet(f"{d}/random")
+    # clustered layout: same row-group size, range+sorted on user_id
+    write_sorted(
+        ev, f"{d}/sorted", ["user_id"], n_files=4, parquet_block_bytes=65536
+    )
+
+    probe = 42
+    hit_r, total_r = candidate_row_groups(f"{d}/random", probe)
+    hit_s, total_s = candidate_row_groups(f"{d}/sorted", probe)
+    assert total_r > 4 and total_s > 4  # multiple row groups exist
+    assert hit_r == total_r  # random layout: every group is a candidate
+    assert hit_s < total_s / 2, (hit_s, total_s)  # clustered: most skip
+    # and the data survives intact
+    assert spark.read.parquet(f"{d}/sorted").count() == ev.count()
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path_factory):
+    """The AQE skew-join lever actually engages: a sort-merge join with
+    one hot key gets its skewed partition split at runtime (the
+    executed plan marks the join ``skew=true``). This is the safety
+    net that keeps a 100 TB join from stalling on one reducer."""
+    d = str(tmp_path_factory.mktemp("skew"))
+    # hot key 0: 200k rows; 100 cold keys: 50 rows each — written to
+    # parquet so sizes are real, not estimates
+    hot = spark.range(200_000).selectExpr("CAST(0 AS BIGINT) AS k", "id AS v")
+    cold = spark.range(5_000).selectExpr("(id % 100) + 1 AS k", "id AS v")
+    hot.unionAll(cold).write.mode("overwrite").parquet(f"{d}/big")
+    spark.range(101).selectExpr("id AS k", "id * 10 AS w").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/small")
+
+    confs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    old = {c: spark.conf.get(c, None) for c in confs}
+    try:
+        # force sort-merge (both static + adaptive broadcast off) and
+        # scale thresholds down so the test corpus counts as skewed
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        big = spark.read.parquet(f"{d}/big")
+        small = spark.read.parquet(f"{d}/small")
+        joined = big.join(small, "k")
+        # execute THIS frame so its adaptive plan finalizes
+        assert len(joined.collect()) == 205_000
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed, executed
+        assert "skew=true" in executed, executed
+    finally:
+        for c, v in old.items():
+            if v is not None:
+                spark.conf.set(c, v)
+            else:
+                spark.conf.unset(c)
+
+
 def test_dynamic_overwrite_touches_one_partition(spark, sf_dir, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("upsert"))
     ev = load_table(spark, sf_dir, "events").withColumn(
