@@ -222,6 +222,91 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate view + select-the-max (argmax over a view).
+# ---------------------------------------------------------------------------
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
+                           AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev = (SELECT MAX(rev) FROM revenue)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: quarter revenue per supplier, keep the maximum.
+
+    The max-selection subquery re-reads the VIEW, not the table —
+    Spark reuses the aggregated exchange for both consumers. The
+    equality comparison runs on exact decimals (a double max can tie
+    spuriously or miss by an ulp); only the output casts to double.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    disc_price = F.round(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price).cast("decimal(18,2)").alias("rev")
+    )
+    max_rev = revenue.agg(F.max("rev").alias("max_rev"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chained EXISTS / NOT EXISTS (Q21-family shape on available columns).
+# ---------------------------------------------------------------------------
+@query(
+    "urgent_but_never_filled",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    """,
+)
+def urgent_but_never_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained quantifiers: customers WITH an urgent order and WITHOUT
+    any filled order — a LEFT SEMI then LEFT ANTI pipeline (each a
+    hash join on the same key; AQE reuses the customer partitioning
+    between the two probes)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    filled = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(urgent, "c_custkey", "left_semi").join(
+        filled, "c_custkey", "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Funnel analysis: staged conversion with order-constrained timestamps.
 # ---------------------------------------------------------------------------
 @query(
