@@ -223,6 +223,67 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+#: output schema of the (stubbed) video frame feature extractor.
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha", T.StringType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_frame_stub(payload: bytes, frame_idx: int) -> tuple[str, float]:
+    """Deterministic fake frame decode: derives a per-frame digest and
+    'mean intensity' from (payload, frame index) — stable across
+    runs/engines, like the image/audio stubs."""
+    if payload is None:
+        return None, None
+    h = hashlib.sha256(payload + frame_idx.to_bytes(4, "big")).digest()
+    return h.hex(), sum(h[:16]) / (16 * 255.0)
+
+
+def extract_frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video path end-to-end: JVM-side frame sampling (sequence +
+    explode — the frame LIST never materializes in Python) feeding an
+    Arrow-batched per-frame decode stage. One video row fans out to
+    n_frames/every_n rows BEFORE the Python hop, so Arrow batch-size
+    math (``arrow_batch_records``) applies to the per-frame payload
+    slice a real decoder would carry, not the whole video."""
+    frames = (
+        df.filter(F.col("meta.kind") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1,
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                decode_frame_stub(p, int(i))
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "frame_sha": [d[0] for d in decoded],
+                    "mean_intensity": [d[1] for d in decoded],
+                }
+            )
+
+    return frames.mapInPandas(batches, FRAME_FEATURES_SCHEMA)
+
+
 def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
     """Resize bookkeeping (pure JVM): compute target dims preserving
     aspect ratio; the pixel work itself is the stubbed decode stage."""

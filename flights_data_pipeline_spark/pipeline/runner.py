@@ -87,6 +87,17 @@ def run_day(
         return [f.result() for f in futures]
 
 
+#: clustering keys per fact table (see ``io.layout.write_sorted``):
+#: the column a consumer most often filters/joins on, so row-group
+#: min/max stats prune point lookups and key-range scans.
+FACT_SORT_KEYS = {
+    "fct_booking_ticket": ["ticket_no"],
+    "fct_flight_activity": ["flight_id"],
+    "fct_boarding_pass": ["ticket_no"],
+    "fct_seat_occupied_daily": ["flight_date_key", "flight_id"],
+}
+
+
 def run_transforms(
     spark: SparkSession,
     staging_dir: str,
@@ -94,13 +105,27 @@ def run_transforms(
     *,
     retries: int = 0,
     on_failure: FailureCallback | None = None,
+    clustered: bool = False,
 ) -> None:
-    """Materialize dims then facts in the reference's fixed order (O4)."""
+    """Materialize dims then facts in the reference's fixed order (O4).
+
+    With ``clustered=True`` fact tables are written through
+    ``write_sorted`` (range-repartitioned + sorted on their join/filter
+    keys) so parquet row-group stats prune downstream reads — the
+    layout that matters once facts are the 100 TB side. Dims stay
+    plain (broadcast-sized; layout is irrelevant).
+    """
+    from ..io.layout import write_sorted
+
     for name in TRANSFORM_ORDER:
 
         def step(name=name):
             df = TRANSFORMS[name](spark, staging_dir)
-            df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}")
+            keys = FACT_SORT_KEYS.get(name)
+            if clustered and keys:
+                write_sorted(df, f"{warehouse_dir}/{name}", keys)
+            else:
+                df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}")
 
         _with_retries(f"transform:{name}", step, retries, on_failure)
 

@@ -119,3 +119,20 @@ def test_arrow_batch_records_math():
     assert mm.arrow_batch_records(512 * MiB) == 1         # video segments
     with pytest.raises(ValueError):
         mm.arrow_batch_records(0)
+
+
+def test_frame_features_deterministic_and_sampled(spark, media):
+    feats = mm.extract_frame_features(media, every_n=10)
+    rows = [(r.media_id, r.frame_idx, r.frame_sha, r.mean_intensity) for r in feats.collect()]
+    by_media = {}
+    for m, i, sha, mi in rows:
+        by_media.setdefault(m, []).append((i, sha, mi))
+    # only video rows (kind round-robin: ids 2, 5, 8, ...)
+    assert set(by_media) == {i for i in range(64) if i % 3 == 2}
+    # media 2: n_frames = 30 * (1 + 2 % 4) = 90 → frames 0,10,...,80
+    assert sorted(i for i, _, _ in by_media[2]) == list(range(0, 90, 10))
+    # recompute one frame's stub independently
+    payload = bytes(hashlib.sha256(b"media-2").digest() * (4 + 2 % 7))
+    sha, mi = mm.decode_frame_stub(payload, 10)
+    got = {i: (s, m) for i, s, m in by_media[2]}
+    assert got[10] == (sha, pytest.approx(mi))

@@ -115,3 +115,51 @@ def test_stream_stream_join_equals_batch(spark, events_dir, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tumbling_agg_under_rocksdb_state_store(spark, events_dir, sf_dir):
+    """The streaming kernels run unchanged under the RocksDB state
+    store provider — the backend that keeps state on local disk
+    instead of executor heap (an HDFS-backed in-memory store caps
+    state at heap size; RocksDB is the 100 TB-keys setting)."""
+    from flights_data_pipeline_spark.io.catalog import load_table
+    from flights_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        agg = tumbling_counts(read_events_stream(spark, events_dir))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_rocksdb")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM t_rocksdb").collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(conf, old)
+        else:
+            spark.conf.unset(conf)
+
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    batch = REGISTRY["tumbling_window_agg"].fn(spark, sf_dir)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
