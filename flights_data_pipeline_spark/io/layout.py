@@ -46,3 +46,34 @@ def write_sorted(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite ``path`` into files of roughly
+    ``target_file_bytes``; returns (files_before, files_after).
+
+    Streaming sinks and per-day incremental loads accrete small files;
+    at scale the file COUNT becomes the bottleneck (driver listing,
+    task scheduling, open-per-file overhead) long before bytes do.
+    Compaction = read, coalesce to ceil(bytes/target) partitions
+    (coalesce, not repartition — no shuffle, files just concatenate),
+    staged-snapshot swap (same pattern as ``operators.merge``).
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = [f for f in glob.glob(f"{path}/*.parquet")]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_after = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + "__compacting"
+    df.coalesce(n_after).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    return len(files), len(glob.glob(f"{path}/*.parquet"))

@@ -167,6 +167,43 @@ def merge_latest_parquet(
     return _swap_in(spark, latest, target_path)
 
 
+def merge_additive_parquet(
+    spark: SparkSession,
+    target_path: str,
+    increment: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Incremental AGGREGATE maintenance: add a pre-aggregated
+    increment into a keyed rollup table without rescanning history.
+
+    Works for any additive/mergeable measures (sums, counts): matched
+    keys add component-wise, new keys insert. This is how a daily
+    pre-aggregate keeps a lifetime rollup current at 100 TB — the
+    alternative (recompute from raw) rescans everything ever loaded.
+    Idempotency note: unlike the latest-wins merge this is NOT replay-
+    idempotent (adding twice double-counts); callers pair it with the
+    day-window discipline (S6) so each increment applies exactly once.
+    """
+    cols = keys + sum_cols
+    if sorted(increment.columns) != sorted(cols):
+        raise ValueError(
+            f"merge_additive: increment columns {sorted(increment.columns)} "
+            f"!= keys+sums {sorted(cols)}"
+        )
+    try:
+        target = spark.read.parquet(target_path).select(*cols)
+        combined = target.unionByName(increment.select(*cols))
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        combined = increment.select(*cols)
+    merged = combined.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    return _swap_in(spark, merged, target_path)
+
+
 def _swap_in(spark: SparkSession, merged: DataFrame, target_path: str) -> int:
     """Write ``merged`` to a staging dir and swap it in whole."""
     import os

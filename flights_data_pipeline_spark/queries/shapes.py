@@ -273,6 +273,47 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q18 shape: IN (aggregate-HAVING subquery) enriching the fact.
+# ---------------------------------------------------------------------------
+@query(
+    "large_quantity_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: aggregate-then-HAVING defines the qualifying set; the
+    fact joins INTO it (the IN-subquery decorrelation). The HAVING
+    threshold compares exact decimals; only the output casts down.
+    The qualifying set is orders-of-magnitude smaller than lineitem,
+    so AQE broadcasts it into the orders probe.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("total_qty").cast("double").alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chained EXISTS / NOT EXISTS (Q21-family shape on available columns).
 # ---------------------------------------------------------------------------
 @query(

@@ -1,0 +1,77 @@
+"""Table-maintenance operators: compaction + incremental rollup."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flights_data_pipeline_spark.io.catalog import load_table
+from flights_data_pipeline_spark.io.layout import compact_parquet
+from flights_data_pipeline_spark.operators.merge import merge_additive_parquet
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="fdp_compact_") + "/events"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(37).write.parquet(d)  # the small-file mess
+    before_rows = Counter(map(tuple, spark.read.parquet(d).collect()))
+    n_before, n_after = compact_parquet(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert n_before == 37 and n_after < 5
+    assert len(glob.glob(f"{d}/*.parquet")) == n_after
+    assert Counter(map(tuple, spark.read.parquet(d).collect())) == before_rows
+
+
+def test_additive_rollup_equals_full_recompute(spark, sf_dir):
+    """Applying daily increments one at a time must equal aggregating
+    all days at once — the mergeable-aggregate contract."""
+    base = tempfile.mkdtemp(prefix="fdp_rollup_") + "/agg"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    days = [r.event_date for r in ev.select("event_date").distinct().collect()]
+    assert len(days) >= 3
+
+    def day_increment(day):
+        return (
+            ev.filter(F.col("event_date") == day)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("total_value"),
+            )
+        )
+
+    for day in days:
+        merge_additive_parquet(
+            spark, base, day_increment(day), ["event_type"],
+            ["n_events", "total_value"],
+        )
+
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.read.parquet(base).collect()
+    }
+    full = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_value"),
+    )
+    want = {r.event_type: (r.n_events, r.total_value) for r in full.collect()}
+    assert got == want
+
+
+def test_additive_rollup_rejects_schema_drift(spark, sf_dir):
+    import pytest
+
+    base = tempfile.mkdtemp(prefix="fdp_rollup_bad_") + "/agg"
+    bad = spark.createDataFrame([("a", 1)], "event_type STRING, wrong_col INT")
+    with pytest.raises(ValueError, match="keys\\+sums"):
+        merge_additive_parquet(
+            spark, base, bad, ["event_type"], ["n_events"]
+        )
