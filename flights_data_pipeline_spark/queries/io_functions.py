@@ -143,6 +143,58 @@ def json_build_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents_mean_udaf():
+    """Grouped-aggregate pandas_udf (vectorized UDAF) — built lazily."""
+
+    @pandas_udf("double")
+    def cents_mean(values: pd.Series) -> float:
+        # values are money with 2 decimals: round(value*100) snaps to
+        # the integer the double is within half an ulp of, and a sum
+        # of < 2^53 integer-valued floats is EXACT in float64 in any
+        # summation order — the trick that makes a Python-side float
+        # aggregation cross-engine deterministic
+        return float(
+            (values * 100).round().sum() / (100.0 * values.count())
+        )
+
+    @pandas_udf("bigint")
+    def n_rows(values: pd.Series) -> int:
+        return int(values.size)
+
+    return cents_mean, n_rows
+
+
+@query(
+    "grouped_agg_pandas_udaf",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(round(value * 100) AS BIGINT))
+             / (100.0 * COUNT(value)) AS mean_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 vectorized UDAF surface: a GROUPED_AGG ``pandas_udf``
+    reduces each group's Arrow batch to one scalar JVM-side groups,
+    Python-side reduction.
+
+    Float discipline: naive float means are order-dependent (pandas
+    sums pairwise, engines fold), so the UDAF sums CENTS — integer-
+    valued doubles, exact under any summation order below 2^53 — and
+    divides once. The oracle states the same arithmetic in SQL. Both
+    aggregates are pandas UDAFs (Spark disallows mixing grouped-agg
+    pandas UDFs with JVM aggregates in one agg).
+    """
+    ev = t(spark, sf_dir, "events")
+    cents_mean, n_rows = _cents_mean_udaf()
+    return ev.groupBy("event_type").agg(
+        cents_mean(F.col("value")).alias("mean_value"),
+        n_rows(F.col("value")).cast("bigint").alias("n_events"),
+    )
+
+
 def _n_tokens_arrow():
     """Vectorized token counter UDF — built lazily (pandas_udf return-
     type parsing needs an active SparkContext)."""

@@ -210,6 +210,52 @@ def salient_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking via Python UDTF (§2.11 — the generator surface).
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "document_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) != ''
+    ),
+    spans AS (
+      SELECT doc_id, t,
+             unnest(range(GREATEST(0,
+               CAST(ceil((len(t) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS INT))
+               + 1)) AS k
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, k * {CHUNK_STRIDE} + 1,
+                               k * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS INT)
+             AS n_tokens,
+           array_to_string(list_slice(t, k * {CHUNK_STRIDE} + 1,
+                                      k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')
+             AS chunk
+    FROM spans
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ingest chunking: overlapping {CHUNK_SIZE}-token windows
+    advancing by {CHUNK_STRIDE}, emitted by the Python UDTF
+    (``extensions.udtf_ops.ChunkDocument`` via lateral join) — the
+    §2.11 generator surface, oracle-matched against the equivalent
+    relational chunking (range × list_slice). The tail window emits
+    iff it contains new tokens; chunk text round-trips exactly.
+    """
+    from ..extensions.udtf_ops import chunk_documents
+
+    d = t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
 # Quality scoring: length / stopword-ratio / punctuation heuristics.
 # ---------------------------------------------------------------------------
 @query(
