@@ -21,4 +21,5 @@ from . import io_functions  # noqa: F401
 from . import shapes  # noqa: F401
 from . import flights  # noqa: F401
 from . import profiling  # noqa: F401
+from . import curation  # noqa: F401
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

@@ -1,0 +1,321 @@
+"""Dataset-curation operators: quota sampling, decontamination,
+sequence packing, PII redaction.
+
+The reference pipeline's job is BI rollups (reference
+``dags/flights_data_pipeline.py``); a 100 TB training-data pipeline
+additionally curates what goes INTO the training mix. This module
+covers the four curation passes every corpus owner runs between "raw
+crawl" and "tokenizer input":
+
+* ``domain_quota_sample`` — cap documents per source domain so no
+  single crawl domain dominates the mix (the classic "no more than K
+  pages per host" rule).
+* ``decontamination_ngram_overlap`` — find training documents sharing
+  long n-grams with the held-out eval split (benchmark leakage scan).
+* ``pack_sequences`` — assign documents to fixed-token-budget training
+  sequences (greedy packing by running token count).
+* ``pii_redaction`` — mask email/phone patterns before training.
+
+Engine discipline matches the rest of the query surface: pure JVM-side
+expressions, exact-integer or md5-hex outputs for the cross-engine
+gate, deterministic ordering via hashed keys (never ``rand()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io.catalog import load_table as t
+from .profiling import TRAIN_PCT, VAL_PCT, _bucket_sql, _hex_val_duck, _hex_val_spark
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Per-domain quota sampling.
+# ---------------------------------------------------------------------------
+#: max documents kept per source domain.
+DOMAIN_QUOTA = 10
+
+
+@query(
+    "domain_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    ) WHERE rk <= {DOMAIN_QUOTA}
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most {DOMAIN_QUOTA} documents per source domain.
+
+    The within-domain order is the md5 of the primary key — a
+    deterministic uniform shuffle, so the kept set is an unbiased
+    sample that is STABLE as the corpus grows (a kept doc is only ever
+    evicted by a new doc hashing earlier, never by re-rolling an RNG).
+
+    Scale: one shuffle on ``source``. Domains are the canonical skew
+    key (a few giant hosts); at 100 TB this is the query to run with
+    AQE skew-join/partition splitting on — and because the predicate
+    is ``row_number <= K``, Spark pushes a per-partition top-K
+    (WindowGroupLimit) below the shuffle, so each map task ships at
+    most K rows per domain, never the giant domain's full row set.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= DOMAIN_QUOTA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: long-n-gram overlap between train and eval splits.
+# ---------------------------------------------------------------------------
+#: contamination n-gram length (long enough that chance collisions are
+#: negligible — real pipelines use 8-13; dedup's K=3 shingles would
+#: flag half the corpus).
+DECONTAM_K = 8
+
+
+def _long_shingles(toks: Column, k: int) -> Column:
+    """Distinct k-token shingles of a *materialized* token-array column.
+
+    Unlike ``dedup._shingles`` (which zip_withs shifted copies because
+    its token array is an inline ``split(regexp_replace(...))``
+    expression that higher-order lambdas would re-evaluate per
+    element), ``toks`` here is a resolved attribute from a previous
+    projection, so ``slice(toks, i, k)`` inside ``transform`` is a
+    cheap array view — the natural indexed form works without the
+    no-CSE penalty, for any k.
+    """
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "decontamination_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(toks) - {DECONTAM_K} + 2),
+               i -> array_to_string(list_slice(toks, i, i + {DECONTAM_K} - 1),
+                                    ' '))) AS shingles
+      FROM toks WHERE len(toks) >= {DECONTAM_K}
+    ),
+    b AS (
+      SELECT doc_id, {_bucket_sql(_hex_val_duck)} AS bucket
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+    ),
+    ex AS (
+      SELECT sh.doc_id, b.bucket, unnest(sh.shingles) AS g
+      FROM sh JOIN b ON sh.doc_id = b.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_contaminated_shingles,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM (SELECT doc_id, g FROM ex WHERE bucket < {TRAIN_PCT}) t
+    JOIN (SELECT doc_id, g FROM ex WHERE bucket >= {VAL_PCT}) e
+      ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage scan: train-split documents that share any
+    {DECONTAM_K}-token n-gram with a test-split document, with the
+    distinct count of shared n-grams and of eval documents hit.
+
+    Splits are the same hashed-key buckets as ``train_test_split``
+    (train = bucket < {TRAIN_PCT}, eval = bucket >= {VAL_PCT}), so the
+    scan needs no side input here. In production the eval side is a
+    fixed benchmark suite — thousands of documents, i.e. a few MB of
+    n-gram hashes — so the join side is ``broadcast()`` and the corpus
+    is scanned exactly once with no shuffle; the n-gram join key is
+    then ``xxhash64(g)`` rather than the raw string to keep the
+    broadcast map small. Both optimizations are orthogonal to the
+    semantics pinned here (raw-string equi-join, exact counts).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks_df = d.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    bucket = F.expr(_bucket_sql(_hex_val_spark))
+    ex = toks_df.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(_long_shingles(F.col("toks"), DECONTAM_K)).alias("g"),
+    )
+    train = ex.filter(F.col("bucket") < TRAIN_PCT).select("doc_id", "g")
+    ev = ex.filter(F.col("bucket") >= VAL_PCT).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    return (
+        train.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("bigint").alias("n_contaminated_shingles"),
+            F.countDistinct("eval_doc_id").cast("bigint").alias("n_eval_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fixed-token-budget training sequences.
+# ---------------------------------------------------------------------------
+#: tokens per packed training sequence.
+PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {PACK_BUDGET})
+                AS BIGINT) AS seq_bin
+    FROM tc
+    WINDOW w AS (PARTITION BY source ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: within each source shard, documents are
+    laid end-to-end in hashed-key order and assigned to the
+    {PACK_BUDGET}-token bin their first token lands in (fixed bin
+    boundaries — a document may straddle two bins, the "document gets
+    split across sequences" convention of most pretraining loaders).
+
+    Scale: the running sum is a window per ``source`` shard, so the
+    packing parallelizes across shards and never needs a global
+    order — the one thing that would serialize at 100 TB. All values
+    are exact integers (token counts well under 2^53), so the
+    cross-engine floor-division is exact.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    tc = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return tc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.cast("bigint").alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("seq_bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: email/phone masking.
+# ---------------------------------------------------------------------------
+#: patterns constrained to constructs with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): no lookaround, ASCII classes,
+#: bounded repetition.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_emails``/``n_phones`` counts and a ``redacted`` text
+    column with emails → ``<EMAIL>`` and phones → ``<PHONE>``.
+
+    Library form so any table with a text column can use it; the
+    registered query applies it to ``documents``. Narrow projection —
+    two regex automata per row inside codegen, no shuffle: at 100 TB
+    this is scan-bound, exactly like the tokenizer passes.
+    """
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("bigint"),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_PATTERN)).cast("bigint"),
+            "redacted": F.regexp_replace(
+                F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+                PHONE_PATTERN,
+                "<PHONE>",
+            ),
+        }
+    )
+
+
+# DuckDB string literals are verbatim (no backslash escapes), so the
+# patterns embed unchanged; only a single-quote would need doubling.
+_EMAIL_SQL = EMAIL_PATTERN
+_PHONE_SQL = PHONE_PATTERN
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_SQL}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_SQL}', '<PHONE>', 'g')) AS redacted_fp
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over ``documents``: match counts plus the md5 of the
+    redacted text (fingerprint rather than full text keeps the gate
+    row narrow; the full redacted column is the library output).
+
+    Honesty note: the synthetic corpus contains no digits or '@', so
+    counts are 0 here and the gate pins "redaction didn't corrupt
+    anything" (fp = md5 of the original). The regex contract itself —
+    emails/phones actually matched and masked identically by Spark and
+    DuckDB — is pinned by ``tests/test_curation.py`` on crafted PII
+    strings.
+    """
+    d = t(spark, sf_dir, "documents")
+    return redact_pii(d).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5(F.col("redacted")).alias("redacted_fp"),
+    )

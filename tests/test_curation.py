@@ -1,0 +1,91 @@
+"""Curation operators: PII regex contract + packing/quota invariants.
+
+The registered curation queries are oracle-gated by
+``test_queries_oracle.py``; these tests pin what the corpus gate
+cannot — the PII patterns MATCHING (the synthetic corpus has no PII,
+so the corpus query only proves no-corruption) and the structural
+invariants of quota sampling and sequence packing.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from flights_data_pipeline_spark.queries.curation import (
+    DOMAIN_QUOTA,
+    EMAIL_PATTERN,
+    PACK_BUDGET,
+    PHONE_PATTERN,
+    _EMAIL_SQL,
+    _PHONE_SQL,
+    redact_pii,
+)
+from flights_data_pipeline_spark.queries import REGISTRY
+
+PII_SAMPLES = [
+    (1, "contact alice.smith+spam@example.co.uk or bob@sub.domain.org now"),
+    (2, "call 555-867-5309 or 555.123.4567 today"),
+    (3, "mixed: x@y.io then 123-456-7890 then x@y.io again"),
+    (4, "no pii here, just words and e-mail-free text @ not-an-email"),
+    (5, "edge 12-345-6789 (too short) and user@host (no tld)"),
+]
+
+
+def test_pii_redaction_matches_duckdb_on_crafted_strings(spark):
+    df = redact_pii(
+        spark.createDataFrame(PII_SAMPLES, ["id", "text"]), "text"
+    ).select("id", "n_emails", "n_phones", "redacted")
+    got = {r["id"]: r.asDict() for r in df.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", PII_SAMPLES)
+    want = con.execute(
+        f"""
+        SELECT id,
+               len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PHONE_SQL}')) AS n_phones,
+               regexp_replace(regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_SQL}', '<PHONE>', 'g') AS redacted
+        FROM s
+        """
+    ).fetchall()
+    for id_, n_emails, n_phones, redacted in want:
+        assert got[id_]["n_emails"] == n_emails, id_
+        assert got[id_]["n_phones"] == n_phones, id_
+        assert got[id_]["redacted"] == redacted, id_
+
+    # the patterns actually fire (the corpus gate can't prove this)
+    assert got[1]["n_emails"] == 2 and "<EMAIL>" in got[1]["redacted"]
+    assert got[2]["n_phones"] == 2 and "<PHONE>" in got[2]["redacted"]
+    assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 1
+    assert got[4]["n_emails"] == 0 and got[4]["n_phones"] == 0
+    assert got[5]["n_emails"] == 0 and got[5]["n_phones"] == 0
+
+
+def test_domain_quota_caps_every_source(spark, sf_dir):
+    out = REGISTRY["domain_quota_sample"].fn(spark, sf_dir)
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_src and all(n <= DOMAIN_QUOTA for n in per_src.values())
+
+
+def test_pack_sequences_bins_are_contiguous_per_source(spark, sf_dir):
+    rows = REGISTRY["pack_sequences"].fn(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["cum_tokens"])
+        run = 0
+        for r in rs:
+            # bin = floor(start_offset / budget); offsets are a prefix sum
+            assert r["seq_bin"] == run // PACK_BUDGET, (src, r)
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+        # bins are dense: 0..max with no gaps
+        bins = sorted({r["seq_bin"] for r in rs})
+        assert bins == list(range(bins[-1] + 1))
