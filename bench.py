@@ -53,6 +53,9 @@ HEADLINE = [
     "embedding_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_recall_multiprobe",
+    "ann_ivf_probe",
+    "decontamination_ngram_overlap",
+    "pack_sequences",
     "tumbling_window_agg",
     "session_window_agg",
 ]

@@ -454,6 +454,150 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + probed posting lists.
+# ---------------------------------------------------------------------------
+#: coarse-quantizer size (number of posting lists). Like the LSH plane
+#: count, a cost/recall dial that scales with the corpus: nlist ≈
+#: sqrt(N) is the standard rule (≈2^16 lists for a 100 TB corpus).
+IVF_N_LISTS = 16
+#: posting lists probed per query — the recall dial (scan fraction ≈
+#: nprobe/nlist given balanced lists; 4/16 = 25% here).
+IVF_N_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    dot_vc = _duck_dot("v.embedding", "c.c_emb")
+    dot_qc = _duck_dot("q.q_emb", "c.c_emb")
+    dot_pa = _duck_dot("p.q_emb", "a.embedding")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS list_id, embedding AS c_emb, nrm AS c_nrm
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {IVF_N_LISTS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, list_id FROM (
+        SELECT v.vec_id, v.embedding, v.nrm, c.list_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {dot_vc} / (v.nrm * c.c_nrm) DESC, c.list_id) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+          FROM v WHERE vec_id < {N_QUERIES}),
+    qprobe AS (
+      SELECT query_id, q_emb, q_nrm, list_id FROM (
+        SELECT q.query_id, q.q_emb, q.q_nrm, c.list_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {dot_qc} / (q.q_nrm * c.c_nrm) DESC, c.list_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {IVF_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {dot_pa} / (p.q_nrm * a.nrm) AS cosine
+      FROM qprobe p JOIN assign a ON p.list_id = a.list_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@query("ann_ivf_probe", oracle=_ivf_oracle())
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the other canonical vector-index family beside
+    sign-LSH (``ann_lsh_bucketed``/``ann_recall_multiprobe``): a coarse
+    quantizer of {IVF_N_LISTS} centroids partitions the corpus into
+    posting lists; each query probes its {IVF_N_PROBE} nearest lists
+    and searches them exactly.
+
+    Centroids here are a deterministic uniform sample (the
+    {IVF_N_LISTS} vectors with smallest key-md5 — same hashed-key
+    discipline as ``train_test_split``; k-means refinement would
+    improve list balance but adds an iterative fitting stage and no new
+    plan shape). Data-dependent bucketing is IVF's edge over LSH: list
+    boundaries adapt to the corpus distribution, so probing
+    {IVF_N_PROBE}/{IVF_N_LISTS} lists scans ≈{IVF_N_PROBE}/{IVF_N_LISTS}
+    of the corpus with recall concentrated where the data is.
+
+    Scale plan: the centroid table is O(nlist) and broadcast twice
+    (assignment + query routing) — the corpus shuffles ONCE on
+    ``list_id`` (at rest this is the partitioning of the stored index:
+    write the assigned corpus bucketed by list_id and the probe join
+    prunes partitions instead of shuffling). nlist ≈ sqrt(N) keeps
+    per-list work O(sqrt(N)); skewed lists get the same salting/AQE
+    treatment as any hot key.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    cent = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_N_LISTS)
+        .select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("list_id"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "list_id", c_sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "list_id")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    q_sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("list_id"))
+    qprobe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "q_nrm", "list_id", q_sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_N_PROBE)
+        .select("query_id", "q_emb", "q_nrm", "list_id")
+    )
+    scored = (
+        assign.join(F.broadcast(qprobe), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-NN label vote (classification on top of the exact top-k kernel).
 # ---------------------------------------------------------------------------
 @query(
