@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.scalars import money as _dec
 from ..functions.scalars import money_out as _dec_out
@@ -526,15 +527,69 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables, mergeable partials); the ``within_5pct``/``quantile_ok``
     booleans make the accuracy contract part of the result so the
     driver's rows-only gate still exercises correctness bounds.
+
+    The exact twins are computed the way they'd have to be at scale,
+    not the way the SQL reads: ``percentile(x, 0.5)`` is a per-group
+    sort holding every value in memory (the 100 TB non-starter the
+    sketch exists to replace), so the exact median comes from a
+    value-count histogram instead — ``l_quantity`` is low-cardinality,
+    so counting per value and interpolating the two middle order
+    statistics is O(distinct) per group and bit-identical to
+    ``percentile``'s linear interpolation. ``countDistinct`` beside
+    other aggregates would Expand (duplicate every input row per
+    distinct column); a separate distinct→count pass keeps partial
+    aggregation effective. Was one Expand+sort pass at ~3.9 s (the
+    registry's slowest query); this shape is ~4× faster at sf0.1.
     """
     li = t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    # sketch pass: narrow, partial-aggregated, no Expand
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx_median_qty"),
-        F.expr("percentile(l_quantity, 0.5)").alias("exact_median_qty"),
         F.count("*").cast("bigint").alias("n_rows"),
     )
+    # exact distinct: two-level aggregate (distinct keys, then count)
+    ex_d = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    # exact median from the value-count histogram: the two middle order
+    # statistics located on the cumulative count, interpolated exactly
+    # like percentile(x, 0.5): idx = (n-1)/2, v[floor(idx)]..v[ceil(idx)]
+    vc = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    cum = F.sum("c").over(
+        W.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n = F.sum("c").over(W.partitionBy("l_returnflag"))
+    idx = (n - 1) / 2
+    hist = vc.select(
+        "l_returnflag",
+        "l_quantity",
+        cum.alias("cum"),
+        F.floor(idx).alias("lo"),
+        F.ceil(idx).alias("hi"),
+        (idx - F.floor(idx)).alias("frac"),
+    )
+    ex_m = hist.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cum") >= F.col("lo") + 1, F.col("l_quantity"))).alias(
+            "v_lo"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("hi") + 1, F.col("l_quantity"))).alias(
+            "v_hi"
+        ),
+        F.max("frac").alias("frac"),
+    )
+    ex_m = ex_m.select(
+        "l_returnflag",
+        (
+            F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))
+        ).alias("exact_median_qty"),
+    )
+    g = sk.join(ex_d, "l_returnflag").join(ex_m, "l_returnflag")
     return g.select(
         "l_returnflag",
         "n_rows",
