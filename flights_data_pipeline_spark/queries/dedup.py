@@ -244,13 +244,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
        the groupBy reuses the doc_id partitioning (no extra shuffle);
     2. candidates come from ONE equi-join on (band, key) — linear
        shuffle, per-bucket pairs, never an all-pairs cartesian;
-    3. verification joins the ~|candidates| pairs back to the per-doc
-       hash sets with the CANDIDATE side broadcast — a few hundred
-       rows — so the corpus-sized set side streams. (The previous
-       shape let the planner broadcast the corpus-wide shingle arrays:
-       two ~15 MB driver collects whose GC made the query
-       intermittently ~15× slower, and a driver OOM waiting to happen
-       at any real scale.)
+    3. verification broadcasts only the id/count candidate rows (a few
+       hundred, no arrays); the hash-set-carrying side then reaches
+       the pair join via SHUFFLE_HASH, never through the driver.
+       (Both prior spike modes were array payloads crossing the
+       driver: round 1 auto-broadcast the corpus-wide shingle arrays
+       (~15 MB collects), and the first fix still broadcast candidate
+       rows carrying their collect_set arrays — intermittent GC spikes
+       under session memory pressure. A full no-array variant —
+       re-shingle candidate docs, equi-join on (b_id, hash) — was
+       measured 2-3× slower here because the candidate pipeline loses
+       exchange reuse; the production note at 100 TB is to semi-filter
+       the set side by the candidate id list before the shuffle.)
     """
     d = t(spark, sf_dir, "documents")
     # A small corpus arrives as one parquet split → the md5-heavy pass
@@ -295,8 +300,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sha = per_doc.select(F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a"))
     shb = per_doc.select(F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b"))
+    # candidate side broadcast (tiny, id/count columns only); the
+    # array-carrying `paired` side joins via SHUFFLE_HASH — an
+    # array-payload broadcast would round-trip the hash sets through
+    # the driver (the residual GC-spike source under session memory
+    # pressure; per_doc's exchange is reused by sha/shb/bands, so the
+    # corpus pass still runs once)
     paired = sha.join(F.broadcast(cand), "a_id")
-    both = shb.join(F.broadcast(paired), "b_id")
+    both = shb.join(paired.hint("shuffle_hash"), "b_id")
     n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("bigint")
     return both.select(
         "a_id",

@@ -83,6 +83,98 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data-quality expectations: referential integrity, uniqueness, nullness.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
+                   SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                 ) WHERE n > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
+                   SELECT COUNT(*) AS n FROM lineitem
+                   GROUP BY l_orderkey, l_linenumber
+                 ) WHERE n > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_custkey_not_null',
+           CAST((SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL)
+                AS BIGINT)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality expectations in one result set: orphan
+    foreign keys (fact rows whose dim key is missing), primary-key
+    uniqueness (excess duplicate rows), and key nullness — the checks
+    a load pipeline runs between staging and publish (the reference's
+    warehouse implies them via its dims→facts FK structure; SURVEY
+    §2.12 O4).
+
+    Each check is shaped for scale: orphans are LEFT ANTI joins (the
+    dim side broadcast when small, never a collected key list);
+    uniqueness is SUM(count-1) over a groupBy — one shuffle on the key,
+    partial-aggregated, instead of count(*) - count(distinct) which
+    would Expand. All counts are exact integers; a check passes iff
+    its violation count is 0, so the one result row set IS the gate
+    artifact a runner would assert on.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    def excess_dupes(name: str, df: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+
+    checks = [
+        count_row(
+            "lineitem_orphan_orderkey",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        count_row(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        excess_dupes("orders_orderkey_unique", o, ["o_orderkey"]),
+        excess_dupes("lineitem_pk_unique", li, ["l_orderkey", "l_linenumber"]),
+        count_row("customer_custkey_not_null", c.filter(F.col("c_custkey").isNull())),
+    ]
+    out = checks[0]
+    for extra in checks[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
 #: columns profiled by profile_table (orders).
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
 
