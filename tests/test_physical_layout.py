@@ -255,3 +255,21 @@ def test_dynamic_overwrite_touches_one_partition(spark, sf_dir, tmp_path_factory
     for d in before:
         if d != target:
             assert after[d] == before[d], f"partition {d} was touched"
+
+
+def test_minhash_verify_join_never_broadcasts_arrays(spark, sf_dir):
+    """The minhash verification join must keep hash-set ARRAY payloads
+    out of broadcast exchanges: array-carrying rows round-tripping
+    through the driver caused intermittent multi-second GC spikes (the
+    round-1 43s bench outlier and its smaller round-2 echo). Candidate
+    id/count rows may broadcast; the set-carrying side must arrive via
+    a shuffle join."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["minhash_lsh_candidates"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    # every broadcast exchange must be free of the hset/hs_a/hs_b arrays
+    for chunk in plan.split("BroadcastExchange")[1:]:
+        head = chunk.split("\n")[0]
+        assert "hset" not in head and "hs_a" not in head and "hs_b" not in head, head
