@@ -76,6 +76,72 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stratified rebalancing sample (downsample to the minority stratum).
+# ---------------------------------------------------------------------------
+def _bucket16(hexval) -> str:
+    """First 4 md5 hex digits of column ``h`` → integer in [0, 65536)."""
+    digits = " + ".join(f"{hexval('h', p)} * {16 ** (3 - p)}" for p in range(4))
+    return f"({digits})"
+
+
+def _bucket16_duck() -> str:
+    return _bucket16(_hex_val_duck)
+
+
+def _bucket16_spark() -> str:
+    return _bucket16(_hex_val_spark)
+
+
+
+@query(
+    "stratified_rebalance_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             {_bucket16_duck()} AS bucket16
+      FROM hashed
+    ),
+    counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS t FROM counts)
+    SELECT b.doc_id, b.lang
+    FROM b JOIN counts c ON b.lang = c.lang CROSS JOIN tgt
+    WHERE b.bucket16 < (65536 * tgt.t) // c.n
+    """,
+)
+def stratified_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: each stratum is downsampled toward
+    the minority stratum's size by keeping documents whose 16-bit key
+    hash falls under ``floor(65536 * min_count / stratum_count)`` —
+    exact integer arithmetic, so the kept set is deterministic,
+    engine-independent, and stable under corpus growth (the per-doc
+    keep decision changes only when the stratum RATES change).
+
+    The mix-rebalancing pass of a pretraining pipeline. Scale: the
+    stratum-counts table is |langs| rows — one aggregate, then a
+    broadcast join; the corpus itself never shuffles, the filter is a
+    narrow map over the scan.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    tgt = counts.agg(F.min("n").alias("tmin"))
+    hashed = d.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    bucket16 = F.expr(_bucket16_spark())
+    return (
+        hashed.select("doc_id", "lang", bucket16.alias("bucket16"))
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tgt))
+        .filter(F.col("bucket16") < F.floor((65536 * F.col("tmin")) / F.col("n")))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decontamination: long-n-gram overlap between train and eval splits.
 # ---------------------------------------------------------------------------
 #: contamination n-gram length (long enough that chance collisions are
