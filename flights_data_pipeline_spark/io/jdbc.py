@@ -24,9 +24,13 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+_DS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
 
 
 def find_duckdb_jdbc_jar() -> str | None:
@@ -92,6 +96,15 @@ def jdbc_scan(
     """
     opts = cfg.reader_options()
     if ds is not None:
+        # ds flows in from the CLI --ds flag and watermark_col/table from
+        # config; all three are interpolated into pushed-down SQL, so they
+        # must be shape-checked, not trusted.
+        if not _DS_RE.match(ds):
+            raise ValueError(f"ds must be YYYY-MM-DD, got {ds!r}")
+        if not _IDENT_RE.match(watermark_col):
+            raise ValueError(f"watermark_col is not an identifier: {watermark_col!r}")
+        if not _IDENT_RE.match(cfg.table):
+            raise ValueError(f"table is not an identifier: {cfg.table!r}")
         opts["dbtable"] = (
             f"(SELECT * FROM {cfg.table} "
             f"WHERE {watermark_col} >= '{ds} 00:00:00' "
@@ -101,6 +114,12 @@ def jdbc_scan(
     for k, v in opts.items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires both lower_bound and upper_bound "
+                "(a None bound reaches the JVM as a null option and fails "
+                "with an opaque error)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))

@@ -66,14 +66,20 @@ def compact_parquet(
     import glob
     import math
     import os
-    import shutil
 
-    files = [f for f in glob.glob(f"{path}/*.parquet")]
+    from ..operators.merge import _swap_in
+
+    if any(
+        "=" in e.name and e.is_dir() for e in os.scandir(path)
+    ):
+        raise ValueError(
+            f"compact_parquet: {path!r} has a partitioned (key=value) "
+            "layout; coalescing would flatten the partition directories. "
+            "Compact each partition directory individually instead."
+        )
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_after = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
-    staged = path.rstrip("/") + "__compacting"
-    df.coalesce(n_after).write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
-    os.rename(staged, path)
-    return len(files), len(glob.glob(f"{path}/*.parquet"))
+    _swap_in(spark, df.coalesce(n_after), path)
+    return len(files), len(glob.glob(f"{path}/**/*.parquet", recursive=True))

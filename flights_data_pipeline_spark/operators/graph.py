@@ -20,6 +20,8 @@ the data does).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,4 +71,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the loop without a zero-change round means a
+        # component deeper than max_iterations hops still carries
+        # mixed labels — callers (e.g. near_dup_clusters) would get
+        # wrong component ids silently otherwise
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; returned labels may split "
+            "components deeper than that. Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -205,14 +205,37 @@ def merge_additive_parquet(
 
 
 def _swap_in(spark: SparkSession, merged: DataFrame, target_path: str) -> int:
-    """Write ``merged`` to a staging dir and swap it in whole."""
+    """Write ``merged`` to a staging dir and swap it in whole.
+
+    Local-filesystem only: the swap uses atomic os.rename, so a remote
+    URI (s3://, hdfs://) is rejected up front rather than failing
+    half-way. The live table is renamed aside before the staged copy
+    moves in, so no window exists where the target is deleted but not
+    yet replaced — a crash leaves either the old or the new table.
+    """
     import os
     import shutil
 
+    if "://" in target_path and not target_path.startswith("file://"):
+        raise ValueError(
+            f"_swap_in requires a local filesystem path, got {target_path!r}; "
+            "for object stores use an overwrite-by-partition write instead"
+        )
     staged = target_path.rstrip("/") + "__staged"
     merged.write.mode("overwrite").parquet(staged)
     n = spark.read.parquet(staged).count()
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.rename(staged, target_path)
+    old = target_path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_previous = os.path.exists(target_path)
+    if had_previous:
+        os.rename(target_path, old)
+    try:
+        os.rename(staged, target_path)
+    except OSError:
+        if had_previous:
+            os.rename(old, target_path)
+        raise
+    if had_previous:
+        shutil.rmtree(old)
     return n

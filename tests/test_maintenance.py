@@ -75,3 +75,29 @@ def test_additive_rollup_rejects_schema_drift(spark, sf_dir):
         merge_additive_parquet(
             spark, base, bad, ["event_type"], ["n_events"]
         )
+
+
+def test_compact_parquet_rejects_partitioned_layout(spark, sf_dir):
+    """A partitionBy-written table must be refused, not silently
+    flattened to a single un-partitioned file (ADVICE round 2)."""
+    import pytest
+
+    d = tempfile.mkdtemp(prefix="fdp_compact_part_") + "/events"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(d)
+    with pytest.raises(ValueError, match="partitioned"):
+        compact_parquet(spark, d)
+    # layout untouched: partition dirs still present, data readable
+    assert spark.read.parquet(d).count() == ev.count()
+
+
+def test_swap_in_rejects_remote_uri(spark):
+    import pytest
+
+    from flights_data_pipeline_spark.operators.merge import _swap_in
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="local filesystem"):
+        _swap_in(spark, df, "s3://bucket/table")

@@ -159,3 +159,18 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == _uf_components(edges)
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    """A graph deeper than max_iterations must WARN, not silently
+    return split components (ADVICE round 2)."""
+    import warnings
+
+    from flights_data_pipeline_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8
+    df = spark.createDataFrame(chain, "a_id BIGINT, b_id BIGINT")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(df, max_iterations=2).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
