@@ -9,13 +9,16 @@ benchmark runs on.
 Timestamp handling (two parquet quirks, both fixed here so every query
 sees plain ``TimestampType`` in a UTC session):
 
-* ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-  rejects outright. We read it via ``spark.sql.legacy.parquet
-  .nanosAsLong`` (ns-since-epoch as LongType) and convert with
-  **integer** division to microseconds — ns-since-epoch (~1.7e18) is
-  far beyond double's 53-bit mantissa, so a float divide silently
-  corrupts the low microseconds. Floor division matches DuckDB's
-  TIMESTAMP_NS → µs truncation, so oracle comparisons stay exact.
+* ``events.ts`` may be parquet TIMESTAMP(NANOS) (earlier testdata
+  generations), which Spark's reader rejects outright. We read it via
+  ``spark.sql.legacy.parquet.nanosAsLong`` (ns-since-epoch as
+  LongType) and convert with **integer** division to microseconds —
+  ns-since-epoch (~1.7e18) is far beyond double's 53-bit mantissa, so
+  a float divide silently corrupts the low microseconds. Floor
+  division matches DuckDB's TIMESTAMP_NS → µs truncation, so oracle
+  comparisons stay exact. The conversion is applied only when the
+  column actually reads back as LongType — TIMESTAMP(MICROS) data
+  (current testdata generation) passes through untouched.
 * The other tables' timestamps are not adjusted to UTC, which Spark 4
   infers as TIMESTAMP_NTZ. NTZ datetime kernels (datediff, casts to
   date, trunc) run 4-8× slower than the µs-since-epoch TimestampType
@@ -31,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TESTDATA_TABLES = [
     "region",
@@ -59,7 +63,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _NANOS_TS_COLS.get(name, []):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
     return df
 
 
@@ -69,17 +76,26 @@ def load_events_window(
     """Events within a closed ``[start, end]`` wall-clock window, with the
     range predicate pushed into the parquet scan.
 
-    A filter on the *converted* timestamp column cannot be pushed below
-    the ns→µs conversion expression, so a naive
+    When ``ts`` reads back as TIMESTAMP(MICROS) (current testdata
+    generation) a plain timestamp ``BETWEEN`` pushes into the scan
+    natively and that is all we do. When it is TIMESTAMP(NANOS) read
+    as a raw LongType (older generation via ``nanosAsLong``), a filter
+    on the *converted* timestamp column cannot be pushed below the
+    ns→µs conversion expression, so a naive
     ``load_table(...).filter(ts.between(...))`` reads every row group —
-    a full scan at 100 TB. This helper translates the bounds to raw
-    nanoseconds-since-epoch and filters the underlying LongType column
-    first (Catalyst pushes plain long comparisons into the scan, so
-    row groups outside the window are skipped via parquet min/max
-    stats), then converts.
+    a full scan at 100 TB. For that layout this helper translates the
+    bounds to raw nanoseconds-since-epoch and filters the underlying
+    LongType column first (Catalyst pushes plain long comparisons into
+    the scan, so row groups outside the window are skipped via parquet
+    min/max stats), then converts.
     """
     _pin_parquet_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        return df.filter(
+            F.col("ts").between(F.lit(start).cast("timestamp"),
+                                F.lit(end).cast("timestamp"))
+        )
     bounds = df.sparkSession.sql(
         f"SELECT CAST(unix_micros(TIMESTAMP '{start}') AS BIGINT) * 1000 AS lo,"
         f"       CAST(unix_micros(TIMESTAMP '{end}') AS BIGINT) * 1000 AS hi"
