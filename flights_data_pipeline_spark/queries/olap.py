@@ -1,0 +1,488 @@
+"""Multi-dimensional OLAP query shapes (TPC-H Q7/Q8/Q9/Q14/Q17/Q19/Q22
+families), adapted to the driver's reduced star schema.
+
+The reference's warehouse zone answers exactly this class of question
+(star-join + conditional aggregation over the fact table; see SURVEY.md
+§1.4 and the mart tables listed at ``dags/flights_data_pipeline.py:229-238``)
+— these shapes widen the engine contract with the remaining classic
+plan families:
+
+* nation-pair volume (Q7): two independent dim lineages joined to one
+  fact row, symmetric pair predicate;
+* market share (Q8): conditional numerator over a shared denominator in
+  ONE aggregation pass (no second scan);
+* profit rollup (Q9): derived measure combining fact and dim columns;
+* share-of-total in a window (Q14): two conditional sums, one row;
+* correlated average threshold (Q17): per-key aggregate joined back to
+  the detail rows, division-free comparison;
+* disjunctive OR-of-ANDs predicate (Q19): the predicate that defeats
+  naive pushdown and must evaluate as a join filter;
+* anti-join + scalar subquery (Q22): "good customers who never bought".
+
+Schema adaptations (driver tables lack partsupp / shipmode /
+commitdate): supplier cost in Q9 is modelled from ``p_retailprice``;
+Q22's country code becomes a nation-key bucket.
+
+Cross-engine float discipline follows ``functions.scalars``: money stays
+DECIMAL(18,2) internally, comparisons are restated division-free
+(``qty*5*n < sum`` instead of ``qty < 0.2*avg``), and only final output
+columns cast to DOUBLE (both engines cast the same decimal to the same
+IEEE double). Ratios divide two doubles that are themselves decimal
+casts — identical operands, identical IEEE result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import money as _dec
+from ..io.catalog import load_table as t
+from .registry import query
+
+#: discounted line revenue, exact decimal (the Q-family's shared measure).
+def _disc_price() -> F.Column:
+    return F.round(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+
+
+_DISC_PRICE_SQL = (
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))"
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between a nation pair.
+# ---------------------------------------------------------------------------
+@query(
+    "volume_shipping_nation_pair",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(SUM(volume) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             {_DISC_PRICE_SQL} AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: revenue flow between two nations by year.
+
+    Both dim lineages shrink BEFORE touching the fact: supplier and
+    customer are each semi-filtered to the two nations first (tiny
+    broadcast joins), so the only big work is lineitem ⋈ orders — and
+    orders itself is pre-shrunk by its customer filter. The symmetric
+    pair predicate runs as a post-join filter over the two small name
+    columns, never over fact rows alone.
+    """
+    pair = ["NATION_1", "NATION_2"]
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", _disc_price().alias("volume"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum("volume").cast("decimal(18,2)").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one nation within a region.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+                     AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS DECIMAL(18,2)) AS DOUBLE)
+             AS mkt_share,
+           CAST(CAST(SUM(volume) AS DECIMAL(18,2)) AS DOUBLE) AS total_volume
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE_SQL} AS volume,
+             n1.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_5's share of PROMO-part volume sold to ASIA
+    customers, by order year.
+
+    Numerator and denominator come out of ONE aggregation pass
+    (conditional sum beside the total — no second scan, no self-join).
+    The ratio divides the two decimal sums only after both cast to
+    double, so each engine divides bit-identical operands. Dims all
+    broadcast; the fact is touched once.
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _disc_price().alias("volume")
+    )
+    vol = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    num = (
+        F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(zero))
+        .cast("decimal(18,2)")
+        .cast("double")
+    )
+    den = F.sum("volume").cast("decimal(18,2)").cast("double")
+    return vol.groupBy("o_year").agg(
+        (num / den).alias("mkt_share"), den.alias("total_volume")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation and year.
+# ---------------------------------------------------------------------------
+@query(
+    "profit_by_nation_year",
+    oracle=f"""
+    SELECT nation, o_year,
+           CAST(CAST(SUM(amount) AS DECIMAL(18,2)) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE_SQL}
+               - CAST(ROUND(CAST(p.p_retailprice AS DECIMAL(12,2))
+                            * CAST(l.l_quantity AS DECIMAL(6,2))
+                            * CAST(0.6 AS DECIMAL(2,1)), 2)
+                      AS DECIMAL(18,2)) AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%5%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per supplier nation per year; the measure
+    combines fact columns with a dim column (retail price standing in
+    for the missing ``ps_supplycost``, at a 0.6 cost ratio).
+
+    All decimal intermediates stay inside precision 38 (12,2 × 6,2 ×
+    2,1 → exact product, HALF_UP round to 2 matches DuckDB on exact
+    decimals). part/supplier/nation broadcast; lineitem ⋈ orders is
+    the one shuffle, keyed on the natural FK.
+    """
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%5%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    cost = F.round(
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(6,2)")
+        * F.lit(0.6).cast("decimal(2,1)"),
+        2,
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("nation", "o_year", (_disc_price() - cost).alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("decimal(18,2)").cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share in one month (share-of-total).
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT
+      100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END)
+                   AS DECIMAL(18,2)) AS DOUBLE)
+            / CAST(CAST(SUM(volume) AS DECIMAL(18,2)) AS DOUBLE)
+        AS promo_revenue_pct,
+      CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM (
+      SELECT p.p_type, {_DISC_PRICE_SQL} AS volume
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    )
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: percentage of March-1996 revenue from PROMO parts —
+    conditional numerator and unconditional denominator in one global
+    aggregate. The month filter prunes lineitem row groups before the
+    (broadcast) part join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_type", _disc_price().alias("volume")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    num = (
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(zero))
+        .cast("decimal(18,2)")
+        .cast("double")
+    )
+    den = F.sum("volume").cast("decimal(18,2)").cast("double")
+    return j.agg(
+        (F.lit(100.0) * num / den).alias("promo_revenue_pct"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: rows below a correlated per-key average.
+# ---------------------------------------------------------------------------
+@query(
+    "small_quantity_order_revenue",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+      CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_qty
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.n_qty < a.sum_qty
+    """,
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue of lineitems whose quantity is below 20% of
+    their part's average quantity.
+
+    The correlated ``avg`` becomes one per-part aggregate joined back
+    to the detail rows; the threshold ``qty < 0.2·avg`` is restated
+    division-free as ``qty·5·n < sum`` so both engines compare exact
+    decimals (a divided average is a double with an engine-specific
+    ulp at the comparison boundary). The per-part aggregate is tiny
+    relative to lineitem, so AQE broadcasts it into the probe.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count("*").cast("bigint").alias("n_qty"),
+    )
+    small = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(agg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(_dec("l_quantity") * 5 * F.col("n_qty") < F.col("sum_qty"))
+    )
+    return small.agg(
+        (
+            F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").cast("double") / 7.0
+        ).alias("avg_yearly"),
+        F.count("*").cast("bigint").alias("n_small"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive OR-of-ANDs join predicate.
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_bracket_revenue",
+    oracle=f"""
+    SELECT
+      CAST(CAST(SUM(volume) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT {_DISC_PRICE_SQL} AS volume
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity >= 1  AND l.l_quantity <= 20)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+             AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+             AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    )
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: three brand/size/quantity brackets OR'd together.
+
+    The disjunction mixes columns from both sides, so it cannot push
+    below the join — but its single-side implications CAN: Catalyst
+    derives ``p_brand IN (…)`` for the part scan and the quantity
+    envelope ``[1, 50]`` for lineitem, so both scans still prune; the
+    full OR evaluates as the (broadcast) join's residual filter.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (q >= 1) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & (q >= 10) & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & (q >= 20) & (q <= 50)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.sum(_disc_price()).cast("decimal(18,2)").cast("double").alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: anti join + scalar subquery threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "dormant_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS nation_bucket,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+    FROM customer c CROSS JOIN pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n > pos.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers richer than the positive-balance average who
+    have NEVER ordered, bucketed by nation group.
+
+    The scalar threshold broadcasts as a 1-row cross join (restated
+    division-free: ``bal·n > sum``); "never ordered" is a LEFT ANTI
+    hash join against the orders keys. At scale the anti join probes a
+    distinct-keys build side orders of magnitude smaller than orders
+    itself.
+    """
+    c = t(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("total"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    o_keys = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        _dec("c_acctbal") * F.col("n") > F.col("total")
+    )
+    return (
+        rich.join(o_keys, "c_custkey", "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("bigint").alias("nation_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(_dec("c_acctbal"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
