@@ -15,6 +15,12 @@ crawl" and "tokenizer input":
 * ``pack_sequences`` — assign documents to fixed-token-budget training
   sequences (greedy packing by running token count).
 * ``pii_redaction`` — mask email/phone patterns before training.
+* ``repetition_quality`` — Gopher-style repetition signals (top-2-gram
+  fraction, duplicate-2-gram/token fractions) flagging low-quality
+  generated/boilerplate text.
+* ``embedding_int8_quant`` — per-vector symmetric int8 quantization of
+  the embedding column with integrity counters (the storage/serving
+  compression pass for a vector corpus).
 
 Engine discipline matches the rest of the query surface: pure JVM-side
 expressions, exact-integer or md5-hex outputs for the cross-engine
@@ -384,4 +390,216 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_emails",
         "n_phones",
         F.md5(F.col("redacted")).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-rule family).
+# ---------------------------------------------------------------------------
+#: flag threshold: most frequent 2-gram above this fraction of all
+#: 2-grams, or duplicated 2-grams above it, marks the doc repetitive
+#: (calibrated to the corpus: ~p85 of both distributions).
+REPETITION_THRESHOLD = 0.06
+
+
+@query(
+    "repetition_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+               AS gram
+      FROM toks WHERE len(toks) >= 2
+    ),
+    gc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+           FROM g GROUP BY doc_id, gram),
+    pd AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_2grams,
+             CAST(MAX(c) AS BIGINT) AS top_2gram_count,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams
+      FROM gc GROUP BY doc_id
+    ),
+    tk AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+      FROM toks
+    )
+    SELECT pd.doc_id, tk.n_tokens, pd.n_2grams, pd.top_2gram_count,
+           pd.top_2gram_count / pd.n_2grams AS top_2gram_frac,
+           (pd.n_2grams - pd.n_distinct_2grams) / pd.n_2grams
+             AS dup_2gram_frac,
+           (tk.n_tokens - tk.n_distinct_tokens) / tk.n_tokens
+             AS dup_token_frac,
+           (pd.top_2gram_count / pd.n_2grams > {REPETITION_THRESHOLD}
+            OR (pd.n_2grams - pd.n_distinct_2grams) / pd.n_2grams
+               > {REPETITION_THRESHOLD}) AS is_repetitive
+    FROM pd JOIN tk ON pd.doc_id = tk.doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals per document.
+
+    Machine-generated and boilerplate text repeats itself; the classic
+    quality rules threshold (a) the fraction of 2-gram instances taken
+    by the single most frequent 2-gram and (b) the fraction of 2-gram
+    instances that are repeats. Both are exact int/int IEEE divisions,
+    so the cross-engine hash is stable without any rounding.
+
+    Plan shape at 100 TB: token-level metrics (``n_tokens``, distinct
+    tokens) are pure array expressions in the scan projection — no
+    shuffle. Only the 2-gram frequency needs aggregation; it
+    map-side-combines on (doc_id, gram) — keys are doc-local so
+    partial aggregation collapses nearly everything before the one
+    shuffle — then reduces per doc. The final join back to the
+    token metrics is doc_id-keyed on two already-small per-doc rows.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks_df = d.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("toks"),
+    )
+    tk = toks_df.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct_tokens"),
+    )
+    grams = toks_df.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(_long_shingles_all(F.col("toks"), 2)).alias("gram")
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(F.count("*").cast("bigint").alias("c"))
+    pd = gc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_2grams"),
+        F.max("c").cast("bigint").alias("top_2gram_count"),
+        F.count("*").cast("bigint").alias("n_distinct_2grams"),
+    )
+    top_frac = F.col("top_2gram_count") / F.col("n_2grams")
+    dup_frac = (F.col("n_2grams") - F.col("n_distinct_2grams")) / F.col("n_2grams")
+    return pd.join(tk, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_2grams",
+        "top_2gram_count",
+        top_frac.alias("top_2gram_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+        (
+            (F.col("n_tokens") - F.col("n_distinct_tokens")) / F.col("n_tokens")
+        ).alias("dup_token_frac"),
+        (
+            (top_frac > REPETITION_THRESHOLD) | (dup_frac > REPETITION_THRESHOLD)
+        ).alias("is_repetitive"),
+    )
+
+
+def _long_shingles_all(toks: Column, k: int) -> Column:
+    """Like ``_long_shingles`` but KEEPING duplicates — frequency-based
+    metrics need every instance, not the distinct set."""
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_int8_quant",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             CAST(len(embedding) AS INT) AS n_dims,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> greatest(CAST(-127 AS BIGINT),
+                                least(CAST(127 AS BIGINT),
+                                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                       AS BIGINT))))
+             END AS qv
+      FROM s
+    )
+    SELECT vec_id, n_dims, CAST(scale AS DOUBLE) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT)
+             AS n_saturated
+    FROM q
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4×-compression pass a 100 TB vector corpus applies before
+    serving (int8 dot products, SIMD-friendly).
+
+    ``scale = max|v| / 127``; each component quantizes as
+    ``floor(v/scale + 0.5)`` clamped to [-127, 127]. ``floor(x+0.5)``
+    — NOT ``round`` — is the quantizer on purpose: both engines floor
+    the identical IEEE double, whereas ``round(double)`` diverges at
+    representational half-boundaries (Spark rounds the shortest
+    decimal repr, DuckDB the binary value — hard-won rule #1). The
+    all-zero vector degenerates to scale 0 and an all-zero code.
+
+    The gate row carries exact-integer integrity counters (component
+    sum, saturation count) plus the scale; the full quantized array is
+    a narrow projection away. No shuffle — pure per-row array math in
+    the scan projection.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(dbl(x))))
+        / 127.0
+    )
+    s = e.select("vec_id", "embedding", scale.alias("scale"))
+    quant = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.greatest(
+                F.lit(-127).cast("bigint"),
+                F.least(
+                    F.lit(127).cast("bigint"),
+                    F.floor(dbl(x) / F.col("scale") + 0.5),
+                ),
+            ),
+        )
+    )
+    q = s.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.col("scale").cast("double").alias("scale"),
+        quant.alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_q"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127))
+        .cast("bigint")
+        .alias("n_saturated"),
     )
