@@ -39,6 +39,7 @@ HEADLINE = [
     "date_delay_metrics",
     "pricing_summary",
     "shipping_priority",
+    "volume_shipping_nation_pair",
     "topk",
     # extension operators (LLM-pipeline surface)
     "token_stats",
@@ -56,6 +57,8 @@ HEADLINE = [
     "ann_ivf_probe",
     "decontamination_ngram_overlap",
     "pack_sequences",
+    "repetition_quality",
+    "embedding_int8_quant",
     "tumbling_window_agg",
     "session_window_agg",
 ]

@@ -207,17 +207,25 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: explode frame indices 0,
     ``every_n``, 2·``every_n``… per video — pure JVM (sequence+explode),
     the decode of each sampled frame would then be a ``mapInPandas``
-    stage like ``extract_image_features``."""
+    stage like ``extract_image_features``.
+
+    Each sampled row carries byte accounting — ``payload_bytes`` (the
+    whole container) and ``frame_bytes_est`` (container bytes / frame
+    count, integer division) — so a planner can size Arrow batches and
+    executor memory for the decode stage BEFORE shipping any payload:
+    at 100 TB the decision "how many frame rows per Arrow batch" must
+    come from metadata, not from decoding."""
+    n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(1))
     return (
         df.filter(F.col("meta.kind") == "video")
         .select(
             "media_id",
+            F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+            (F.octet_length("payload").cast("bigint") / n_frames)
+            .cast("bigint")
+            .alias("frame_bytes_est"),
             F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1,
-                    F.lit(every_n),
-                )
+                F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
             ).alias("frame_idx"),
         )
     )

@@ -1,0 +1,238 @@
+"""Distributed Lloyd's k-means on a DataFrame vector column.
+
+The IVF index (``queries/similarity.ann_ivf_probe``) coarse-quantizes
+with a deterministic uniform SAMPLE of vectors as centroids; k-means
+refinement is what a production IVF build runs instead — it adapts the
+list boundaries to the corpus so posting lists balance and probes
+concentrate recall where the data is. This module is that fitting
+stage, as the engine's second iterative operator (beside
+``operators.graph.connected_components``), with the same
+driver-loop + ``localCheckpoint`` discipline.
+
+Plan per iteration (the classic map-reduce k-means):
+
+1. assign: broadcast the k centroids, argmin squared-L2 per vector —
+   a narrow map over the corpus, no shuffle;
+2. re-center: ``posexplode`` the assigned vectors and aggregate
+   per (cluster, dimension) — the ONE shuffle, and its key space is
+   k·d (tiny), so map-side partial aggregation collapses nearly all
+   of it before the exchange;
+3. convergence: max centroid shift, one k-row driver collect.
+
+Determinism: init picks the k vectors with the smallest md5(key) —
+the same hashed-key sampling discipline as ``train_test_split`` — and
+every reduction is over doubles in keyed aggregates; ties in argmin
+break on cluster id. No RNG anywhere, so a re-run reproduces the
+exact same model.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a strict fold over zipped components."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@dataclass
+class KMeansModel:
+    centroids: DataFrame  #: (cluster_id int, centroid array<double>, n_members bigint)
+    iterations: int
+    converged: bool
+    inertia: float  #: final within-cluster sum of squared distances
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """vec rows + their nearest cluster_id (+ that distance)."""
+    d = _sq_l2(F.col("vec"), F.col("centroid"))
+    return (
+        vecs.crossJoin(F.broadcast(cents.select("cluster_id", "centroid")))
+        .select("id", "vec", "cluster_id", d.alias("d2"))
+        .groupBy("id")
+        .agg(
+            F.min_by(F.struct("cluster_id", "d2", "vec"), F.struct("d2", "cluster_id")).alias(
+                "best"
+            )
+        )
+        .select(
+            "id",
+            F.col("best.vec").alias("vec"),
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.d2").alias("d2"),
+        )
+    )
+
+
+def _maxmin_init(vecs: DataFrame, k: int) -> DataFrame:
+    """Deterministic farthest-point init: start from the smallest-md5
+    vector, then greedily add the vector farthest from its nearest
+    already-chosen centroid (ties on id). k-1 narrow passes over the
+    corpus — affordable for the moderate k this operator targets; for
+    IVF-at-100 TB k (~2^16) run it on a hash-sample of the corpus
+    instead (the sample IS the md5-prefix of the id ordering, so the
+    choice stays deterministic)."""
+    spark = vecs.sparkSession
+    first = (
+        vecs.select("id", "vec", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h", "id")
+        .first()
+    )
+    chosen = [first.vec]
+    for _ in range(1, k):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(c,) for c in chosen], "centroid ARRAY<DOUBLE>"
+            )
+        )
+        far = (
+            vecs.crossJoin(cdf)
+            .select("id", "vec", _sq_l2(F.col("vec"), F.col("centroid")).alias("d2"))
+            .groupBy("id")
+            .agg(F.min("d2").alias("mind2"), F.first("vec").alias("vec"))
+            .orderBy(F.col("mind2").desc(), "id")
+            .first()
+        )
+        chosen.append(far.vec)
+    return spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(chosen)],
+        "cluster_id INT, centroid ARRAY<DOUBLE>",
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iterations: int = 10,
+    tol: float = 1e-6,
+    init: str = "maxmin",
+) -> KMeansModel:
+    """Fit k-means on ``df[vec_col]`` (array of numeric) with Lloyd's
+    algorithm; returns the centroid table plus fit diagnostics.
+
+    ``tol`` is the convergence threshold on the maximum squared
+    centroid shift between rounds. Iterations are bounded by
+    ``max_iterations``; like ``connected_components``, running out
+    without converging warns rather than silently returning — the
+    model is still usable (inertia is monotone non-increasing under
+    Lloyd's), just not at a fixed point.
+
+    ``init``: ``"maxmin"`` (default) = deterministic farthest-point —
+    k-1 extra passes, but it separates well-separated clusters (hash
+    init can seed two centroids in one cluster and Lloyd's never
+    escapes that local optimum); ``"hash"`` = the k smallest-md5(id)
+    vectors — one pass, the right choice when k is huge and the data
+    has no hard cluster structure to miss.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).localCheckpoint(eager=True)
+
+    if init == "maxmin":
+        cents = _maxmin_init(vecs, k).localCheckpoint(eager=True)
+    elif init == "hash":
+        # row_number over an unpartitioned window is fine on k rows
+        cents = (
+            vecs.select("id", "vec", F.md5(F.col("id").cast("string")).alias("h"))
+            .orderBy("h", "id")
+            .limit(k)
+            .withColumn("cluster_id", F.row_number().over(W.orderBy("h", "id")))
+            .select("cluster_id", F.col("vec").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(f"unknown init: {init!r} (use 'maxmin' or 'hash')")
+
+    converged = False
+    it = 0
+    assigned = None
+    for it in range(1, max_iterations + 1):
+        assigned = _assign(vecs, cents)
+        # re-center: per (cluster, dim) mean — k·d keys, partials collapse
+        means = (
+            assigned.select("cluster_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        recentered = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("new_centroid")
+        )
+        # a cluster that lost every member keeps its old centroid
+        # (standard empty-cluster handling; k never silently shrinks)
+        new_cents = (
+            cents.alias("o")
+            .join(recentered.alias("n"), "cluster_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+                _sq_l2(
+                    F.coalesce(F.col("new_centroid"), F.col("centroid")),
+                    F.col("centroid"),
+                ).alias("shift"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        shift = new_cents.agg(F.max("shift").alias("s")).first().s
+        cents = new_cents.select("cluster_id", "centroid")
+        if shift is not None and shift < tol:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"kmeans_fit did not converge within {max_iterations} iterations "
+            f"(last max centroid shift above tol={tol}); the model is the "
+            "last Lloyd iterate, not a fixed point.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    final_assign = _assign(vecs, cents)
+    inertia = final_assign.agg(F.sum("d2").alias("i")).first().i or 0.0
+    sizes = final_assign.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    centroids = cents.join(sizes, "cluster_id", "left").select(
+        "cluster_id",
+        "centroid",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
+    )
+    return KMeansModel(
+        centroids=centroids, iterations=it, converged=converged, inertia=float(inertia)
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: KMeansModel,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label each row of ``df`` with its nearest model centroid —
+    the IVF posting-list assignment (broadcast centroids, no shuffle)."""
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    return _assign(vecs, model.centroids).select(
+        F.col("id").alias(id_col), "cluster_id", F.col("d2").alias("sq_dist")
+    )

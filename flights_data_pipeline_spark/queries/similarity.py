@@ -684,3 +684,38 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid training (k-means refinement of the coarse quantizer).
+# ---------------------------------------------------------------------------
+@query("ivf_kmeans_fit")
+def ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-refined IVF coarse quantizer (``operators.kmeans``):
+    Lloyd's over the embedding corpus, deterministic hash init, 3
+    rounds — the fitting stage ``ann_ivf_probe``'s docstring defers.
+
+    Rows-only gate entry: an iterative fixed-point algorithm has no
+    single-statement SQL twin (the per-iteration kernels do — argmin
+    assignment and per-dimension means — and ``tests/test_kmeans.py``
+    pins recovery/monotonicity/determinism instead). Output is one row
+    per posting list with its population and centroid norm — the list-
+    balance diagnostic an IVF build reports.
+    """
+    from ..operators.kmeans import kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(e, k=8, max_iterations=3, init="hash")
+    return model.centroids.select(
+        "cluster_id",
+        "n_members",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "centroid", "centroid", lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("centroid_norm"),
+    )

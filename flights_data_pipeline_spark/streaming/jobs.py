@@ -85,6 +85,66 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows with an inactivity ``gap`` (batch twin:
+    ``queries/streaming.session_window_agg``).
+
+    Session state is the heavy streaming state shape: one open session
+    per active user key, merged on every in-gap event, closed (and
+    emitted, in append mode) only when the watermark passes
+    ``last_event + gap``. State size = O(active users), so this is the
+    job that decides the state-store backend: the default HDFS-backed
+    provider keeps every key on the executor HEAP — fine for thousands
+    of keys, an OOM for hundreds of millions — while RocksDB
+    (``use_rocksdb_state_store``) spills to local disk with changelog
+    checkpointing and is the setting this engine prescribes at scale.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+#: fully-qualified RocksDB state store provider class.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Pin the RocksDB state-store provider (+ changelog checkpointing)
+    on the session — must be set BEFORE a streaming query starts; the
+    provider is fixed per query run from the session conf at start.
+
+    Why at 100 TB: the default provider bounds total state by executor
+    heap and rewrites full snapshots each checkpoint; RocksDB keeps
+    working state on local SSD (heap holds only block cache),
+    checkpoints incrementally via changelog files, and recovers by
+    replaying the changelog onto the last snapshot.
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+
 #: output schema of the stateful user-counter operator.
 USER_COUNTER_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, emitted_on_timeout BOOLEAN"
 _STATE_SCHEMA = "n BIGINT, total DOUBLE"

@@ -1,0 +1,66 @@
+"""operators/kmeans.py: Lloyd's on DataFrames — recovery, monotonicity,
+determinism, IVF wiring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flights_data_pipeline_spark.io.catalog import load_table
+from flights_data_pipeline_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Three well-separated deterministic 4-d blobs, 30 points each."""
+    rows = []
+    centers = [(0.0, 0.0, 0.0, 0.0), (10.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 10.0)]
+    i = 0
+    for b, c in enumerate(centers):
+        for j in range(30):
+            # deterministic jitter in [-0.5, 0.5) from a simple LCG
+            jit = [(((j * 2654435761 + d * 40503 + b) % 1000) / 1000.0) - 0.5 for d in range(4)]
+            rows.append((i, [c[d] + jit[d] for d in range(4)], b))
+            i += 1
+    return spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, true_blob INT"
+    )
+
+
+def test_recovers_separated_blobs(spark, blobs):
+    model = kmeans_fit(blobs, k=3, max_iterations=15)
+    assert model.converged
+    labels = kmeans_assign(blobs, model).join(blobs, "vec_id")
+    # every true blob maps to exactly one fitted cluster and vice versa
+    m = labels.groupBy("true_blob").agg(
+        F.countDistinct("cluster_id").alias("k_in_blob")
+    )
+    assert all(r.k_in_blob == 1 for r in m.collect())
+    assert labels.select("cluster_id").distinct().count() == 3
+    # centroids sit within the jitter radius of the true centers
+    cents = {tuple(round(x) for x in r.centroid) for r in model.centroids.collect()}
+    assert cents == {(0, 0, 0, 0), (10, 10, 0, 0), (0, 0, 10, 10)}
+
+
+def test_inertia_not_worse_than_init_and_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(300)
+    one = kmeans_fit(e, k=8, max_iterations=1)
+    ten = kmeans_fit(e, k=8, max_iterations=8)
+    # Lloyd's is monotone: more iterations never increase inertia
+    assert ten.inertia <= one.inertia + 1e-9
+    again = kmeans_fit(e, k=8, max_iterations=8)
+    assert math.isclose(again.inertia, ten.inertia, rel_tol=0, abs_tol=0.0)
+    a1 = {r.vec_id: r.cluster_id for r in kmeans_assign(e, ten).collect()}
+    a2 = {r.vec_id: r.cluster_id for r in kmeans_assign(e, again).collect()}
+    assert a1 == a2
+
+
+def test_every_vector_assigned_and_sizes_sum(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(200)
+    model = kmeans_fit(e, k=5, max_iterations=5)
+    n = e.count()
+    assert model.centroids.agg(F.sum("n_members")).first()[0] == n
+    assert kmeans_assign(e, model).count() == n
+    assert model.centroids.count() == 5  # empty clusters kept, k stable

@@ -136,3 +136,17 @@ def test_frame_features_deterministic_and_sampled(spark, media):
     sha, mi = mm.decode_frame_stub(payload, 10)
     got = {i: (s, m) for i, s, m in by_media[2]}
     assert got[10] == (sha, pytest.approx(mi))
+
+
+def test_sample_frames_payload_accounting(media):
+    """Byte accounting comes from metadata only: payload_bytes is the
+    container size, frame_bytes_est its per-frame integer share."""
+    frames = mm.sample_frames(media, every_n=10)
+    meta = {
+        r.media_id: (len(r.payload), r.meta.n_frames)
+        for r in media.filter("meta.kind = 'video'").collect()
+    }
+    for r in frames.collect():
+        nbytes, nframes = meta[r.media_id]
+        assert r.payload_bytes == nbytes
+        assert r.frame_bytes_est == nbytes // nframes

@@ -273,3 +273,94 @@ def test_minhash_verify_join_never_broadcasts_arrays(spark, sf_dir):
     for chunk in plan.split("BroadcastExchange")[1:]:
         head = chunk.split("\n")[0]
         assert "hset" not in head and "hs_a" not in head and "hs_b" not in head, head
+
+
+def test_disjunctive_predicate_pushes_single_side_implications(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs mixes columns from both join sides, so
+    the full predicate can only run as a join residual — but Catalyst
+    must still push each side's own disjunction into its scan (the
+    quantity envelope into lineitem, the brand/size brackets into
+    part). Without that, the fact scan reads every row group."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["disjunctive_bracket_revenue"].fn(spark, sf_dir)
+    plan = _explain(spark, df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed), plan
+    assert any("p_brand" in l for l in pushed), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchanges are broadcast + the global-agg single partition
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_profit_rollup_broadcasts_every_dim(spark, sf_dir):
+    """Q9 shape: part/supplier/nation must all arrive via broadcast
+    hash joins — the fact table is never shuffled for a dim lookup."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["profit_by_nation_year"].fn(spark, sf_dir)
+    plan = _explain(spark, df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dormant_rich_plans_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS must plan as a LEFT ANTI hash join; the
+    scalar threshold is the only nested-loop (1-row broadcast)."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["dormant_rich_customers"].fn(spark, sf_dir)
+    plan = _explain(spark, df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path_factory):
+    """Z-ordered layout: row-group min/max stats prune point probes on
+    EITHER interleaved column; a lexicographic sort only prunes its
+    leading column. Both layouts hold identical rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flights_data_pipeline_spark.io.layout import write_sorted, write_zordered
+
+    d = str(tmp_path_factory.mktemp("zorder"))
+    # two independent uniform keys — the adversarial case for
+    # lexicographic clustering
+    df = spark.range(80_000).selectExpr(
+        "id", "id % 283 AS ka", "CAST((id * 2654435761) % 293 AS BIGINT) AS kb"
+    )
+    write_sorted(df, f"{d}/lex", ["ka", "kb"], n_files=4, parquet_block_bytes=65536)
+    write_zordered(
+        df, f"{d}/z", ["ka", "kb"], bits=8, n_files=4, parquet_block_bytes=65536
+    )
+
+    def hit_fraction(base: str, col: str, key: int) -> float:
+        total = hit = 0
+        for f in glob.glob(f"{base}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                total += 1
+                for c in range(md.num_columns):
+                    s = md.row_group(g).column(c)
+                    if s.path_in_schema == col:
+                        st = s.statistics
+                        if st.min <= key <= st.max:
+                            hit += 1
+        assert total > 8, f"need multiple row groups, got {total}"
+        return hit / total
+
+    # leading column: both layouts prune hard
+    assert hit_fraction(f"{d}/lex", "ka", 7) < 0.35
+    assert hit_fraction(f"{d}/z", "ka", 7) < 0.6
+    # second column: lexicographic cannot prune, z-order must
+    lex_kb = hit_fraction(f"{d}/lex", "kb", 7)
+    z_kb = hit_fraction(f"{d}/z", "kb", 7)
+    assert lex_kb > 0.9, lex_kb
+    assert z_kb < 0.6, z_kb
+    # content identical
+    from collections import Counter
+
+    a = Counter(map(tuple, spark.read.parquet(f"{d}/lex").collect()))
+    b = Counter(map(tuple, spark.read.parquet(f"{d}/z").collect()))
+    assert a == b

@@ -163,3 +163,56 @@ def test_tumbling_agg_under_rocksdb_state_store(spark, events_dir, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_session_counts_rocksdb_state_metrics(spark, events_dir, sf_dir):
+    """Session-window stream under RocksDB: (a) results equal the batch
+    session kernel, (b) the query's state operator reports its state
+    rows and the RocksDB provider's own metrics are present — the
+    observability a capacity plan needs (state rows × bytes/row =
+    store size; with RocksDB that budget is local disk, not heap)."""
+    from flights_data_pipeline_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER,
+        read_events_stream,
+        session_counts,
+        use_rocksdb_state_store,
+    )
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf, None)
+    use_rocksdb_state_store(spark)
+    assert spark.conf.get(conf) == ROCKSDB_PROVIDER
+    try:
+        sdf = session_counts(read_events_stream(spark, events_dir, 2))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_sess_rocks")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        progress = q.lastProgress
+        got = {
+            (r.user_id, r.session_start): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM t_sess_rocks").collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(conf, old)
+        else:
+            spark.conf.unset(conf)
+
+    ops = progress["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] > 0
+    # RocksDB-specific custom metrics prove the provider actually ran
+    assert any(k.startswith("rocksdb") for k in ops[0]["customMetrics"])
+
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    batch = REGISTRY["session_window_agg"].fn(spark, sf_dir)
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
