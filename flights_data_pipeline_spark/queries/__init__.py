@@ -20,6 +20,7 @@ from . import advanced  # noqa: F401
 from . import io_functions  # noqa: F401
 from . import shapes  # noqa: F401
 from . import olap  # noqa: F401
+from . import timeseries  # noqa: F401
 from . import flights  # noqa: F401
 from . import profiling  # noqa: F401
 from . import curation  # noqa: F401

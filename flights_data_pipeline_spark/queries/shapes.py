@@ -605,3 +605,57 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(1.0)
         ).alias("quantile_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide → long): the inverse of pivot_linestatus.
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_measures",
+    oracle="""
+    WITH long AS (
+      SELECT 'quantity' AS measure,
+             CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2))
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+    )
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean
+    FROM long GROUP BY measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of the four lineitem measures, then one
+    aggregate over the long form — the melt that feeds any
+    per-measure statistics pass.
+
+    Spark's native ``unpivot`` (Expand under the hood) emits the long
+    rows in the SAME task that scanned them — no shuffle until the
+    aggregate, and the aggregate's partials collapse 4 measures ×
+    n_rows down to 4 groups map-side. The oracle states the identical
+    relation as UNION ALL (pure ANSI); engines agree because the
+    measure values are decimal-cast before any arithmetic.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    long = li.select(
+        _dec("l_quantity").alias("quantity"),
+        _dec("l_extendedprice").alias("extendedprice"),
+        _dec("l_discount").alias("discount"),
+        _dec("l_tax").alias("tax"),
+    ).unpivot([], ["quantity", "extendedprice", "discount", "tax"], "measure", "v")
+    return long.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(18,2)").cast("double").alias("total"),
+        (
+            F.sum("v").cast("decimal(18,2)").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean"),
+    )

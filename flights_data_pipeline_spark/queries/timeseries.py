@@ -1,0 +1,189 @@
+"""Time-series analytics shapes over the events stream table.
+
+The reference's mart layer answers daily-rollup questions
+(``fct_seat_occupied_daily`` — SURVEY.md §1.4); the two shapes here are
+the canonical time-series constructions layered on such rollups that
+plain GROUP BY cannot express:
+
+* ``gap_fill_forward`` — a dense date spine with last-observation-
+  carried-forward: reporting tables must show EVERY (entity, day) cell,
+  including days with no fact rows (a missing day is not a zero — it
+  is "unchanged since yesterday" for balance-like measures).
+* ``cohort_retention`` — the classic product-analytics triangle:
+  users grouped by first-activity week, activity counted per week
+  offset, retention as a share of the cohort's size.
+
+Float discipline: money stays decimal until the output surface
+(``money_out``); ratios divide a bigint by a bigint cast to double on
+both engines (identical operands → identical IEEE quotient).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.scalars import money as _dec
+from ..io.catalog import load_table as t
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Dense date spine + forward fill (gaps-and-carry).
+# ---------------------------------------------------------------------------
+@query(
+    "gap_fill_forward",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds b
+    ),
+    spine AS (
+      SELECT u.user_id, days.day
+      FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS spend
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT s.user_id, s.day,
+           CAST(d.spend AS DOUBLE) AS day_spend,
+           CAST(last_value(d.spend IGNORE NULLS)
+                  OVER (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS filled_spend,
+           d.spend IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase spend on a DENSE day spine, gaps
+    forward-filled with the last observed value.
+
+    The spine is generated, never stored: ``sequence(min_day,
+    max_day)`` exploded against the distinct-user list — at 100 TB the
+    spine is |users| × |days| rows of two small columns, built from
+    one O(1) bounds aggregate; the fact table contributes only its
+    actual rows via a left join on (user, day). The forward fill is
+    ``last(ignorenulls)`` over an unbounded-preceding frame — one
+    window pass per user partition, no self-join chain.
+    """
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(_dec("value")).cast("decimal(18,2)").alias("spend"))
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("spend").cast("double").alias("day_spend"),
+        F.last("spend", ignorenulls=True).over(w).cast("double").alias(
+            "filled_spend"
+        ),
+        F.col("spend").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention triangle.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week)
+                  / 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           COUNT(*) / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM activity a JOIN cohort_sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    distinct-active counted at each week offset, retention as the
+    cohort share still active.
+
+    Two aggregates and one fact join: firsts (one row per user) is
+    orders of magnitude smaller than events, so it broadcasts into the
+    activity join; the distinct collapses (user, offset) duplicates
+    map-side before the final count. Both engines compute the offset
+    as exact integer day arithmetic (datediff/7 floor division) and
+    retention as bigint/double(bigint) — no rounding anywhere.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.select("user_id", "ts")
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+    )
