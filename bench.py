@@ -2,10 +2,16 @@
 """Benchmark harness (M5, SURVEY.md §7.1 / BASELINE.md protocol).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 1 warmup + 3 timed
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 2 warmups + 3 timed
 runs per query, reports the median. Materialization uses the `noop`
 sink so every output column is computed but nothing is collected to
 the driver (collect would measure driver serialization, not the plan).
+
+Two warmups, not one: generated-code-heavy queries (the md5-dense
+minhash signature pass) need a second execution before HotSpot's C2
+tier compiles their codegen — their first two runs measure the JIT,
+not the plan (observed: 11 s → 6 s → 1.5 s steady). The cold protocol
+below intentionally keeps that cliff visible.
 
 Set SPARK_GRAFT_BENCH_COLD=1 for the cold protocol: no warmup, a
 single timed run per query — the shape of a first-ever execution
@@ -84,7 +90,8 @@ def main() -> None:
             continue
         try:
             if not cold:
-                materialize(q.fn(spark, sf_dir))  # warmup (JIT, footer cache)
+                for _ in range(2):  # warmup (codegen + C2 JIT, footer cache)
+                    materialize(q.fn(spark, sf_dir))
             runs = []
             for _ in range(1 if cold else 3):
                 t0 = time.perf_counter()

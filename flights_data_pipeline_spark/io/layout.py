@@ -143,18 +143,40 @@ def write_zordered(
     away from free, and it is the only extra cost over a plain sorted
     write.
     """
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
     spark = df.sparkSession
+
+    def numeric(c: str) -> Column:
+        """Orderable column → double preserving order (dates/timestamps
+        via their epoch representation; strings have no meaningful
+        linear order for locality and are rejected)."""
+        dt = df.schema[c].dataType
+        if isinstance(dt, NumericType):
+            return F.col(c).cast("double")
+        if isinstance(dt, DateType):
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if isinstance(dt, TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        raise ValueError(
+            f"write_zordered: column {c!r} has non-orderable-numeric type "
+            f"{dt.simpleString()}; z-order keys must be numeric, date, or "
+            "timestamp (a hashed string has no locality to preserve)"
+        )
+
     bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_cols],
+        *[F.min(numeric(c)).alias(f"mn_{c}") for c in zorder_cols],
+        *[F.max(numeric(c)).alias(f"mx_{c}") for c in zorder_cols],
     ).first()
     levels = (1 << bits) - 1
     scaled = []
     for c in zorder_cols:
         mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None:  # empty or all-null column
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         scaled.append(
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * levels)
+            F.floor((numeric(c) - F.lit(mn)) / F.lit(span) * levels)
             .cast("bigint")
         )
     keyed = df.withColumn("__z", zorder_key(scaled, bits=bits))

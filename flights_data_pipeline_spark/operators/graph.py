@@ -48,29 +48,62 @@ def connected_components(
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.distinct().localCheckpoint(eager=True)
 
+    # size-adaptive parallelism: an iterative loop pays its per-round
+    # shuffle/scheduling overhead PER PARTITION, and near-dup edge
+    # lists are routinely tiny relative to the corpus that produced
+    # them. One partition per ~100k edges (capped at the cluster
+    # default) keeps small graphs on single-task rounds — at 100 TB
+    # the cap keeps the loop fully parallel.
+    n_edges = e.count()
+    spark = e.sparkSession
+    n_part = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1)
+    )
+    e = e.repartition(n_part, "u").localCheckpoint(eager=True)
+
     labels = (
         e.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("component"))
     )
+    prev_sum = None
     for _ in range(max_iterations):
+        # neighbor propagation: adopt the smallest label next door
         msgs = e.join(labels, e.u == labels.node).select(
             F.col("v").alias("node"), "component"
         )
-        new_labels = (
+        stepped = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping (path compression): also adopt the label OF
+        # the label node. label(v) is always a member of v's component
+        # (both rules preserve that invariant), so this stays correct
+        # while halving the remaining propagation distance — rounds
+        # drop from O(diameter) to O(log diameter), which is the
+        # difference between 12 rounds and 4 on a chain-shaped
+        # near-dup cluster.
+        parents = stepped.select(
+            F.col("node").alias("component"), F.col("component").alias("parent")
+        )
+        labels = (
+            stepped.join(parents, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("parent"), F.col("component")),
+                ).alias("component"),
+            )
+            .repartition(n_part, "node")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # labels only ever decrease, so the label sum is a strictly
+        # decreasing potential: unchanged sum ⇔ converged (one narrow
+        # aggregate replaces a join-based diff job)
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # exhausting the loop without a zero-change round means a
         # component deeper than max_iterations hops still carries

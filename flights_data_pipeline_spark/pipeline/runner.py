@@ -106,16 +106,25 @@ def run_transforms(
     retries: int = 0,
     on_failure: FailureCallback | None = None,
     clustered: bool = False,
+    layout: str = "sorted",
 ) -> None:
     """Materialize dims then facts in the reference's fixed order (O4).
 
-    With ``clustered=True`` fact tables are written through
-    ``write_sorted`` (range-repartitioned + sorted on their join/filter
-    keys) so parquet row-group stats prune downstream reads — the
-    layout that matters once facts are the 100 TB side. Dims stay
-    plain (broadcast-sized; layout is irrelevant).
+    With ``clustered=True`` fact tables are written through a
+    clustering layout so parquet row-group stats prune downstream
+    reads — the lever that matters once facts are the 100 TB side.
+    ``layout`` picks the clustering: ``"sorted"`` (``write_sorted``,
+    range-repartitioned + sorted on the fact's key list — perfect
+    pruning on the leading key) or ``"zorder"`` (``write_zordered``,
+    Morton interleave — pruning on EVERY key of a multi-key fact; only
+    meaningful where ``FACT_SORT_KEYS`` lists 2+ keys, single-key
+    facts fall back to sorted). Dims stay plain (broadcast-sized;
+    layout is irrelevant).
     """
-    from ..io.layout import write_sorted
+    from ..io.layout import write_sorted, write_zordered
+
+    if layout not in ("sorted", "zorder"):
+        raise ValueError(f"unknown layout: {layout!r} (use 'sorted' or 'zorder')")
 
     for name in TRANSFORM_ORDER:
 
@@ -123,7 +132,10 @@ def run_transforms(
             df = TRANSFORMS[name](spark, staging_dir)
             keys = FACT_SORT_KEYS.get(name)
             if clustered and keys:
-                write_sorted(df, f"{warehouse_dir}/{name}", keys)
+                if layout == "zorder" and len(keys) >= 2:
+                    write_zordered(df, f"{warehouse_dir}/{name}", keys)
+                else:
+                    write_sorted(df, f"{warehouse_dir}/{name}", keys)
             else:
                 df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}")
 

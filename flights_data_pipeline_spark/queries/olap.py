@@ -486,3 +486,68 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer (wide group-by).
+# ---------------------------------------------------------------------------
+@query(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_mktsegment,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           CAST(CAST(SUM(volume) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM (
+      SELECT l.l_orderkey, {_DISC_PRICE_SQL} AS volume
+      FROM lineitem l
+      WHERE l.l_returnflag = 'R'
+    ) r
+    JOIN orders o   ON o.o_orderkey = r.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: who returned the most revenue last quarter — a wide
+    GROUP BY carrying dim attributes through the aggregate, then
+    top-20.
+
+    The grouping key includes every customer attribute the report
+    shows; since c_custkey is the PK, the extra key columns change no
+    group boundaries, only ride along — the plan that avoids a second
+    join back to customer after aggregating. Selective filters
+    (returnflag, quarter) sit on the scans; the top-20 is a
+    TakeOrderedAndProject, not a global sort.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.select("l_orderkey", _disc_price().alias("volume"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation", "c_mktsegment", "c_acctbal")
+        .agg(F.sum("volume").cast("decimal(18,2)").cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -61,3 +61,27 @@ def test_clustered_fact_files_have_disjoint_key_ranges(spark, staged):
     assert len(ranges) >= 2  # actually split across files
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges  # disjoint (sorted) file key ranges
+
+
+def test_zorder_layout_equals_plain(spark, staged):
+    """layout='zorder' rewrites multi-key facts via Morton clustering
+    with identical content; single-key facts fall back to sorted."""
+    d = staged
+    run_transforms(spark, f"{d}/stg", f"{d}/wh_plain2")
+    run_transforms(spark, f"{d}/stg", f"{d}/wh_z", clustered=True, layout="zorder")
+    for fact in ("fct_seat_occupied_daily", "fct_booking_ticket"):
+        plain = Counter(
+            map(tuple, spark.read.parquet(f"{d}/wh_plain2/{fact}").collect())
+        )
+        z = Counter(map(tuple, spark.read.parquet(f"{d}/wh_z/{fact}").collect()))
+        assert plain == z, fact
+
+
+def test_run_transforms_rejects_unknown_layout(spark, staged):
+    import pytest
+
+    with pytest.raises(ValueError, match="layout"):
+        run_transforms(
+            spark, f"{staged}/stg", f"{staged}/wh_bad", clustered=True,
+            layout="hilbert",
+        )
