@@ -551,3 +551,261 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived part-supplier relation (partsupp stand-in) for Q2/Q11/Q16.
+# ---------------------------------------------------------------------------
+# The driver schema has no partsupp table; lineitem's (l_partkey,
+# l_suppkey) pairs ARE the observed part-supplier relation, with
+# unit price (extendedprice/quantity, one exact IEEE division) as the
+# supply-cost stand-in and line count as activity. Both engines build
+# it identically, so the Q2/Q11/Q16 families run unchanged on top.
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+             CAST(COUNT(*) AS BIGINT) AS ps_lines
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        F.count("*").cast("bigint").alias("ps_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier per part (correlated min).
+# ---------------------------------------------------------------------------
+@query(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, p.p_size, s.s_suppkey, s.s_name,
+             n.n_name AS nation, ps.ps_supplycost
+      FROM part p
+      JOIN ps ON ps.ps_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size <= 15 AND r.r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT p_partkey, MIN(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY p_partkey
+    )
+    SELECT e.p_partkey, e.p_name, e.p_size, e.s_suppkey, e.s_name,
+           e.nation, e.ps_supplycost AS supplycost
+    FROM eligible e JOIN best b
+      ON e.p_partkey = b.p_partkey AND e.ps_supplycost = b.min_cost
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each small EUROPE-supplied part, the supplier(s)
+    with the minimum supply cost — the correlated-min subquery
+    decorrelated into a per-part MIN joined back on equality.
+
+    The min and the join-back compare the SAME double value computed
+    once (no re-derivation), so float equality is safe here — it's
+    identity, not arithmetic. eligible is the one shuffle (part-keyed);
+    best reuses its exchange; supplier/nation/region broadcast.
+    """
+    ps = _ps(spark, sf_dir)
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 15)
+        .select("p_partkey", "p_name", "p_size")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nr = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", F.col("n_name").alias("nation"))
+    eligible = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "p_size", "s_suppkey", "s_name",
+            "nation", "ps_supplycost",
+        )
+    )
+    best = eligible.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            best,
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "p_partkey", "p_name", "p_size", "s_suppkey", "s_name",
+            "nation", F.col("ps_supplycost").alias("supplycost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important stock — group value vs a global threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "important_stock_value",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    val AS (
+      SELECT ps.ps_partkey,
+             CAST(SUM(CAST(ROUND(CAST(ps.ps_supplycost AS DECIMAL(18,4))
+                                 * ps.ps_lines, 2) AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS part_value
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY ps.ps_partkey
+    ),
+    tot AS (SELECT CAST(SUM(part_value) AS DECIMAL(18,2)) AS total FROM val)
+    SELECT v.ps_partkey AS p_partkey,
+           CAST(v.part_value AS DOUBLE) AS part_value
+    FROM val v CROSS JOIN tot
+    WHERE v.part_value * 1000 > tot.total
+    """,
+)
+def important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose ASIA-supplied stock value exceeds 1/1000
+    of the total — a grouped aggregate filtered against a scalar
+    aggregate OF ITSELF.
+
+    The threshold comparison is division-free (``value·1000 > total``)
+    on exact decimals; the per-part value rounds the double
+    cost×activity product to cents first so both engines sum identical
+    decimals. The total reuses the per-part aggregate's exchange; the
+    1-row total broadcasts.
+    """
+    ps = _ps(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cents = F.round(
+        F.col("ps_supplycost").cast("decimal(18,4)") * F.col("ps_lines"), 2
+    ).cast("decimal(18,2)")
+    val = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(cents).cast("decimal(18,2)").alias("part_value"))
+    )
+    tot = val.agg(F.sum("part_value").cast("decimal(18,2)").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") * 1000 > F.col("total"))
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier diversity per part attribute, NOT-IN filter.
+# ---------------------------------------------------------------------------
+@query(
+    "parts_supplier_diversity",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def parts_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier count per (brand, type, size) with
+    attribute exclusions and a NOT-IN supplier blacklist (negative
+    balance standing in for the reference's complaint filter).
+
+    NOT IN over a non-nullable key plans as LEFT ANTI — never a
+    nested loop. The distinct count runs partial-aggregated on
+    (attrs, suppkey) before the final count, so the shuffle carries
+    deduplicated pairs, not raw lineitem fan-out.
+    """
+    ps = _ps(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    blacklist = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(blacklist, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast-revenue — pure scan + predicate + one sum.
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_discount AS DECIMAL(18,2)), 2)
+                         AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        AS revenue_effect,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the pure scan query — three pushed predicates, no
+    join, one global sum. The whole plan must be scan → filter →
+    partial agg → single-partition final: every predicate reaches
+    PushedFilters, and at 100 TB the year bound prunes row groups
+    before any row is read.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    eff = F.round(_dec("l_extendedprice") * _dec("l_discount"), 2).cast(
+        "decimal(18,2)"
+    )
+    return li.agg(
+        F.sum(eff).cast("decimal(18,2)").cast("double").alias("revenue_effect"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )

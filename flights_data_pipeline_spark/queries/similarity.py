@@ -719,3 +719,67 @@ def ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: kmeans blocking → in-cluster cosine pairs → closure.
+# ---------------------------------------------------------------------------
+#: cosine threshold for "semantically duplicate" (corpus-calibrated —
+#: this synthetic corpus's nearest neighbors sit at ~0.34; real
+#: near-dup corpora use ≥0.9).
+SEMANTIC_DUP_COSINE = 0.3
+
+
+@query("semantic_cluster_dedup")
+def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup over the embedding corpus: k-means
+    blocks the vectors (data-ADAPTIVE buckets, unlike the sign-LSH
+    blocking of ``embedding_near_dup``), exact cosine runs only within
+    blocks, and connected components closes the pair set into dedup
+    groups with a keep-one representative per group.
+
+    Rows-only gate entry (the kmeans stage has no SQL twin; the
+    in-cluster pair kernel and the closure are each oracle-matched in
+    their own queries). Measured on this corpus (BASELINE.md): kmeans
+    lists are tighter than hash-sampled ones (size CV 0.088 vs 0.102),
+    and at 100 TB adaptive blocking concentrates true neighbors into
+    the same block, which fixed hyperplanes cannot promise. Caveat,
+    measured not hidden: k-means blocking has no collision guarantee —
+    a pair straddling a block boundary is missed (LSH multi-probe
+    bounds that miss probability; the production design uses kmeans
+    blocks + multi-assignment of boundary vectors, i.e. assign each
+    vector to its top-2 nearest centroids).
+    """
+    from ..operators.graph import connected_components
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(e, k=8, max_iterations=3, init="hash")
+    labeled = kmeans_assign(e, model).join(
+        e.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        "vec_id", "cluster_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = labeled.alias("a"), labeled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            (
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_COSINE)
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    return comp.select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.col("component").cast("bigint").alias("dup_group"),
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )
