@@ -603,3 +603,59 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_saturated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mix sampling (τ=2 square-root flattening).
+# ---------------------------------------------------------------------------
+@query(
+    "temperature_mix_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT MIN(n) AS n_min FROM counts),
+    hashed AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    )
+    SELECT b.doc_id, b.lang
+    FROM (SELECT doc_id, lang, {_bucket16_duck()} AS bucket16 FROM hashed) b
+    JOIN counts c ON b.lang = c.lang CROSS JOIN mn
+    WHERE b.bucket16 < floor(65536 * sqrt(mn.n_min) / sqrt(c.n))
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature mix (τ=2): downsample each language
+    stratum to ``sqrt(n_min · n_s)`` documents, flattening the corpus
+    mix toward the sqrt distribution — the standard multilingual
+    rebalancing between proportional (τ=1, majority-dominated) and
+    uniform (τ→∞, minority-overfit). The minority stratum keeps 100%;
+    a stratum k× larger keeps sqrt(k)× more documents, not k×.
+
+    τ=2 exactly because every operation stays cross-engine-exact:
+    sqrt, multiply, divide are IEEE correctly-rounded in both engines,
+    so the per-stratum 16-bit hash threshold is bit-identical (general
+    τ needs pow(), whose last-ulp rounding is libm-specific — the
+    engine rule is: never put a non-correctly-rounded function on a
+    keep/drop boundary). Same plan shape as
+    ``stratified_rebalance_sample``: one tiny counts aggregate
+    broadcast back over a narrow corpus scan — the corpus itself never
+    shuffles.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    mn = counts.agg(F.min("n").alias("n_min"))
+    hashed = d.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    bucket16 = F.expr(_bucket16_spark())
+    return (
+        hashed.select("doc_id", "lang", bucket16.alias("bucket16"))
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(
+            F.col("bucket16")
+            < F.floor(65536 * F.sqrt(F.col("n_min")) / F.sqrt(F.col("n")))
+        )
+        .select("doc_id", "lang")
+    )
