@@ -187,3 +187,55 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-based RANGE frame: rolling 7-day sum per user.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_7day_user_spend",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                              AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS DOUBLE) AS spend_7d,
+           CAST(COUNT(*)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_7d
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def rolling_7day_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase, the user's trailing-7-day spend and purchase count
+    — the time-based RANGE frame (each row's frame is a VALUE interval
+    on the ordering column, not a row count; two purchases seconds
+    apart share almost the same frame, which no ROWS frame can say).
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    runs over ``unix_micros(ts)`` with a 7-day microsecond radius —
+    identical frame membership to the oracle's INTERVAL arithmetic
+    (timestamps are exact microsecond integers in both engines; ties
+    on the boundary land identically). One shuffle on user_id; within
+    a partition the running frame is a two-pointer pass over the
+    sorted rows.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    micros_7d = 7 * 24 * 3600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-micros_7d, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(_dec("value")).over(w).cast("decimal(18,2)").cast("double").alias(
+            "spend_7d"
+        ),
+        F.count("*").over(w).cast("bigint").alias("n_7d"),
+    )
