@@ -324,3 +324,100 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         }
         rows.append((i, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+#: output schema of the deterministic resize pass.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("target_width", T.IntegerType(), True),
+        T.StructField("target_height", T.IntegerType(), True),
+        T.StructField("resized_mean", T.DoubleType(), True),
+        T.StructField("resized_sha", T.StringType(), True),
+    ]
+)
+
+
+def resize_image_stub(
+    payload: bytes, w: int, h: int, tw: int, th: int
+) -> tuple[float, str]:
+    """Deterministic resize MATH on fake pixels: expand the payload
+    hash into a w×h grayscale image, area-average down to tw×th, and
+    return (mean, sha256 of the resized bytes).
+
+    The arithmetic (box-filter area averaging over integer bucket
+    boundaries) is exactly what a real grayscale downscale does; only
+    the pixel SOURCE is fake (hash-expanded instead of codec-decoded).
+    numpy end-to-end — the per-batch work a real resize stage would
+    put through each Arrow batch, so batch-size planning against this
+    stub transfers to the real codec path.
+    """
+    if payload is None or not w or not h:
+        return None, None
+    import numpy as np
+
+    # hash-expand payload → deterministic w*h bytes
+    n = w * h
+    reps = -(-n // 32)
+    seed = hashlib.sha256(payload).digest()
+    buf = bytearray()
+    block = seed
+    for _ in range(reps):
+        block = hashlib.sha256(block).digest()
+        buf.extend(block)
+    px = np.frombuffer(bytes(buf[:n]), dtype=np.uint8).reshape(h, w)
+    # integer-boundary box filter: pixel (y, x) of the target averages
+    # source rows [y*h//th, (y+1)*h//th) × cols [x*w//tw, (x+1)*w//tw)
+    ys = [(y * h) // th for y in range(th + 1)]
+    xs = [(x * w) // tw for x in range(tw + 1)]
+    out = np.empty((th, tw), dtype=np.float64)
+    for y in range(th):
+        for x in range(tw):
+            out[y, x] = px[ys[y] : ys[y + 1] or ys[y] + 1,
+                           xs[x] : xs[x + 1] or xs[x] + 1].mean()
+    q = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return float(q.mean()), hashlib.sha256(q.tobytes()).hexdigest()
+
+
+def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """Image resize stage end-to-end: JVM-side target-dimension math
+    (``resize_plan``'s aspect-preserving rule) feeding an Arrow-batched
+    numpy box-filter resize per row. Deterministic: same payload →
+    same resized checksum on every engine and run."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_side, F.greatest(w, h) / F.lit(max_side)
+    ).otherwise(F.lit(1.0))
+    planned = df.filter(F.col("meta.kind") == "image").select(
+        "media_id",
+        "payload",
+        w.alias("width"),
+        h.alias("height"),
+        F.ceil(w / scale).cast("int").alias("target_width"),
+        F.ceil(h / scale).cast("int").alias("target_height"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [
+                resize_image_stub(p, int(w_), int(h_), int(tw), int(th))
+                for p, w_, h_, tw, th in zip(
+                    pdf["payload"], pdf["width"], pdf["height"],
+                    pdf["target_width"], pdf["target_height"],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "target_width": pdf["target_width"].astype("int32"),
+                    "target_height": pdf["target_height"].astype("int32"),
+                    "resized_mean": [r[0] for r in res],
+                    "resized_sha": [r[1] for r in res],
+                }
+            )
+
+    return planned.mapInPandas(batches, RESIZE_SCHEMA)

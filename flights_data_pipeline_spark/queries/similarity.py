@@ -783,3 +783,62 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("dup_group"),
         (F.col("node") == F.col("component")).alias("is_representative"),
     )
+
+
+@query("ann_ivf_kmeans")
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over a K-MEANS-trained quantizer — `ann_ivf_probe`
+    with `operators.kmeans` centroids in place of the hash sample
+    (measured list balance: size CV 0.088 vs 0.102, BASELINE.md; the
+    gap widens on clustered real corpora where sampled centroids land
+    inside dense regions).
+
+    Rows-only gate entry (the quantizer training is iterative); the
+    probe mechanics — top-`IVF_N_PROBE` list routing, in-list exact
+    cosine, per-query top-k — are identical to the oracle-matched
+    `ann_ivf_probe`. Plan: centroids broadcast twice (assignment +
+    routing), corpus shuffles once on list_id.
+    """
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(e, k=IVF_N_LISTS, max_iterations=3, init="hash")
+    v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    assign = kmeans_assign(e, model).select(
+        "vec_id", F.col("cluster_id").alias("list_id")
+    ).join(v, "vec_id")
+
+    cents = model.centroids.select(
+        F.col("cluster_id").alias("list_id"),
+        F.transform("centroid", lambda x: x.cast("float")).alias("c_emb"),
+    ).withColumn("c_nrm", _norm(F.col("c_emb")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    q_sim = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    wq = W.partitionBy("query_id").orderBy(F.col("q_sim").desc(), F.col("list_id"))
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "q_nrm", "list_id", q_sim.alias("q_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_N_PROBE)
+        .drop("rn", "q_sim")
+    )
+    scored = qprobe.join(assign, "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -150,3 +150,44 @@ def test_sample_frames_payload_accounting(media):
         nbytes, nframes = meta[r.media_id]
         assert r.payload_bytes == nbytes
         assert r.frame_bytes_est == nbytes // nframes
+
+
+def test_resize_images_deterministic_and_bounded(spark, media):
+    """The numpy box-filter resize: bounded target dims, deterministic
+    checksums across runs, means within pixel range."""
+    out1 = {r.media_id: r for r in mm.resize_images(media, max_side=32).collect()}
+    out2 = {r.media_id: r for r in mm.resize_images(media, max_side=32).collect()}
+    assert out1.keys() == out2.keys() and len(out1) > 0
+    for mid, r in out1.items():
+        assert max(r.target_width, r.target_height) <= 32
+        assert 0.0 <= r.resized_mean <= 255.0
+        assert r.resized_sha == out2[mid].resized_sha
+        # aspect ratio preserved within rounding
+        assert abs(
+            r.width / r.height - r.target_width / r.target_height
+        ) < 0.2
+
+
+def test_resize_stub_exact_small_case():
+    """4x2 image of known bytes halved to 2x1: each target pixel is the
+    mean of its 2x2 block — verifiable by hand through the hash
+    expansion."""
+    import hashlib
+
+    import numpy as np
+
+    payload = b"px"
+    # reproduce the expansion: first block after seed
+    seed = hashlib.sha256(payload).digest()
+    block = hashlib.sha256(seed).digest()
+    px = np.frombuffer(block[:8], dtype=np.uint8).reshape(2, 4)
+    want = np.clip(
+        np.floor(
+            np.array(
+                [[px[0:2, 0:2].mean(), px[0:2, 2:4].mean()]]
+            ) + 0.5
+        ), 0, 255,
+    ).astype(np.uint8)
+    mean, sha = mm.resize_image_stub(payload, 4, 2, 2, 1)
+    assert sha == hashlib.sha256(want.tobytes()).hexdigest()
+    assert mean == float(want.mean())
