@@ -844,3 +844,50 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+@query(
+    "multiset_set_ops",
+    oracle="""
+    WITH hot AS (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45
+    ),
+    ret AS (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    ea AS (SELECT k, 'except_all' AS op FROM (SELECT k FROM hot EXCEPT ALL
+                                              SELECT k FROM ret)),
+    ia AS (SELECT k, 'intersect_all' AS op FROM (SELECT k FROM hot
+                                                 INTERSECT ALL
+                                                 SELECT k FROM ret))
+    SELECT op, k, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+    GROUP BY op, k
+    """,
+)
+def multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the MULTISET set operations, which
+    preserve duplicate multiplicity (DISTINCT-flavored set ops collapse
+    it: `except_customers_without_orders` covers that family).
+
+    Bag semantics: a key appearing 5× in the left and 2× in the right
+    survives EXCEPT ALL 3× and INTERSECT ALL 2×. Spark plans both as a
+    single aggregate computing per-key counts on each side then
+    replicating rows by the count difference/minimum — one shuffle per
+    input, no join. The output aggregates multiplicities so the gate
+    compares exact integers.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") >= 45).select(
+        F.col("l_suppkey").alias("k")
+    )
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k")
+    )
+    ea = hot.exceptAll(ret).select("k", F.lit("except_all").alias("op"))
+    ia = hot.intersectAll(ret).select("k", F.lit("intersect_all").alias("op"))
+    return (
+        ea.unionByName(ia)
+        .groupBy("op", "k")
+        .agg(F.count("*").cast("bigint").alias("multiplicity"))
+    )

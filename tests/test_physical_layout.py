@@ -364,3 +364,29 @@ def test_zorder_write_prunes_on_both_columns(spark, tmp_path_factory):
     a = Counter(map(tuple, spark.read.parquet(f"{d}/lex").collect()))
     b = Counter(map(tuple, spark.read.parquet(f"{d}/z").collect()))
     assert a == b
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """zorder_key's shift/mask expression equals the reference Python
+    Morton interleave, and is injective over the quantized domain."""
+    from flights_data_pipeline_spark.io.layout import zorder_key
+
+    def ref_z(a: int, b: int, bits: int = 8) -> int:
+        z = 0
+        for bit in range(bits):
+            z |= ((a >> bit) & 1) << (bit * 2)
+            z |= ((b >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    df = spark.range(256 * 4).selectExpr(
+        "CAST(id % 256 AS BIGINT) AS a", "CAST((id * 37) % 256 AS BIGINT) AS b"
+    )
+    got = df.select(
+        "a", "b", zorder_key(["a", "b"], bits=8).alias("z")
+    ).collect()
+    zs = set()
+    for r in got:
+        assert r.z == ref_z(r.a, r.b), (r.a, r.b, r.z)
+        zs.add((r.a, r.b, r.z))
+    # injective: distinct (a, b) → distinct z
+    assert len({z for _, _, z in zs}) == len({(a, b) for a, b, _ in zs})
