@@ -842,3 +842,85 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training.
+# ---------------------------------------------------------------------------
+#: hard negatives returned per query vector.
+N_HARD_NEG = 5
+
+
+def _hardneg_oracle() -> str:
+    dot = _duck_dot("q.q_emb", "v.embedding")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb,
+             nrm AS q_nrm
+      FROM v WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, q.q_label, v.vec_id AS neg_id,
+             v.label AS neg_label,
+             {dot} / (q.q_nrm * v.nrm) AS cosine
+      FROM q JOIN v ON v.label <> q.q_label
+    )
+    SELECT query_id, q_label, neg_id, neg_label,
+           CAST(rn AS BIGINT) AS rank, cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neg_id) AS rn
+      FROM scored
+    ) WHERE rn <= {N_HARD_NEG}
+    """
+
+
+@query("hard_negative_mining", oracle=_hardneg_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the
+    {N_HARD_NEG} most similar vectors with a DIFFERENT label — the
+    near-misses that make a contrastive loss learn boundaries (random
+    negatives are trivially separable and teach nothing).
+
+    The query side broadcasts (queries are the small side by
+    construction); the label-mismatch predicate rides the broadcast
+    join as a residual filter, so the corpus is scanned once with no
+    shuffle before the per-query top-k window. At 100 TB the exact
+    scan becomes the rerank stage behind an ANN candidate pass
+    (`ann_ivf_probe`/`ann_lsh_bucketed`) — same kernel, pre-filtered
+    input.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= N_HARD_NEG)
+        .select("query_id", "q_label", "neg_id", "neg_label", "rank", "cosine")
+    )

@@ -216,3 +216,56 @@ def test_session_counts_rocksdb_state_metrics(spark, events_dir, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_transform_with_state_counters(spark, events_dir, sf_dir):
+    """transformWithState twin of the applyInPandasWithState operator:
+    final per-user counts equal the batch aggregate (requires RocksDB)."""
+    import pytest
+
+    from flights_data_pipeline_spark.streaming.jobs import (
+        HAS_TWS,
+        read_events_stream,
+        use_rocksdb_state_store,
+        user_running_counters_tws,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("transformWithState API not available in this Spark")
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf, None)
+    use_rocksdb_state_store(spark)
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+        q = (
+            user_running_counters_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.sql(
+            "SELECT user_id, MAX(n_events) AS n, MAX(total_value) AS v "
+            "FROM t_tws GROUP BY user_id"
+        ).collect()
+    finally:
+        if old is not None:
+            spark.conf.set(conf, old)
+        else:
+            spark.conf.unset(conf)
+
+    got = {r.user_id: (r.n, round(r.v, 6)) for r in rows}
+    want = {
+        r.user_id: (r.n, round(r.v, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
