@@ -197,3 +197,56 @@ def regex_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(words), ",").alias("sorted_words"),
         F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_promo_economy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: misra-gries sketch candidates, exactly verified.
+# ---------------------------------------------------------------------------
+#: heavy-hitter threshold denominator: report keys above n/K of rows.
+#: 105 on this near-uniform corpus (100 suppliers ≈ 1% each) puts the
+#: threshold INSIDE the count distribution, so both the accept and
+#: reject paths of the verifier carry gate rows at every SF; a real
+#: skewed corpus uses K ≪ distinct-keys and the list is tiny.
+HEAVY_K = 105
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+    SELECT l_suppkey AS key,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem CROSS JOIN tot
+    GROUP BY l_suppkey, tot.n
+    HAVING COUNT(*) * {HEAVY_K} > tot.n
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys holding more than 1/{HEAVY_K} of all lineitem rows — via
+    the sketch-then-verify pattern: ``freqItems`` (the Misra-Gries-
+    family single-pass summary) proposes a SMALL candidate set, one
+    exact count pass over only those candidates confirms or rejects
+    each.
+
+    Why this shape at 100 TB: a full GROUP BY over a high-cardinality
+    key shuffles every distinct key to find the handful above
+    threshold; the sketch bounds the candidate list at ~{HEAVY_K}
+    entries (its guarantee: anything above n/{HEAVY_K} IS in the
+    list), so the exact pass aggregates against a broadcast candidate
+    filter and the shuffle carries only candidate keys. The output is
+    exact — false candidates are filtered by the verified count — so
+    a plain GROUP BY ... HAVING oracle pins it, unlike raw sketch
+    outputs (``approx_aggregates``' rows-only bounds).
+
+    The threshold test is division-free (``cnt·{HEAVY_K} > n``).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cands = li.stat.freqItems(["l_suppkey"], 1.0 / HEAVY_K).first()[0]
+    n = li.count()
+    verified = (
+        li.filter(F.col("l_suppkey").isin([int(c) for c in cands]))
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * HEAVY_K > F.lit(n))
+    )
+    return verified
