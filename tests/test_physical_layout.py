@@ -390,3 +390,21 @@ def test_zorder_key_matches_reference_interleave(spark):
         zs.add((r.a, r.b, r.z))
     # injective: distinct (a, b) → distinct z
     assert len({z for _, _, z in zs}) == len({(a, b) for a, b, _ in zs})
+
+
+def test_events_window_pushes_timestamp_bounds(spark):
+    """load_events_window on TIMESTAMP(MICROS) data (current testdata
+    generation): both window bounds reach the parquet scan as pushed
+    timestamp filters — row groups outside the window never read."""
+    from flights_data_pipeline_spark.io.catalog import load_events_window
+
+    df = load_events_window(
+        spark, "/root/testdata/sf0.01", "2024-01-05 00:00:00",
+        "2024-01-08 00:00:00",
+    )
+    plan = _explain(spark, df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "GreaterThanOrEqual(ts" in pushed[0], pushed[0]
+    assert "LessThanOrEqual(ts" in pushed[0], pushed[0]
+    assert df.count() > 0
