@@ -891,3 +891,67 @@ def multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op", "k")
         .agg(F.count("*").cast("bigint").alias("multiplicity"))
     )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS et,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(value AS DECIMAL(18,2)) END AS v
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_id, et, v,
+             lag(et) OVER (ORDER BY event_id) AS prev_et
+      FROM base
+    )
+    SELECT COALESCE(et, '<null>') AS et_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_value_nonnull,
+           CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+           CAST(SUM(CASE WHEN et IS NOT DISTINCT FROM prev_et
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_runs
+    FROM lagged
+    GROUP BY COALESCE(et, '<null>')
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-semantics torture row: aggregates that skip NULLs
+    (COUNT(col) vs COUNT(*), SUM over a NULL-holed column), NULL as a
+    grouping value (surfaced via COALESCE so the key is printable),
+    and NULL-SAFE equality (`<=>` ↔ IS NOT DISTINCT FROM) counting
+    runs where consecutive rows share a key INCLUDING null==null.
+
+    Three-valued logic is where engines quietly disagree; every
+    construction here is pinned to the identical ANSI behavior in
+    both (SUM ignores NULLs, null-safe eq treats NULL=NULL as true,
+    grouping treats all NULLs as one group).
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(dec("value"))
+        .alias("v"),
+    )
+    w = W.orderBy("event_id")
+    lagged = base.withColumn("prev_et", F.lag("et").over(w))
+    return (
+        lagged.groupBy(F.coalesce("et", F.lit("<null>")).alias("et_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("v").cast("bigint").alias("n_value_nonnull"),
+            F.sum("v").cast("decimal(18,2)").cast("double").alias("sum_value"),
+            F.sum(
+                F.when(F.col("et").eqNullSafe(F.col("prev_et")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_nullsafe_runs"),
+        )
+    )
