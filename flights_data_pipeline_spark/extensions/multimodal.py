@@ -375,8 +375,11 @@ def resize_image_stub(
     out = np.empty((th, tw), dtype=np.float64)
     for y in range(th):
         for x in range(tw):
-            out[y, x] = px[ys[y] : ys[y + 1] or ys[y] + 1,
-                           xs[x] : xs[x + 1] or xs[x] + 1].mean()
+            # every bucket must span ≥1 source pixel: upscales (tw > w
+            # or th > h) make interior buckets empty, not just the
+            # boundary-zero case — clamp both ends, not `or`-fix zero
+            out[y, x] = px[ys[y] : max(ys[y + 1], ys[y] + 1),
+                           xs[x] : max(xs[x + 1], xs[x] + 1)].mean()
     q = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
     return float(q.mean()), hashlib.sha256(q.tobytes()).hexdigest()
 

@@ -24,6 +24,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType
 
 
 def connected_components(
@@ -64,6 +65,14 @@ def connected_components(
     labels = (
         e.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("component"))
     )
+    # Convergence signal depends on the label type. Labels only ever
+    # DECREASE, so for integral ids the label sum is a strictly
+    # decreasing potential and one narrow aggregate detects a fixed
+    # point (summed as decimal(38,0): exact, no bigint wraparound).
+    # For any other id type (strings, doubles) a sum is NULL, throws
+    # under ANSI, or can false-converge on fp equality — so fall back
+    # to an explicit changed-row probe against the previous round.
+    sum_potential = isinstance(labels.schema["component"].dataType, IntegralType)
     prev_sum = None
     for _ in range(max_iterations):
         # neighbor propagation: adopt the smallest label next door
@@ -85,6 +94,7 @@ def connected_components(
         parents = stepped.select(
             F.col("node").alias("component"), F.col("component").alias("parent")
         )
+        prev_labels = labels
         labels = (
             stepped.join(parents, "component", "left")
             .select(
@@ -97,13 +107,27 @@ def connected_components(
             .repartition(n_part, "node")
             .localCheckpoint(eager=True)
         )
-        # labels only ever decrease, so the label sum is a strictly
-        # decreasing potential: unchanged sum ⇔ converged (one narrow
-        # aggregate replaces a join-based diff job)
-        cur_sum = labels.agg(F.sum("component")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if sum_potential:
+            # unchanged sum ⇔ converged (one narrow aggregate replaces
+            # a join-based diff job)
+            cur_sum = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (
+                labels.join(
+                    prev_labels.select(
+                        "node", F.col("component").alias("prev_component")
+                    ),
+                    "node",
+                )
+                .where(F.col("component") != F.col("prev_component"))
+            )
+            if changed.isEmpty():
+                break
     else:
         # exhausting the loop without a zero-change round means a
         # component deeper than max_iterations hops still carries

@@ -142,6 +142,16 @@ def kmeans_fit(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     ).localCheckpoint(eager=True)
 
+    # the documented invariant is "k never silently shrinks" — a corpus
+    # with fewer than k vectors cannot honor it (hash init would trim
+    # via limit(k); maxmin would crash opaquely on an empty input)
+    n_rows = vecs.count()
+    if n_rows < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but the input has only {n_rows} vectors; "
+            "k must not exceed the corpus size"
+        )
+
     if init == "maxmin":
         cents = _maxmin_init(vecs, k).localCheckpoint(eager=True)
     elif init == "hash":

@@ -19,13 +19,19 @@ def test_every_registered_query_is_documented():
 
 def test_documented_queries_exist():
     """No stale names: every `backtick_name` in COVERAGE.md that looks
-    like a query id (lowercase snake) either is a registry entry or a
-    repo path/function reference."""
+    like a query id (lowercase snake, no path/attr syntax) must still
+    exist somewhere in the repo source — a renamed or deleted query
+    leaves its old name in COVERAGE.md with no source occurrence."""
+    import glob
     import re
 
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
     names = set(re.findall(r"`([a-z][a-z0-9_]{3,})`", text))
     candidates = {n for n in names if "." not in n and "/" not in n}
-    # names that are registry entries must match exactly
-    for n in candidates & set(REGISTRY):
-        assert n in REGISTRY
+    source = "\n".join(
+        open(p).read()
+        for pat in ("flights_data_pipeline_spark/**/*.py", "tests/**/*.py")
+        for p in glob.glob(os.path.join(REPO, pat), recursive=True)
+    )
+    stale = sorted(n for n in candidates - set(REGISTRY) if n not in source)
+    assert not stale, f"COVERAGE.md names with no source occurrence: {stale}"

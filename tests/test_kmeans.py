@@ -64,3 +64,21 @@ def test_every_vector_assigned_and_sizes_sum(spark, sf_dir):
     assert model.centroids.agg(F.sum("n_members")).first()[0] == n
     assert kmeans_assign(e, model).count() == n
     assert model.centroids.count() == 5  # empty clusters kept, k stable
+
+
+def test_k_exceeding_corpus_raises(spark):
+    """k never silently shrinks: fewer than k vectors (including the
+    empty corpus) must raise a clear ValueError, for both inits
+    (ADVICE round 3 — hash init used limit(k); maxmin crashed with an
+    opaque AttributeError on empty input)."""
+    from flights_data_pipeline_spark.operators.kmeans import kmeans_fit
+
+    small = spark.createDataFrame(
+        [("a", [0.0, 1.0]), ("b", [1.0, 0.0])], "vec_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    for init in ("maxmin", "hash"):
+        with pytest.raises(ValueError, match="only 2 vectors"):
+            kmeans_fit(small, k=3, init=init)
+    empty = small.limit(0)
+    with pytest.raises(ValueError, match="only 0 vectors"):
+        kmeans_fit(empty, k=1)

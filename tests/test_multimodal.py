@@ -191,3 +191,15 @@ def test_resize_stub_exact_small_case():
     mean, sha = mm.resize_image_stub(payload, 4, 2, 2, 1)
     assert sha == hashlib.sha256(want.tobytes()).hexdigest()
     assert mean == float(want.mean())
+
+
+def test_resize_stub_upscale_no_nan():
+    """Upscaling (tw > w) makes interior buckets empty under the old
+    boundary-only guard, yielding NaN means (ADVICE round 3); every
+    bucket must clamp to span >= 1 source pixel."""
+    import math
+
+    mean, sha = mm.resize_image_stub(b"px", 2, 2, 5, 3)
+    assert mean is not None and not math.isnan(mean)
+    m2, s2 = mm.resize_image_stub(b"px", 2, 2, 5, 3)
+    assert (mean, sha) == (m2, s2)

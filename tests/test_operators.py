@@ -174,3 +174,16 @@ def test_connected_components_warns_when_not_converged(spark):
         warnings.simplefilter("always")
         connected_components(df, max_iterations=2).collect()
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric node ids must use the changed-row convergence probe:
+    F.sum over strings is NULL under non-ANSI, so the sum-potential
+    shortcut would break after round 1 and return wrong components
+    (ADVICE round 3)."""
+    from flights_data_pipeline_spark.operators.graph import connected_components
+
+    edges = [("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    df = spark.createDataFrame(edges, "a_id STRING, b_id STRING")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {"b": "b", "c": "b", "d": "b", "e": "b", "x": "x", "y": "x"}
