@@ -37,9 +37,16 @@ from pyspark.sql.window import Window as W
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
-    """Squared L2 distance as a strict fold over zipped components."""
+    """Squared L2 distance as a strict fold over zipped components.
+
+    Explicit multiply, not ``** 2``: IEEE 754 defines subtract,
+    multiply and add exactly, so the left fold is bit-reproducible by
+    any engine that evaluates the same op sequence (the pure-Python
+    reference in ``tests/kmeans_reference.py`` pins this); ``pow`` is
+    only specified to 1 ulp on the JVM."""
+    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.zip_with(diff, diff, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -172,11 +179,24 @@ def kmeans_fit(
     assigned = None
     for it in range(1, max_iterations + 1):
         assigned = _assign(vecs, cents)
-        # re-center: per (cluster, dim) mean — k·d keys, partials collapse
+        # re-center: per (cluster, dim) mean — k·d keys, partials collapse.
+        # The sum runs in decimal(38,18): exact fixed-point addition is
+        # ORDER-INDEPENDENT, so the mean is bit-identical no matter how
+        # partitions split or partials merge — a double sum would drift
+        # with shuffle order and break the model's exact-determinism
+        # contract. (Constraint: components must fit decimal(38,18),
+        # i.e. |x| < 1e20 — trivially true for embeddings.) The exact
+        # sum then rounds once to double and divides by the count, both
+        # IEEE-exact, which is what the pure-Python reference replays.
         means = (
             assigned.select("cluster_id", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("x")
+                ).alias("m")
+            )
         )
         recentered = means.groupBy("cluster_id").agg(
             F.transform(

@@ -696,9 +696,12 @@ def ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds — the fitting stage ``ann_ivf_probe``'s docstring defers.
 
     Rows-only gate entry: an iterative fixed-point algorithm has no
-    single-statement SQL twin (the per-iteration kernels do — argmin
-    assignment and per-dimension means — and ``tests/test_kmeans.py``
-    pins recovery/monotonicity/determinism instead). Output is one row
+    single-statement SQL twin. Cross-engine verification runs in pytest
+    instead: ``tests/test_kmeans.py`` asserts the fitted centroids are
+    BIT-EQUAL to an independent pure-Python Lloyd's
+    (``tests/kmeans_reference.py``) at sf0.001 and sf0.01 — this exact
+    k=8/hash/3-round configuration — on top of the
+    recovery/monotonicity/determinism properties. Output is one row
     per posting list with its population and centroid norm — the list-
     balance diagnostic an IVF build reports.
     """
@@ -738,9 +741,10 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, and connected components closes the pair set into dedup
     groups with a keep-one representative per group.
 
-    Rows-only gate entry (the kmeans stage has no SQL twin; the
-    in-cluster pair kernel and the closure are each oracle-matched in
-    their own queries). Measured on this corpus (BASELINE.md): kmeans
+    Rows-only gate entry (the kmeans stage has no SQL twin — it is
+    bit-pinned against a pure-Python reference in
+    ``tests/test_kmeans.py`` instead; the in-cluster pair kernel and
+    the closure are each oracle-matched in their own queries). Measured on this corpus (BASELINE.md): kmeans
     lists are tighter than hash-sampled ones (size CV 0.088 vs 0.102),
     and at 100 TB adaptive blocking concentrates true neighbors into
     the same block, which fixed hyperplanes cannot promise. Caveat,
@@ -793,10 +797,11 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap widens on clustered real corpora where sampled centroids land
     inside dense regions).
 
-    Rows-only gate entry (the quantizer training is iterative); the
-    probe mechanics — top-`IVF_N_PROBE` list routing, in-list exact
-    cosine, per-query top-k — are identical to the oracle-matched
-    `ann_ivf_probe`. Plan: centroids broadcast twice (assignment +
+    Rows-only gate entry (the quantizer training is iterative — and
+    bit-pinned against a pure-Python reference Lloyd's in
+    ``tests/test_kmeans.py``); the probe mechanics — top-`IVF_N_PROBE`
+    list routing, in-list exact cosine, per-query top-k — are
+    identical to the oracle-matched `ann_ivf_probe`. Plan: centroids broadcast twice (assignment +
     routing), corpus shuffles once on list_id.
     """
     from ..operators.kmeans import kmeans_assign, kmeans_fit

@@ -82,3 +82,51 @@ def test_k_exceeding_corpus_raises(spark):
     empty = small.limit(0)
     with pytest.raises(ValueError, match="only 0 vectors"):
         kmeans_fit(empty, k=1)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine pin: Spark fit vs pure-Python reference Lloyd's.
+# ---------------------------------------------------------------------------
+def _load_vecs(sf):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    # float32 -> Python float is the same exact widening Spark's
+    # cast(float as double) performs
+    return {i: [float(x) for x in v] for i, v in zip(ids, embs)}
+
+
+def _pin(spark, sf, **kw):
+    from .kmeans_reference import reference_kmeans
+
+    vecs = _load_vecs(sf)
+    df = load_table(spark, f"/root/testdata/sf{sf}", "embeddings")
+    model = kmeans_fit(df, **kw)
+    ref_cents, ref_n, ref_it, ref_conv = reference_kmeans(vecs, **kw)
+    got = {r.cluster_id: (list(r.centroid), r.n_members) for r in model.centroids.collect()}
+    assert set(got) == set(ref_cents)
+    for cid in ref_cents:
+        assert got[cid][0] == ref_cents[cid], f"cluster {cid} centroid bits differ"
+        assert got[cid][1] == ref_n[cid]
+    assert (model.iterations, model.converged) == (ref_it, ref_conv)
+
+
+def test_reference_pin_hash_init_sf0001(spark):
+    """Bit-equal centroids vs an independent pure-Python Lloyd's at
+    sf0.001 — the exact configuration the registered rows-only query
+    `ivf_kmeans_fit` runs (k=8, hash init, 3 rounds). This is the
+    cross-engine verification the driver gate cannot express in SQL."""
+    _pin(spark, "0.001", k=8, max_iterations=3, init="hash")
+
+
+def test_reference_pin_maxmin_init_sf0001(spark):
+    _pin(spark, "0.001", k=4, max_iterations=4, init="maxmin")
+
+
+def test_reference_pin_hash_init_sf001(spark):
+    """Same pin one scale up (sf0.01, 5000 vectors): partitioning and
+    partial-aggregate merge order differ from sf0.001, which is
+    precisely what the decimal re-centering must be invariant to."""
+    _pin(spark, "0.01", k=8, max_iterations=3, init="hash")
