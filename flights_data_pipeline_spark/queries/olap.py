@@ -809,3 +809,197 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(eff).cast("decimal(18,2)").cast("double").alias("revenue_effect"),
         F.count("*").cast("bigint").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: shipping modes vs order priority.
+# ---------------------------------------------------------------------------
+# The driver schema has no l_shipmode / l_commitdate / l_receiptdate; a
+# deterministic categorical derived from the line identity (pure integer
+# arithmetic, identical in both engines) stands in for shipmode, and
+# "shipped after the order date" stands in for the late-commit predicate.
+_SHIPMODE_SQL = """CASE CAST((l_orderkey * 7 + l_linenumber) % 4 AS INT)
+           WHEN 0 THEN 'AIR' WHEN 1 THEN 'MAIL'
+           WHEN 2 THEN 'SHIP' ELSE 'TRUCK' END"""
+
+
+def _shipmode() -> F.Column:
+    k = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 4
+    return (
+        F.when(k == 0, "AIR")
+        .when(k == 1, "MAIL")
+        .when(k == 2, "SHIP")
+        .otherwise("TRUCK")
+    )
+
+
+@query(
+    "shipmode_priority_counts",
+    oracle=f"""
+    WITH l AS (
+      SELECT l_orderkey, l_shipdate, {_SHIPMODE_SQL} AS l_shipmode
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN l ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l.l_shipdate > o_orderdate
+    GROUP BY l_shipmode
+    """,
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per ship mode, how many late-shipped lines carried
+    urgent vs non-urgent orders — a fact-to-fact equi join whose real
+    filter (shipdate > orderdate) references BOTH sides and so must run
+    as a join condition, plus two conditional counts in one pass.
+
+    The year bound and the two-mode IN are evaluated against the
+    lineitem scan before the join (the year bound reaches
+    PushedFilters; the mode is derived, so it runs as a post-scan
+    filter but still pre-shuffle, cutting the join input ~2/4). The
+    join shuffles on orderkey only; at 100 TB both sides partition on
+    the same key, and the aggregation on the 2-value mode column is a
+    map-side partial that collapses to 2 rows per task.
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .withColumn("l_shipmode", _shipmode())
+        .filter(F.col("l_shipmode").isin("MAIL", "SHIP"))
+        .select("l_orderkey", "l_shipdate", "l_shipmode")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: surplus stock suppliers (potential part promotion).
+# ---------------------------------------------------------------------------
+@query(
+    "surplus_stock_suppliers",
+    oracle="""
+    WITH ps0 AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ps AS (
+      SELECT *, CAST((ps_partkey * 31 + ps_suppkey * 17) % 50 + 1 AS BIGINT)
+                  AS ps_availqty
+      FROM ps0
+    ),
+    qty AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS year_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    surplus AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'large%'
+      JOIN qty ON qty.l_partkey = ps.ps_partkey
+              AND qty.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > qty.year_qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM surplus)
+      AND n.n_name IN ('NATION_3','NATION_7','NATION_11','NATION_19')
+    """,
+)
+def surplus_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in a nation group holding more stock of a
+    name-filtered part than a year's shipments moved — the classic
+    nested EXISTS chain (supplier IN (... partsupp WHERE availqty >
+    scalar-correlated SUM(lineitem))) decorrelated into a distinct
+    semi-join pipeline.
+
+    The driver schema has no partsupp.availqty; a deterministic
+    per-pair quantity from key arithmetic (identical in both engines,
+    integer-exact) stands in. year_qty sums integral quantities, so
+    the double SUM is order-independent and the cross-engine compare
+    is exact.
+
+    Scale: ps (pair distinct) and qty aggregate on the SAME
+    (partkey, suppkey) key, so their join reuses one shuffle
+    partitioning; the name-filtered part side broadcasts; surplus
+    collapses to a distinct supplier set that broadcasts into a
+    left-semi join against the supplier dim. No row explosion
+    anywhere: every intermediate is bounded by the pair count.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    ps = (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_availqty",
+            (
+                (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 50 + 1
+            ).cast("bigint"),
+        )
+    )
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("year_qty"))
+    )
+    large = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    surplus = (
+        ps.join(F.broadcast(large), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("year_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_19")
+    )
+    return (
+        s.join(surplus, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
