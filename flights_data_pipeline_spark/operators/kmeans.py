@@ -86,9 +86,9 @@ def _maxmin_init(vecs: DataFrame, k: int) -> DataFrame:
     vector, then greedily add the vector farthest from its nearest
     already-chosen centroid (ties on id). k-1 narrow passes over the
     corpus — affordable for the moderate k this operator targets; for
-    IVF-at-100 TB k (~2^16) run it on a hash-sample of the corpus
-    instead (the sample IS the md5-prefix of the id ordering, so the
-    choice stays deterministic)."""
+    large k use ``_maxmin_init_sampled`` (pass ``init_sample=`` to
+    ``kmeans_fit``), which runs the same greedy on the md5-prefix
+    sample of the corpus instead of scanning it k-1 times."""
     spark = vecs.sparkSession
     first = (
         vecs.select("id", "vec", F.md5(F.col("id").cast("string")).alias("h"))
@@ -117,6 +117,73 @@ def _maxmin_init(vecs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _sq_l2_py(a: list, b: list) -> float:
+    """Strict left fold of ``acc + d*d`` — the exact op sequence of the
+    distributed ``_sq_l2`` (and of ``tests/kmeans_reference.py``), so
+    distances computed here are bit-equal to the cluster's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def _maxmin_init_sampled(vecs: DataFrame, k: int, sample_size: int) -> DataFrame:
+    """Farthest-point init on the md5-prefix sample of the corpus.
+
+    The full ``_maxmin_init`` runs k-1 sequential corpus scans — fine
+    for moderate k, quadratic pain for IVF-scale k. This variant takes
+    the ``sample_size`` rows with the smallest (md5(id), id) — the same
+    hashed-key sampling discipline as ``train_test_split``, so the
+    sample is deterministic and unbiased by storage order — and runs
+    the greedy sweep driver-side over that bounded set with an
+    incrementally-maintained min-distance array: O(sample·k·d) float
+    ops total and ONE Spark job, versus k-1 full-corpus jobs.
+
+    ``sample_size`` bounds driver memory by construction (the caller
+    picks it to fit; MLlib's k-means|| finalizes driver-side the same
+    way). Distances use the identical strict fold as the distributed
+    path, and ties break identically ((max mind2, then smaller id);
+    start = smallest (md5, id)), so when the sample covers the whole
+    corpus the chosen centroids are BIT-EQUAL to ``_maxmin_init``'s —
+    pinned by test."""
+    spark = vecs.sparkSession
+    sample = (
+        vecs.select("id", "vec", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h", "id")
+        .limit(sample_size)
+        .select("id", "vec")
+        .collect()
+    )
+    if len(sample) < k:
+        raise ValueError(
+            f"kmeans_fit: init_sample yielded {len(sample)} vectors but k={k}; "
+            "raise init_sample (it must be >= k)"
+        )
+    pts = [(r.id, list(r.vec)) for r in sample]
+    chosen = [pts[0][1]]
+    mind2 = {pid: _sq_l2_py(v, chosen[0]) for pid, v in pts}
+    for _ in range(1, k):
+        best_id, best_v, best_d = None, None, None
+        for pid, v in pts:
+            d = mind2[pid]
+            if (
+                best_d is None
+                or d > best_d
+                or (d == best_d and pid < best_id)
+            ):
+                best_id, best_v, best_d = pid, v, d
+        chosen.append(best_v)
+        for pid, v in pts:
+            d = _sq_l2_py(v, best_v)
+            if d < mind2[pid]:
+                mind2[pid] = d
+    return spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(chosen)],
+        "cluster_id INT, centroid ARRAY<DOUBLE>",
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     *,
@@ -126,6 +193,7 @@ def kmeans_fit(
     max_iterations: int = 10,
     tol: float = 1e-6,
     init: str = "maxmin",
+    init_sample: int | None = None,
 ) -> KMeansModel:
     """Fit k-means on ``df[vec_col]`` (array of numeric) with Lloyd's
     algorithm; returns the centroid table plus fit diagnostics.
@@ -143,6 +211,12 @@ def kmeans_fit(
     escapes that local optimum); ``"hash"`` = the k smallest-md5(id)
     vectors — one pass, the right choice when k is huge and the data
     has no hard cluster structure to miss.
+
+    ``init_sample`` (maxmin only): run the farthest-point greedy on the
+    ``init_sample`` smallest-md5(id) vectors instead of the full corpus
+    — one Spark job instead of k-1 sequential scans; the default large-k
+    route. ``init_sample >= corpus`` reproduces the full maxmin choice
+    bit-exactly.
     """
     vecs = df.select(
         F.col(id_col).alias("id"),
@@ -159,8 +233,15 @@ def kmeans_fit(
             "k must not exceed the corpus size"
         )
 
+    if init_sample is not None and init != "maxmin":
+        raise ValueError("init_sample only applies to init='maxmin'")
     if init == "maxmin":
-        cents = _maxmin_init(vecs, k).localCheckpoint(eager=True)
+        if init_sample is not None:
+            cents = _maxmin_init_sampled(vecs, k, init_sample).localCheckpoint(
+                eager=True
+            )
+        else:
+            cents = _maxmin_init(vecs, k).localCheckpoint(eager=True)
     elif init == "hash":
         # row_number over an unpartitioned window is fine on k rows
         cents = (

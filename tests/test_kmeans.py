@@ -130,3 +130,46 @@ def test_reference_pin_hash_init_sf001(spark):
     partial-aggregate merge order differ from sf0.001, which is
     precisely what the decimal re-centering must be invariant to."""
     _pin(spark, "0.01", k=8, max_iterations=3, init="hash")
+
+
+# ---------------------------------------------------------------------------
+# Sampled maxmin init (the large-k route).
+# ---------------------------------------------------------------------------
+def test_sampled_maxmin_equals_full_when_sample_covers_corpus(spark, sf_dir):
+    """init_sample >= corpus ⇒ the driver-side greedy sees exactly the
+    rows the distributed farthest-point scans, with the same strict-fold
+    distances and tie-breaks — centroids must be BIT-EQUAL."""
+    e = load_table(spark, sf_dir, "embeddings").limit(120)
+    full = kmeans_fit(e, k=5, max_iterations=3, init="maxmin")
+    sampled = kmeans_fit(
+        e, k=5, max_iterations=3, init="maxmin", init_sample=10_000
+    )
+    f = {r.cluster_id: (list(r.centroid), r.n_members) for r in full.centroids.collect()}
+    s = {r.cluster_id: (list(r.centroid), r.n_members) for r in sampled.centroids.collect()}
+    assert f == s
+    assert (full.iterations, full.converged) == (sampled.iterations, sampled.converged)
+    assert full.inertia == sampled.inertia
+
+
+def test_sampled_maxmin_subsample_valid_and_deterministic(spark, sf_dir):
+    """A proper subsample still yields k centroids, assigns the whole
+    corpus, and reproduces exactly on re-run."""
+    e = load_table(spark, sf_dir, "embeddings").limit(300)
+    m1 = kmeans_fit(e, k=6, max_iterations=4, init="maxmin", init_sample=50)
+    m2 = kmeans_fit(e, k=6, max_iterations=4, init="maxmin", init_sample=50)
+    assert m1.centroids.count() == 6
+    assert m1.centroids.agg(F.sum("n_members")).first()[0] == 300
+    c1 = {r.cluster_id: list(r.centroid) for r in m1.centroids.collect()}
+    c2 = {r.cluster_id: list(r.centroid) for r in m2.centroids.collect()}
+    assert c1 == c2
+
+
+def test_sampled_maxmin_guards(spark):
+    small = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="init_sample"):
+        kmeans_fit(small, k=4, init="hash", init_sample=8)
+    with pytest.raises(ValueError, match="must be >= k"):
+        kmeans_fit(small, k=4, init="maxmin", init_sample=2)
