@@ -263,7 +263,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fewer splits than cores; a real many-split corpus skips this
     # shuffle entirely.
     n_cores = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, n_cores // 2):
+    if len(d.inputFiles()) < max(2, n_cores // 2):
         d = d.repartition(n_cores, "doc_id")
 
     e_h = d.select("doc_id", F.explode(_shingles()).alias("s")).select(

@@ -14,7 +14,9 @@ each query reads the resulting parquet.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +34,7 @@ def _warehouse(spark: SparkSession) -> str:
     global _WAREHOUSE
     if _WAREHOUSE is None or not os.path.isdir(_WAREHOUSE):
         base = tempfile.mkdtemp(prefix="fdp_flights_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         dirs = {k: f"{base}/{k}" for k in ("source", "landing", "staging", "warehouse")}
         fixtures.write_source(spark, dirs["source"], seed=42, n_bookings=400)
         run_pipeline(
