@@ -659,3 +659,209 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: staged keep/drop accounting.
+# ---------------------------------------------------------------------------
+#: funnel thresholds (length bounds, language allowlist, min distinct-
+#: token ratio as an exact fraction 3/10 — division-free comparison).
+FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS = 80, 500
+FUNNEL_LANGS = ("en", "es", "de", "fr")
+
+
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH flags AS (
+      SELECT doc_id,
+             (n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}) AS f_len,
+             lang IN ('en','es','de','fr') AS f_lang,
+             (CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) * 10
+              >= CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) * 3) AS f_rep,
+             md5(text) AS h
+      FROM documents
+    ),
+    dedup AS (
+      SELECT *,
+             doc_id = MIN(CASE WHEN f_len AND f_lang AND f_rep THEN doc_id END)
+                        OVER (PARTITION BY h) AS f_dedup
+      FROM flags
+    ),
+    agg AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(COUNT(*) FILTER (WHERE f_len) AS BIGINT) AS n1,
+        CAST(COUNT(*) FILTER (WHERE f_len AND f_lang) AS BIGINT) AS n2,
+        CAST(COUNT(*) FILTER (WHERE f_len AND f_lang AND f_rep) AS BIGINT) AS n3,
+        CAST(COUNT(*) FILTER (WHERE f_len AND f_lang AND f_rep AND f_dedup) AS BIGINT) AS n4
+      FROM dedup
+    )
+    SELECT stage_order, stage, docs_in, docs_dropped, docs_out FROM (
+      SELECT 1 AS stage_order, 'length' AS stage, n0 AS docs_in, n0 - n1 AS docs_dropped, n1 AS docs_out FROM agg
+      UNION ALL
+      SELECT 2, 'language', n1, n1 - n2, n2 FROM agg
+      UNION ALL
+      SELECT 3, 'repetition', n2, n2 - n3, n3 FROM agg
+      UNION ALL
+      SELECT 4, 'exact_dedup', n3, n3 - n4, n4 FROM agg
+    )
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential curation funnel with per-stage drop accounting —
+    the "where did my corpus go" report every training-data pipeline
+    publishes beside its output: length bounds → language allowlist →
+    repetition (distinct-token ratio, division-free) → exact dedup
+    (keep the smallest doc_id per md5(text) among survivors).
+
+    One corpus scan computes all four stage flags; the dedup flag is
+    one window over md5(text) (shuffles on the hash — at 100 TB this
+    is the same exchange an exact-dedup groupBy would pay, and the
+    only one in the plan); the funnel rows come from a single
+    conditional aggregate unpivoted with ``stack``. Sequential
+    semantics are exact: stage i counts only survivors of stages < i.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    flags = d.select(
+        "doc_id",
+        F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS).alias("f_len"),
+        F.col("lang").isin(*FUNNEL_LANGS).alias("f_lang"),
+        (
+            F.size(F.array_distinct(toks)).cast("bigint") * 10
+            >= F.size(toks).cast("bigint") * 3
+        ).alias("f_rep"),
+        F.md5("text").alias("h"),
+    )
+    surv3 = F.col("f_len") & F.col("f_lang") & F.col("f_rep")
+    dedup = flags.withColumn(
+        "f_dedup",
+        F.col("doc_id")
+        == F.min(F.when(surv3, F.col("doc_id"))).over(W.partitionBy("h")),
+    )
+    agg = dedup.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.count(F.when(F.col("f_len"), 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("f_len") & F.col("f_lang"), 1))
+        .cast("bigint")
+        .alias("n2"),
+        F.count(F.when(surv3, 1)).cast("bigint").alias("n3"),
+        F.count(F.when(surv3 & F.col("f_dedup"), 1)).cast("bigint").alias("n4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             1, 'length',      n0, n0 - n1, n1,
+             2, 'language',    n1, n1 - n2, n2,
+             3, 'repetition',  n2, n2 - n3, n3,
+             4, 'exact_dedup', n3, n3 - n4, n4
+           ) AS (stage_order, stage, docs_in, docs_dropped, docs_out)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training shards: deterministic global shuffle + contiguous sharding.
+# ---------------------------------------------------------------------------
+#: number of output shards for the training-mix writer.
+N_SHARDS = 8
+
+
+@query(
+    "training_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_toks
+      FROM documents
+    ),
+    s AS (
+      SELECT *, CAST(NTILE({N_SHARDS}) OVER (ORDER BY h, doc_id) AS INT)
+                  AS shard_id
+      FROM h
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           MIN(h) AS first_hash, MAX(h) AS last_hash
+    FROM s GROUP BY shard_id
+    """,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into {N_SHARDS}
+    equal-count training shards, with per-shard document/token
+    accounting — the writer stage that turns a curated corpus into
+    the randomized, evenly-sized files a training job streams.
+
+    The "shuffle" is an ordering by md5(doc_id): content-independent,
+    reproducible, and uniform, so contiguous equal-count ranges ARE a
+    random partition of the corpus. A global NTILE window would
+    compute this on ONE task; instead the plan derives the identical
+    assignment scalably — two-pass count-offset sharding:
+
+    1. bucket every row by its first two hash hex chars (256 ordered
+       ranges of the hash space — a prefix of the sort key, so bucket
+       order IS global order);
+    2. per-bucket row_number (a PARTITIONED window — parallel) plus a
+       broadcast 256-row cumulative-offset table gives each row its
+       exact global index without any global sort;
+    3. arithmetic maps the 1-based index to its NTILE bucket (first
+       ``n % k`` shards take one extra row).
+
+    The result is bit-identical to the single-task NTILE (the oracle
+    states it that way), but every corpus-sized stage partitions. The
+    hash-range min/max per shard double as the manifest entries a
+    resumable writer checkpoints.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    h = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    # pass 1: bucket counts -> cumulative offsets (256 rows, trivial)
+    offsets = (
+        h.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bucket",
+            (
+                F.sum("cnt").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                )
+            ).alias("offset"),
+            F.sum("cnt").over(W.orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )).alias("n_total"),
+        )
+        .na.fill({"offset": 0})
+    )
+    # pass 2: partitioned row_number + offset = exact global index
+    idx = (
+        h.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "gidx",
+            F.row_number().over(W.partitionBy("bucket").orderBy("h", "doc_id"))
+            + F.col("offset"),
+        )
+    )
+    # NTILE arithmetic on the exact global index (integer div, no
+    # doubles): per = floor(n/k); the first rem = n%k shards take
+    # per+1 rows each.
+    shard = F.expr(
+        f"""CAST(CASE
+              WHEN gidx <= (n_total % {N_SHARDS}) * ((n_total DIV {N_SHARDS}) + 1)
+              THEN (gidx - 1) DIV ((n_total DIV {N_SHARDS}) + 1)
+              ELSE (n_total % {N_SHARDS})
+                   + (gidx - (n_total % {N_SHARDS}) * ((n_total DIV {N_SHARDS}) + 1) - 1)
+                     DIV (n_total DIV {N_SHARDS})
+            END + 1 AS INT)"""
+    )
+    s = idx.withColumn("shard_id", shard)
+    return s.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.min("h").alias("first_hash"),
+        F.max("h").alias("last_hash"),
+    )

@@ -414,3 +414,77 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.split(norm, " "), lambda x: F.md5(x))
         ).alias("min_token_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: top-k terms with cumulative corpus share.
+# ---------------------------------------------------------------------------
+#: vocabulary size reported by the coverage query.
+VOCAB_TOP_K = 30
+
+
+@query(
+    "vocab_topk_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+      FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, term_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY term_count DESC, term) AS INT)
+               AS vocab_rank,
+             CAST(SUM(term_count) OVER (ORDER BY term_count DESC, term
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_count
+      FROM counts
+    )
+    SELECT vocab_rank, term, term_count,
+           CAST(cum_count AS DOUBLE)
+             / (SELECT CAST(SUM(term_count) AS DOUBLE) FROM counts)
+             AS cum_share
+    FROM ranked WHERE vocab_rank <= {VOCAB_TOP_K}
+    """,
+)
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_TOP_K} vocabulary by term frequency with cumulative
+    corpus coverage — the tokenizer-training readout (how much of the
+    token stream the next vocab entry still buys).
+
+    The corpus-sized stage is one groupBy(term) with map-side partials
+    (the explode never shuffles raw text, only terms); the ranking
+    window then runs on the VOCABULARY, orders of magnitude smaller
+    than the corpus — global-window-on-small-aggregate is the scale
+    pattern, never a global window on the fact table. cum_share
+    divides two exact bigint-derived doubles, so the cross-engine
+    compare is exact.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("term_count"))
+    )
+    w = W.orderBy(F.col("term_count").desc(), "term")
+    ranked = counts.select(
+        "term",
+        "term_count",
+        F.row_number().over(w).cast("int").alias("vocab_rank"),
+        F.sum("term_count")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_count"),
+    ).filter(F.col("vocab_rank") <= VOCAB_TOP_K)
+    total = counts.agg(F.sum("term_count").cast("bigint").alias("n_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "vocab_rank",
+        "term",
+        "term_count",
+        (F.col("cum_count").cast("double") / F.col("n_total").cast("double")).alias(
+            "cum_share"
+        ),
+    )
