@@ -254,6 +254,29 @@ def stream_stream_attribution(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension join — enrich each event with dim
+    attributes as it arrives (the streaming twin of the batch
+    dim-lookup broadcast join, J5).
+
+    Stream-static joins are STATELESS: no watermark, no join state —
+    Spark re-plans the static side inside every micro-batch, so a dim
+    backed by a table/path picks up slowly-changing updates between
+    batches for free. The explicit ``broadcast`` keeps each
+    micro-batch shuffle-free: the stream side never moves, the dim
+    ships to executors once per plan — the only shape that holds up
+    when the stream side is unbounded. Left join (default) keeps
+    events whose key has no dim row yet — drop-on-miss is an ``inner``
+    argument away.
+    """
+    return stream.join(F.broadcast(dim), keys, how)
+
+
 def upsert_stream(
     stream: DataFrame,
     target_path: str,

@@ -269,3 +269,32 @@ def test_transform_with_state_counters(spark, events_dir, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_enrich_stream_static_dim(spark, events_dir, sf_dir):
+    """Stream-static dim join: per-nation event counts from the
+    enriched stream equal the batch join's, and every event survives
+    the left join (all user_ids resolve in the customer dim)."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    _run(jobs.enrich_stream(stream, dim, ["user_id"]), "sj_enriched", "append")
+    got = {
+        r.n_name: r.n
+        for r in spark.sql(
+            "SELECT n_name, COUNT(*) AS n FROM sj_enriched GROUP BY n_name"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.n_name: r.n
+        for r in ev.join(dim, "user_id").groupBy("n_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == ev.count()  # left join drops nothing
