@@ -61,23 +61,48 @@ class KMeansModel:
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """vec rows + their nearest cluster_id (+ that distance)."""
-    d = _sq_l2(F.col("vec"), F.col("centroid"))
-    return (
-        vecs.crossJoin(F.broadcast(cents.select("cluster_id", "centroid")))
-        .select("id", "vec", "cluster_id", d.alias("d2"))
-        .groupBy("id")
-        .agg(
-            F.min_by(F.struct("cluster_id", "d2", "vec"), F.struct("d2", "cluster_id")).alias(
-                "best"
+    """vec rows + their nearest cluster_id (+ that distance).
+
+    The k centroids collapse to ONE row holding array<struct<cid, c>>
+    that broadcasts into a nested-loop join (a per-executor pointer,
+    no corpus movement); the argmin then runs as ``array_min`` over
+    per-centroid distance structs — a NARROW map over the corpus with
+    zero shuffle per Lloyd round. The earlier crossJoin + groupBy(id)
+    min_by shape re-shuffled the whole corpus every iteration; and
+    embedding the centroids as plan literals instead would regenerate
+    (and re-JIT) the codegen each round because the literal values
+    change — the broadcast column keeps one stable compiled kernel.
+
+    ``array_min`` on struct<d2, cid> orders lexicographically —
+    exactly the (distance, cluster_id) tie-break the pure-Python
+    reference pins — and each ``_sq_l2`` evaluates once, inside the
+    transform (higher-order lambdas get no CSE, so the distance must
+    not be re-derived in a separate comparison).
+    """
+    carr = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cluster_id").cast("int").alias("cid"),
+                    F.col("centroid").alias("c"),
+                )
             )
+        ).alias("cents_arr")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents_arr"),
+            lambda s: F.struct(
+                _sq_l2(F.col("vec"), s["c"]).alias("d2"),
+                s["cid"].alias("cid"),
+            ),
         )
-        .select(
-            "id",
-            F.col("best.vec").alias("vec"),
-            F.col("best.cluster_id").alias("cluster_id"),
-            F.col("best.d2").alias("d2"),
-        )
+    )
+    return vecs.crossJoin(F.broadcast(carr)).select(
+        "id",
+        "vec",
+        best["cid"].alias("cluster_id"),
+        best["d2"].alias("d2"),
     )
 
 
