@@ -30,7 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from enum import Enum
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import csv_codec
@@ -121,8 +121,14 @@ def run_extract_load(
     land_path = f"{landing_dir}/{table}"
     csv_codec.write_csv(src, land_path)
     landed = csv_codec.read_csv(spark, land_path, SCHEMAS[table])
+    # row-count metric rides the staging write itself (Observation
+    # collects named aggregates during the action) — the reference DAG
+    # logs per-task row counts the same way its COPY reports them; a
+    # .count() here would re-scan the landed CSV just for the number.
+    obs = Observation()
+    landed = landed.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     load_upsert(landed, staging_dir, table, ds)
-    return LoadResult(table, ds, LoadStatus.LOADED, landed.count())
+    return LoadResult(table, ds, LoadStatus.LOADED, int(obs.get["n_rows"]))
 
 
 def read_staging(spark: SparkSession, staging_dir: str, table: str) -> DataFrame:

@@ -239,3 +239,75 @@ def rolling_7day_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).cast("bigint").alias("n_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample: 5-minute bars per event type.
+# ---------------------------------------------------------------------------
+@query(
+    "events_ohlc_5min",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+             ts, event_id, value
+      FROM events
+    ),
+    o AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket_start,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM o
+    GROUP BY event_type, bucket_start
+    """,
+)
+def events_ohlc_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into 5-minute OHLC bars per type —
+    the resample operator every metrics/monitoring pipeline runs
+    before plotting or anomaly-scoring a high-frequency series.
+
+    open/close are order-statistics, not sums: ``min_by``/``max_by``
+    with a (ts, event_id) struct key make them deterministic under
+    duplicate timestamps, and no double is ever ADDED, so every output
+    is an exact input value and the cross-engine compare is exact
+    (the oracle states the same selection with row_number because
+    DuckDB's arg_min takes no composite key). One shuffle on
+    (type, bucket): min/max/count collapse map-side; the min_by/max_by
+    partials are a single (key, value) pair each — at 100 TB the
+    exchange carries one row per bar per task, nothing row-level.
+
+    Bucket alignment: Spark's ``window`` aligns to the epoch, DuckDB's
+    ``time_bucket`` to 2000-01-03; both origins are multiples of 300 s,
+    so the 5-minute boundaries coincide.
+    """
+    ev = t(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

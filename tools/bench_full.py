@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Full-registry warm sweep — a longitudinal perf row for EVERY query.
+
+The driver bench times the 31 headline queries; this tool times all of
+them (same protocol as bench.py: 2 warmups + 3 timed runs, median,
+noop sink) so each round leaves a complete per-query timing artifact.
+
+Usage:
+    python tools/bench_full.py > BENCH_full_rNN.json
+    python tools/bench_diff.py BENCH_full_r03.json BENCH_full_r04.json
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS. Output is bench_diff.py-compatible ONE-line JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flights_data_pipeline_spark.queries import REGISTRY
+from flights_data_pipeline_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("fdp-spark-bench-full")
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        try:
+            for _ in range(2):  # codegen + C2 JIT + footer cache
+                materialize(q.fn(spark, sf_dir))
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # pragma: no cover - keep sweeping
+            print(f"bench_full: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "full_registry_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
