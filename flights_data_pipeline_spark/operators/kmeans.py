@@ -341,11 +341,21 @@ def kmeans_fit(
             stacklevel=2,
         )
 
-    final_assign = _assign(vecs, cents)
-    inertia = final_assign.agg(F.sum("d2").alias("i")).first().i or 0.0
-    sizes = final_assign.groupBy("cluster_id").agg(
-        F.count("*").cast("bigint").alias("n_members")
+    # one final corpus pass yields BOTH diagnostics: per-cluster counts
+    # and squared-distance sums collapse to k rows, checkpointed so
+    # neither the inertia reduction nor the centroid materialization
+    # re-runs the assignment.
+    final_stats = (
+        _assign(vecs, cents)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("d2").alias("ssd"),
+        )
+        .localCheckpoint(eager=True)
     )
+    inertia = final_stats.agg(F.sum("ssd").alias("i")).first().i or 0.0
+    sizes = final_stats.select("cluster_id", "n_members")
     centroids = cents.join(sizes, "cluster_id", "left").select(
         "cluster_id",
         "centroid",
