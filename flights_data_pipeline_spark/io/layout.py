@@ -190,3 +190,36 @@ def write_zordered(
     if parquet_block_bytes is not None:
         writer = writer.option("parquet.block.size", str(parquet_block_bytes))
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a bucketed parquet table: rows hash-partition
+    into ``n_buckets`` files per write-partition by ``bucket_cols``,
+    each sorted on ``sort_cols`` (default: the bucket key).
+
+    Bucketing is the WRITE-side half of a shuffle: a join or
+    aggregation on the bucket key of two co-bucketed tables needs no
+    Exchange at read time — at 100 TB that converts every recurring
+    fact-fact join on the key into a zero-shuffle sort-merge
+    (pinned by test). The layout registers through the session
+    catalog (``saveAsTable`` with an explicit path → external table);
+    plain parquet readers still see ordinary files, but the bucket
+    metadata lives in the catalog — production pins it in a metastore
+    or a table format, same as Spark itself requires.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table)
+    )

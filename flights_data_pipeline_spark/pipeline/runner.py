@@ -115,16 +115,20 @@ def run_transforms(
     reads — the lever that matters once facts are the 100 TB side.
     ``layout`` picks the clustering: ``"sorted"`` (``write_sorted``,
     range-repartitioned + sorted on the fact's key list — perfect
-    pruning on the leading key) or ``"zorder"`` (``write_zordered``,
+    pruning on the leading key), ``"zorder"`` (``write_zordered``,
     Morton interleave — pruning on EVERY key of a multi-key fact; only
     meaningful where ``FACT_SORT_KEYS`` lists 2+ keys, single-key
-    facts fall back to sorted). Dims stay plain (broadcast-sized;
-    layout is irrelevant).
+    facts fall back to sorted), or ``"bucketed"`` (``write_bucketed``,
+    hash buckets on the leading key registered as catalog table
+    ``wh_<name>`` — co-bucketed facts join with NO exchange). Dims
+    stay plain (broadcast-sized; layout is irrelevant).
     """
-    from ..io.layout import write_sorted, write_zordered
+    from ..io.layout import write_bucketed, write_sorted, write_zordered
 
-    if layout not in ("sorted", "zorder"):
-        raise ValueError(f"unknown layout: {layout!r} (use 'sorted' or 'zorder')")
+    if layout not in ("sorted", "zorder", "bucketed"):
+        raise ValueError(
+            f"unknown layout: {layout!r} (use 'sorted', 'zorder' or 'bucketed')"
+        )
 
     for name in TRANSFORM_ORDER:
 
@@ -132,7 +136,12 @@ def run_transforms(
             df = TRANSFORMS[name](spark, staging_dir)
             keys = FACT_SORT_KEYS.get(name)
             if clustered and keys:
-                if layout == "zorder" and len(keys) >= 2:
+                if layout == "bucketed":
+                    write_bucketed(
+                        df, f"{warehouse_dir}/{name}", f"wh_{name}", keys[:1],
+                        sort_cols=keys,
+                    )
+                elif layout == "zorder" and len(keys) >= 2:
                     write_zordered(df, f"{warehouse_dir}/{name}", keys)
                 else:
                     write_sorted(df, f"{warehouse_dir}/{name}", keys)

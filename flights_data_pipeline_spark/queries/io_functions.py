@@ -224,3 +224,56 @@ def token_count_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", _n_tokens_arrow()(F.col("text")).alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns: schema-on-read JSON → map, exploded entry stats.
+# ---------------------------------------------------------------------------
+@query(
+    "props_map_stats",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type,
+             unnest(json_keys(props)) AS prop_key,
+             props
+      FROM events
+    )
+    SELECT event_type, prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(MIN(CAST(json_extract(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS min_value,
+           CAST(MAX(CAST(json_extract(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS max_value,
+           CAST(COUNT(DISTINCT CAST(json_extract(props, '$.' || prop_key)
+                                    AS BIGINT)) AS BIGINT) AS n_distinct_values
+    FROM kv
+    GROUP BY event_type, prop_key
+    """,
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` column: parse
+    to ``map<string,bigint>``, explode entries, aggregate value stats
+    per (event_type, key) — the property-bag profiling every event
+    pipeline runs before promoting ad-hoc JSON keys to real columns.
+
+    Spark side is the genuine map path (``from_json`` to MapType →
+    ``explode`` into key/value rows — no per-key extraction paths
+    hard-coded anywhere, so new keys appear in the output without a
+    code change). One shuffle on (type, key); min/max/count collapse
+    map-side, the distinct count shuffles its (group, value) pairs
+    pre-deduplicated. The oracle walks ``json_keys`` laterally —
+    key-agnostic the same way.
+    """
+    ev = t(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count("*").cast("bigint").alias("n_entries"),
+        F.min("prop_value").cast("bigint").alias("min_value"),
+        F.max("prop_value").cast("bigint").alias("max_value"),
+        F.countDistinct("prop_value").cast("bigint").alias("n_distinct_values"),
+    )

@@ -408,3 +408,35 @@ def test_events_window_pushes_timestamp_bounds(spark):
     assert "GreaterThanOrEqual(ts" in pushed[0], pushed[0]
     assert "LessThanOrEqual(ts" in pushed[0], pushed[0]
     assert df.count() > 0
+
+
+def test_pipeline_bucketed_layout_joins_without_exchange(spark, tmp_path_factory):
+    """run_transforms(layout='bucketed') writes co-bucketed facts:
+    the recurring fact-fact join on ticket_no plans as sort-merge with
+    ZERO Exchange, and the bucketed content equals the plain write."""
+    from flights_data_pipeline_spark.pipeline import fixtures
+    from flights_data_pipeline_spark.pipeline.runner import run_day, run_transforms
+
+    base = tmp_path_factory.mktemp("bucketed_wh")
+    src, land, stg = str(base / "src"), str(base / "land"), str(base / "stg")
+    wh = str(base / "wh")
+    fixtures.write_source(spark, src, seed=7, n_bookings=150)
+    for ds in [d.isoformat() for d in fixtures.DAYS]:
+        run_day(spark, src, land, stg, ds)
+    run_transforms(spark, stg, wh, clustered=True, layout="bucketed")
+
+    bp = spark.table("wh_fct_boarding_pass")
+    bt = spark.table("wh_fct_booking_ticket")
+    joined = bp.select("ticket_no", "boarding_no").join(
+        bt.select("ticket_no", "amount").hint("merge"), "ticket_no"
+    )
+    plan = _explain(spark, joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # bucketed tables hold the same rows as the path-based parquet
+    plain_bp = spark.read.parquet(f"{wh}/fct_boarding_pass")
+    assert bp.count() == plain_bp.count()
+    assert joined.count() == plain_bp.select("ticket_no", "boarding_no").join(
+        spark.read.parquet(f"{wh}/fct_booking_ticket").select("ticket_no", "amount"),
+        "ticket_no",
+    ).count()
