@@ -865,3 +865,108 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("first_hash"),
         F.max("h").alias("last_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span report: substring-level cross-document duplication.
+# ---------------------------------------------------------------------------
+#: span length in tokens for the duplicated-substring report (long
+#: enough that chance collisions are negligible, like DECONTAM_K).
+DUP_SPAN_K = 8
+
+
+@query(
+    "duplicate_span_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(toks) - {DUP_SPAN_K} + 2),
+               i -> array_to_string(list_slice(toks, i, i + {DUP_SPAN_K} - 1),
+                                    ' '))) AS g
+      FROM toks WHERE len(toks) >= {DUP_SPAN_K}
+    ),
+    dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+      FROM grams JOIN dupg USING (g) GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+           CAST(COALESCE(p.n_dup_grams, 0) AS DOUBLE)
+             / CAST(t.n_grams AS DOUBLE) AS dup_fraction
+    FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report: for every document, how many
+    of its {DUP_SPAN_K}-token spans also occur in ANOTHER document —
+    the C4/RefinedWeb-style signal that drives span-level (not
+    whole-document) dedup decisions, one level finer than
+    ``exact_dedup`` and one level coarser than suffix arrays.
+
+    Cross-doc duplication per gram is detected with min(doc)≠max(doc)
+    — two exact extremes instead of a COUNT DISTINCT, so the gram
+    aggregate stays a cheap map-side-collapsing pair. The per-doc
+    recount joins the exploded grams back on the gram key and reuses
+    the same hash partitioning Catalyst already produced for the
+    aggregate. dup_fraction divides two exact bigint-derived doubles.
+    At 100 TB the gram explosion is the dominant shuffle (≈ tokens ×
+    1 rows); production caps it by hashing grams to fixed-width longs
+    first — the md5-hex key here keeps the oracle exact instead.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("toks"),
+    ).filter(F.size("toks") >= DUP_SPAN_K)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (DUP_SPAN_K - 1)),
+                lambda i: F.array_join(F.slice("toks", i, DUP_SPAN_K), " "),
+            )
+        ).alias("g"),
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+    per_doc = (
+        grams.join(dupg, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup_grams"))
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .na.fill({"n_dup_grams": 0})
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -89,3 +89,30 @@ def test_pack_sequences_bins_are_contiguous_per_source(spark, sf_dir):
         # bins are dense: 0..max with no gaps
         bins = sorted({r["seq_bin"] for r in rs})
         assert bins == list(range(bins[-1] + 1))
+
+
+def test_training_shards_invariants(spark, sf_dir):
+    """Equal-count sharding invariants: shard sizes differ by at most
+    one, shards partition the corpus exactly, and the hash ranges are
+    disjoint and ordered (contiguous NTILE ranges over the md5 order)."""
+    from flights_data_pipeline_spark.queries.curation import N_SHARDS
+
+    rows = sorted(
+        REGISTRY["training_shards"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [r.shard_id for r in rows] == list(range(1, N_SHARDS + 1))
+    n_total = sum(r.n_docs for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n_total == n_docs
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # the first n % k shards carry the extra row, in order
+    extra = n_docs % N_SHARDS
+    if extra:
+        assert sizes[:extra] == [sizes[-1] + 1] * extra
+    # hash ranges are disjoint and ascending shard by shard
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_hash < b.first_hash or (
+            a.last_hash == b.first_hash  # duplicate hash split at boundary
+        )
