@@ -1003,3 +1003,85 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= N_HARD_NEG)
         .select("query_id", "q_label", "neg_id", "neg_label", "rank", "cosine")
     )
+
+
+@query("semantic_dedup_multiblock")
+def semantic_dedup_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_cluster_dedup`'s production variant: every vector is
+    assigned to its TOP-2 nearest centroids (k=16), so a duplicate
+    pair straddling a block boundary still shares at least one block
+    whenever the second-nearest centroid agrees — the multi-assignment
+    answer to single-block kmeans' miss mode, at the same kernel cost
+    (k doubles, per-block size halves: 16·C(2N/16, 2) ≈ 8·C(2N/8, 2)).
+
+    Rows-only gate entry like its sibling (the kmeans stage is
+    bit-pinned in ``tests/test_kmeans.py``; the cosine kernel and the
+    closure are oracle-matched in their own queries). Plan: one
+    broadcast of the k-row centroid array (top-2 via sorted distance
+    structs, sliced — no per-centroid join), block explode ×2, one
+    shuffle on block for the pair kernel, pair-level distinct before
+    closure (a pair sharing both blocks must not double-edge).
+    """
+    from ..operators.graph import connected_components
+    from ..operators.kmeans import _sq_l2, kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(e, k=16, max_iterations=3, init="hash")
+    carr = model.centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cluster_id").cast("int").alias("cid"),
+                    F.col("centroid").alias("c"),
+                )
+            )
+        ).alias("cents_arr")
+    )
+    vec = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    top2 = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents_arr"),
+                lambda s: F.struct(
+                    _sq_l2(F.col("vec"), s["c"]).alias("d2"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        2,
+    )
+    blocks = (
+        vec.crossJoin(F.broadcast(carr))
+        .select("vec_id", "vec", "nrm", F.explode(top2).alias("blk"))
+        .select("vec_id", "vec", "nrm", F.col("blk.cid").alias("block_id"))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_COSINE)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    return comp.select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.col("component").cast("bigint").alias("dup_group"),
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )
