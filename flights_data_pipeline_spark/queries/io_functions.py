@@ -277,3 +277,51 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("prop_value").cast("bigint").alias("max_value"),
         F.countDistinct("prop_value").cast("bigint").alias("n_distinct_values"),
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas (grouped map) — per-group demeaned values, exact.
+# ---------------------------------------------------------------------------
+@query(
+    "grouped_demean_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CAST(round(value * 100) AS BIGINT) * (COUNT(*) OVER w)
+                - SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS cents_dev
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def grouped_demean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 grouped-map ``applyInPandas``: each event's deviation from
+    its type's mean value, division-free (``n·cents − Σcents`` in
+    integer cents), so the Python-side arithmetic is exact and
+    cross-engine-hashable — the same integer-cents trick as the
+    GROUPED_AGG UDAF.
+
+    The grouped map is the API for per-group logic that genuinely
+    needs the whole group in memory at once (model-per-group fits,
+    group-local normalization); Spark shuffles each group to one
+    worker and hands it over as ONE Arrow batch — which is also the
+    scale caveat: a group must fit in a worker's memory, so keys must
+    be chosen (or salted) accordingly. Here groups are the handful of
+    event types; the oracle states the same result relationally with
+    window sums.
+    """
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        n, s = len(pdf), int(cents.sum())
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "cents_dev": cents * n - s,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        demean, "event_id bigint, event_type string, cents_dev bigint"
+    )
