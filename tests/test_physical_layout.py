@@ -440,3 +440,33 @@ def test_pipeline_bucketed_layout_joins_without_exchange(spark, tmp_path_factory
         spark.read.parquet(f"{wh}/fct_booking_ticket").select("ticket_no", "amount"),
         "ticket_no",
     ).count()
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path_factory):
+    """A date-partitioned fact joined to a dim filtered on a NON-key
+    attribute scans only the partitions the dim's surviving keys name —
+    Spark injects a dynamicpruningexpression into PartitionFilters at
+    runtime (the 100 TB lever for star joins over partitioned facts,
+    where the filterable day set is only known after the dim filter)."""
+    base = tmp_path_factory.mktemp("dpp")
+    fact = spark.range(0, 20000).select(
+        F.col("id"),
+        (F.col("id") % 40).alias("day_key"),
+        (F.col("id") * 3).alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("day_key").parquet(str(base / "fact"))
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("day_key"),
+        F.concat(F.lit("day-"), F.col("id")).alias("label"),
+    )
+    dim.write.mode("overwrite").parquet(str(base / "dim"))
+    f = spark.read.parquet(str(base / "fact"))
+    d = spark.read.parquet(str(base / "dim")).filter(
+        F.col("label").isin("day-3", "day-17")
+    )
+    joined = f.join(d, "day_key")
+    plan = _explain(spark, joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan
+    # semantics: only the two surviving days' rows come back
+    assert joined.count() == 2 * (20000 // 40)
