@@ -1003,3 +1003,79 @@ def surplus_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local supplier volume (cyclic join constraint).
+# ---------------------------------------------------------------------------
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(CAST(SUM({_DISC_PRICE_SQL}) AS DECIMAL(18,2)) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue shipped by suppliers to customers of their OWN
+    nation, per nation in one region — the join graph with a CYCLE
+    (supplier.nation = customer.nation closes the loop through the two
+    fact edges), the family no other registry query exercises: the
+    optimizer cannot tree-ify it without carrying the nationkey through
+    one side and filtering at the far edge.
+
+    Plan: nation⋈region prefilters to the region's nation keys
+    (broadcast); customer and supplier halve against it BEFORE the fact
+    joins (Catalyst pushes the nationkey IN-filter to both dim scans);
+    the cycle closes as a cheap post-join filter on two already-carried
+    ints. orders date window reaches PushedFilters. At 100 TB the only
+    big exchanges are the two fact joins on their natural keys.
+    """
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_disc_price())
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
