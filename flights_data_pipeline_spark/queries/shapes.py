@@ -659,3 +659,49 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("mean"),
     )
+
+
+@query("hll_sketch_rollup")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) HyperLogLog
+    sketches of the user set, UNIONED up to per-type distinct-user
+    estimates — the pre-aggregation pattern that makes distinct counts
+    composable at 100 TB (daily sketch partials persist with the daily
+    rollup; any horizon's distinct count is a sketch union, never a
+    re-scan of raw events; approx_count_distinct alone cannot do this
+    because its value is not reusable state).
+
+    Rows-only gate entry (sketch bytes and estimates are
+    implementation-specific), with the accuracy contract IN the row:
+    the exact distinct twin (two-level aggregate, no Expand) and a
+    within-5% boolean per type, asserted by the registry test suite's
+    row checks at the driver.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_users"),
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("exact_users"))
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        "approx_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("within_5pct"),
+    )

@@ -223,3 +223,13 @@ def test_multiblock_semantic_dedup_improves_boundary_recall(spark):
     recall_multi = len(multi & truth) / len(truth)
     assert recall_multi > recall_single + 0.1, (recall_single, recall_multi)
     assert recall_multi >= 0.75, recall_multi
+
+
+def test_hll_sketch_rollup_accuracy_contract(spark, sf_dir):
+    """Merged daily sketches must estimate per-type distinct users
+    within the query's own 5% contract (exact at these cardinalities)."""
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    assert rows and all(r.within_5pct for r in rows)
+    assert all(r.n_days >= 1 for r in rows)
