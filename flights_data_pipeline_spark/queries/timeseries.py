@@ -311,3 +311,195 @@ def events_ohlc_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (batch).
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS session_spend
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    user inactivity; each session reports its bounds, event count and
+    purchase spend.
+
+    The classic two-window construction — ``lag`` flags session
+    starts, a running sum numbers them — then one groupBy collapses
+    events to sessions. All three passes share the SAME partitioning
+    (user_id), so the plan carries ONE shuffle: both window specs and
+    the aggregation reuse the first Exchange (the groupBy keys are a
+    superset of the window partition key). At 100 TB the state per
+    task is one user's event stream — no driver involvement, and the
+    running sum is streamed per partition, not materialized.
+    Microsecond arithmetic (``unix_micros``) keeps the gap predicate
+    exact under both MICROS and NANOS parquet physical types.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    spend = F.when(
+        F.col("event_type") == "purchase", _dec("value")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(spend).cast("decimal(18,2)").cast("double").alias(
+                "session_spend"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: contiguous active-day ranges.
+# ---------------------------------------------------------------------------
+@query(
+    "gaps_and_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           MIN(day) AS island_start,
+           MAX(day) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM anchored
+    GROUP BY user_id, anchor
+    """,
+)
+def gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous runs of active DAYS per user (gaps-and-islands): a
+    run breaks wherever a calendar day with no events intervenes.
+
+    The ``day - row_number`` anchor trick: within a contiguous run the
+    difference between the day and its per-user rank is constant, so
+    grouping by (user, anchor) collapses each island without any
+    self-join or iterative pass. Same single-shuffle profile as
+    sessionization — distinct, window, and groupBy all hash on
+    user_id, and the distinct pre-collapses map-side so the window
+    sees days, not raw events.
+    """
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    anchored = days.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+        .drop("anchor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection with cross-engine-exact moments.
+# ---------------------------------------------------------------------------
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.s1 / s.n)
+               / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value, zscore
+    FROM scored WHERE abs(zscore) > 3.0
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is a >3-sigma outlier within its event type.
+
+    Cross-engine float discipline: the naive ``stddev_samp`` is an
+    order-dependent double fold (and Spark/DuckDB use different
+    accumulation algorithms), so the moments are computed as EXACT
+    decimal sums — sum(x) and sum(x*x) over DECIMAL(18,2) (products
+    widen to DECIMAL(38,4); both engines sum decimals exactly) — and
+    only then cast to double. From identical (n, s1, s2) doubles, the
+    variance/sqrt/division chain is correctly-rounded IEEE arithmetic,
+    bit-identical on both engines, so even the ``> 3.0`` knife-edge
+    classifies identically.
+
+    Plan shape: one groupBy per type (map-side partials), the 5-row
+    stats side broadcast into the second scan — two scans, zero
+    row-level shuffles. At 100 TB this is the canonical
+    "tiny-aggregate then broadcast re-join" profile.
+    """
+    ev = t(spark, sf_dir, "events")
+    dec = _dec("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    s = F.broadcast(stats)
+    joined = ev.join(s, "event_type")
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - F.lit(1).cast("double")
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", "value", "zscore")
+    )
