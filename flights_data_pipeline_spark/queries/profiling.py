@@ -219,3 +219,65 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation with cross-engine-exact moments.
+# ---------------------------------------------------------------------------
+@query(
+    "corr_by_group",
+    oracle="""
+    WITH sums AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(p_size) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(p_size AS BIGINT) * p_size) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS syy,
+             CAST(SUM(p_size * CAST(p_retailprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_size_price
+    FROM sums
+    """,
+)
+def corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between part size and retail
+    price, computed from EXACT integer/decimal co-moments.
+
+    ``F.corr`` (and DuckDB's ``corr``) accumulate doubles in
+    engine-specific orders and algorithms, so their low bits differ
+    across engines; here the five sums are exact (bigint / decimal —
+    order-independent), cast once to double, and finished with the
+    textbook formula — a correctly-rounded IEEE expression on
+    identical operands, hence bit-equal results. Single groupBy with
+    map-side partials; the finishing arithmetic is per-group O(1).
+    """
+    p = t(spark, sf_dir, "part")
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+    size_b = F.col("p_size").cast("bigint")
+    sums = p.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("p_size").cast("double").alias("sx"),
+        F.sum(size_b * F.col("p_size")).cast("double").alias("sxx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(F.col("p_size") * price).cast("double").alias("sxy"),
+    )
+    corr = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_parts"),
+        corr.alias("corr_size_price"),
+    )

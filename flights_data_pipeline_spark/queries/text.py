@@ -488,3 +488,106 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-subset tf-vector cosine similarity (broadcast inverted index).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_tf_cosine_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+      FROM tf GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT q.doc_id AS query_doc, c.doc_id AS corpus_doc,
+             CAST(SUM(q.tf * c.tf) AS BIGINT) AS dot
+      FROM tf q JOIN tf c ON q.term = c.term AND q.doc_id <> c.doc_id
+      WHERE q.doc_id < 10
+      GROUP BY q.doc_id, c.doc_id
+    ),
+    scored AS (
+      SELECT d.query_doc, d.corpus_doc,
+             d.dot / (nq.nrm * nc.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.query_doc
+                                ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                                         d.corpus_doc) AS rnk
+      FROM dots d
+      JOIN norms nq ON nq.doc_id = d.query_doc
+      JOIN norms nc ON nc.doc_id = d.corpus_doc
+    )
+    SELECT query_doc, corpus_doc, cosine, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def doc_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar corpus documents for each of a small query
+    set (doc_id < 10), by cosine over raw term-frequency vectors —
+    the retrieval kernel behind tf-idf search, stated with
+    cross-engine-exact arithmetic (integer tf products; norms/ratios
+    are correctly-rounded IEEE ops on identical operands).
+
+    Plan shape: the query-side postings are a few dozen rows →
+    ``F.broadcast`` turns the term join into a map-side hash probe
+    over the corpus postings; one groupBy on (query, corpus) sums the
+    dot products, and the top-3 is a per-query row_number. At 100 TB
+    the corpus-side postings stream through ONE scan with no
+    shuffle-by-term (the broadcast replaces it), which is exactly how
+    a query-batch scoring pass should look; an all-pairs variant
+    belongs to the LSH/IVF family instead (``queries/similarity.py``).
+    """
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    q_tf = tf.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_doc"),
+        "term",
+        F.col("tf").alias("qtf"),
+    )
+    dots = (
+        tf.join(F.broadcast(q_tf), "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", F.col("doc_id").alias("corpus_doc"))
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("bigint").alias("dot"))
+    )
+    nq = F.broadcast(
+        norms.select(
+            F.col("doc_id").alias("query_doc"), F.col("nrm").alias("qnrm")
+        )
+    )
+    nc = norms.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("nrm").alias("cnrm")
+    )
+    scored = (
+        dots.join(nq, "query_doc")
+        .join(nc, "corpus_doc")
+        .withColumn("cosine", F.col("dot") / (F.col("qnrm") * F.col("cnrm")))
+    )
+    w = W.partitionBy("query_doc").orderBy(
+        F.col("cosine").desc(), F.col("corpus_doc")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_doc", "corpus_doc", "cosine", "rnk")
+    )
