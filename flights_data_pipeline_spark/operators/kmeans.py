@@ -58,6 +58,11 @@ class KMeansModel:
     iterations: int
     converged: bool
     inertia: float  #: final within-cluster sum of squared distances
+    #: final per-row assignment (id, cluster_id, sq_dist), checkpointed —
+    #: present only when ``kmeans_fit(keep_assignments=True)``; consumers
+    #: (IVF build, cluster-blocked dedup) read it instead of re-running a
+    #: corpus assignment pass. ``id`` carries the caller's ``id_col`` name.
+    assignments: DataFrame | None = None
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -219,6 +224,7 @@ def kmeans_fit(
     tol: float = 1e-6,
     init: str = "maxmin",
     init_sample: int | None = None,
+    keep_assignments: bool = False,
 ) -> KMeansModel:
     """Fit k-means on ``df[vec_col]`` (array of numeric) with Lloyd's
     algorithm; returns the centroid table plus fit diagnostics.
@@ -242,6 +248,14 @@ def kmeans_fit(
     — one Spark job instead of k-1 sequential scans; the default large-k
     route. ``init_sample >= corpus`` reproduces the full maxmin choice
     bit-exactly.
+
+    ``keep_assignments=True`` checkpoints the final per-row assignment
+    and exposes it as ``model.assignments`` — the diagnostics pass
+    computes it anyway, so retaining it is free, and every downstream
+    consumer (IVF posting-list build, cluster-blocked dedup) then skips
+    a whole extra corpus assignment pass. At 100 TB this trades
+    executor-local storage for a full corpus scan — the same bargain an
+    IVF build makes when it materializes its posting lists.
     """
     vecs = df.select(
         F.col(id_col).alias("id"),
@@ -344,16 +358,26 @@ def kmeans_fit(
     # one final corpus pass yields BOTH diagnostics: per-cluster counts
     # and squared-distance sums collapse to k rows, checkpointed so
     # neither the inertia reduction nor the centroid materialization
-    # re-runs the assignment.
+    # re-runs the assignment. With keep_assignments the checkpoint sits
+    # one step earlier — on the per-row assignment — and the k-row
+    # stats become a cheap aggregate over the checkpointed rows.
+    final_assigned = _assign(vecs, cents)
+    kept = None
+    if keep_assignments:
+        kept = final_assigned.select("id", "cluster_id", "d2").localCheckpoint(
+            eager=True
+        )
+        final_assigned = kept
     final_stats = (
-        _assign(vecs, cents)
+        final_assigned
         .groupBy("cluster_id")
         .agg(
             F.count("*").cast("bigint").alias("n_members"),
             F.sum("d2").alias("ssd"),
         )
-        .localCheckpoint(eager=True)
     )
+    if not keep_assignments:
+        final_stats = final_stats.localCheckpoint(eager=True)
     inertia = final_stats.agg(F.sum("ssd").alias("i")).first().i or 0.0
     sizes = final_stats.select("cluster_id", "n_members")
     centroids = cents.join(sizes, "cluster_id", "left").select(
@@ -361,8 +385,19 @@ def kmeans_fit(
         "centroid",
         F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
     )
+    assignments = (
+        kept.select(
+            F.col("id").alias(id_col), "cluster_id", F.col("d2").alias("sq_dist")
+        )
+        if kept is not None
+        else None
+    )
     return KMeansModel(
-        centroids=centroids, iterations=it, converged=converged, inertia=float(inertia)
+        centroids=centroids,
+        iterations=it,
+        converged=converged,
+        inertia=float(inertia),
+        assignments=assignments,
     )
 
 

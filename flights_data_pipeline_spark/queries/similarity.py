@@ -829,11 +829,15 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector to its top-2 nearest centroids).
     """
     from ..operators.graph import connected_components
-    from ..operators.kmeans import kmeans_assign, kmeans_fit
+    from ..operators.kmeans import kmeans_fit
 
     e = t(spark, sf_dir, "embeddings")
-    model = kmeans_fit(e, k=8, max_iterations=3, init="hash")
-    labeled = kmeans_assign(e, model).join(
+    # keep_assignments: the fit's diagnostics pass already labeled every
+    # vector — reuse it instead of a second full corpus assignment scan
+    model = kmeans_fit(
+        e, k=8, max_iterations=3, init="hash", keep_assignments=True
+    )
+    labeled = model.assignments.join(
         e.select("vec_id", "embedding"), "vec_id"
     ).select(
         "vec_id", "cluster_id", "embedding", _norm(F.col("embedding")).alias("nrm")
@@ -878,12 +882,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the oracle-matched `ann_ivf_probe`. Plan: centroids broadcast twice (assignment +
     routing), corpus shuffles once on list_id.
     """
-    from ..operators.kmeans import kmeans_assign, kmeans_fit
+    from ..operators.kmeans import kmeans_fit
 
     e = t(spark, sf_dir, "embeddings")
-    model = kmeans_fit(e, k=IVF_N_LISTS, max_iterations=3, init="hash")
+    model = kmeans_fit(
+        e, k=IVF_N_LISTS, max_iterations=3, init="hash", keep_assignments=True
+    )
     v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    assign = kmeans_assign(e, model).select(
+    assign = model.assignments.select(
         "vec_id", F.col("cluster_id").alias("list_id")
     ).join(v, "vec_id")
 
