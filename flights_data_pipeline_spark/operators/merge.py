@@ -239,3 +239,163 @@ def _swap_in(spark: SparkSession, merged: DataFrame, target_path: str) -> int:
     if had_previous:
         shutil.rmtree(old)
     return n
+
+
+SCD2_COLS = ("effective_from", "effective_to", "is_current")
+
+
+def merge_scd2(
+    target: DataFrame | None,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    load_ts: str,
+    tracked_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: keep FULL attribute
+    history with validity intervals instead of overwriting in place
+    (the SCD-1 semantics of ``merge_upsert``).
+
+    ``target`` carries the source columns plus ``effective_from``
+    (timestamp), ``effective_to`` (timestamp, NULL = open) and
+    ``is_current`` (boolean); pass ``None`` for the first load. Per
+    source row at batch time ``load_ts`` (an ISO timestamp string):
+
+    * new key → insert an open version ``[load_ts, NULL)``;
+    * matched key with any ``tracked_cols`` difference (null-safe
+      struct compare) → close the current version at ``load_ts`` and
+      insert the new open version;
+    * matched and unchanged → untouched (so REPLAYING a batch with the
+      same ``load_ts`` is a no-op — the merge is replay-idempotent);
+    * keys absent from the source → untouched (dimensions never
+      implicitly delete).
+
+    Scale posture: closed history never joins — only the ``is_current``
+    slice meets the source in ONE keyed full-outer shuffle (the same
+    cost class as ``merge_upsert``); history is unioned back untouched,
+    so write amplification is bounded by the current slice plus the
+    delta. On a cluster, bucket the stored table by ``keys`` and the
+    target side of the join stays shuffle-free.
+    """
+    if any(c in source.columns for c in SCD2_COLS):
+        raise ValueError(
+            f"merge_scd2: source must not carry the bookkeeping columns {SCD2_COLS}"
+        )
+    non_keys = [c for c in source.columns if c not in keys]
+    tracked = tracked_cols if tracked_cols is not None else non_keys
+    unknown = set(tracked) - set(non_keys)
+    if unknown:
+        raise ValueError(f"merge_scd2: tracked_cols not in source: {sorted(unknown)}")
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("merge_scd2: source has duplicate merge keys")
+
+    ts = F.lit(load_ts).cast("timestamp")
+    out_cols = list(source.columns) + list(SCD2_COLS)
+    fresh = source.select(
+        *source.columns,
+        ts.alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    if target is None:
+        return fresh.select(*out_cols)
+    if set(target.columns) != set(out_cols):
+        raise ValueError(
+            f"merge_scd2: target schema {sorted(target.columns)} != "
+            f"source+bookkeeping {sorted(out_cols)}"
+        )
+
+    history = target.filter(~F.col("is_current"))
+    current = target.filter(F.col("is_current"))
+
+    t = current.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        F.lit(True).alias("__in_t"),
+        *[F.col(c).alias(f"__t_{c}") for c in non_keys],
+        F.col("effective_from").alias("__t_from"),
+    )
+    s = source.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        F.lit(True).alias("__in_s"),
+        *[F.col(c).alias(f"__s_{c}") for c in non_keys],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__tk_{k}").eqNullSafe(F.col(f"__sk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = t.join(s, cond, "full_outer")
+
+    matched = F.col("__in_t").isNotNull() & F.col("__in_s").isNotNull()
+    changed = matched & ~F.struct(
+        *[F.col(f"__t_{c}") for c in tracked]
+    ).eqNullSafe(F.struct(*[F.col(f"__s_{c}") for c in tracked]))
+
+    def _key(k: str) -> Column:
+        return F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k)
+
+    # surviving current rows: unchanged-matched and target-only keys
+    kept = j.filter(F.col("__in_t").isNotNull() & ~changed).select(
+        *[_key(k) for k in keys],
+        *[F.col(f"__t_{c}").alias(c) for c in non_keys],
+        F.col("__t_from").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = j.filter(changed).select(
+        *[_key(k) for k in keys],
+        *[F.col(f"__t_{c}").alias(c) for c in non_keys],
+        F.col("__t_from").alias("effective_from"),
+        ts.alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.filter(changed | F.col("__in_t").isNull()).select(
+        *[_key(k) for k in keys],
+        *[F.col(f"__s_{c}").alias(c) for c in non_keys],
+        ts.alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        history.select(*out_cols)
+        .unionByName(kept.select(*out_cols))
+        .unionByName(closed.select(*out_cols))
+        .unionByName(opened.select(*out_cols))
+    )
+
+
+def scd2_snapshot(dim: DataFrame, as_of: str) -> DataFrame:
+    """The dimension exactly as it stood at ``as_of``: the version row
+    whose validity interval ``[effective_from, effective_to)`` covers
+    the instant. A plain filter — partition pruning applies if the
+    stored table partitions on ``is_current``/``effective_to`` — so
+    point-in-time joins against facts stay scan-shaped."""
+    ts = F.lit(as_of).cast("timestamp")
+    return dim.filter(
+        (F.col("effective_from") <= ts)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > ts))
+    ).drop(*SCD2_COLS)
+
+
+def merge_scd2_parquet(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    load_ts: str,
+    tracked_cols: list[str] | None = None,
+) -> int:
+    """``merge_scd2`` against the parquet table at ``target_path``
+    (created on first load), swapped in atomically like the other
+    parquet merges; returns the resulting row count."""
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        target = None
+    merged = merge_scd2(
+        target, source, keys, load_ts=load_ts, tracked_cols=tracked_cols
+    )
+    return _swap_in(spark, merged, target_path)
