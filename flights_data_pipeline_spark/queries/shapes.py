@@ -705,3 +705,93 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users")
         ).alias("within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram-quantile rollup (exact-integer sketch state).
+# ---------------------------------------------------------------------------
+#: histogram bin width for event values (values span ~[0, 120]).
+HIST_BIN_WIDTH = 5.0
+
+
+@query(
+    "histogram_quantile_rollup",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM merged
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_values,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           MIN(CASE WHEN cum_cnt >= 0.5 * n THEN bin END)
+             * CAST({HIST_BIN_WIDTH} AS DOUBLE) AS p50_est,
+           MIN(CASE WHEN cum_cnt >= 0.95 * n THEN bin END)
+             * CAST({HIST_BIN_WIDTH} AS DOUBLE) AS p95_est
+    FROM cum GROUP BY event_type
+    """,
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a MERGEABLE fixed-width histogram:
+    per-(type, day) bin counts roll up to per-type p50/p95 — the
+    companion pattern to ``hll_sketch_rollup`` for order statistics.
+
+    Why this shape at 100 TB: exact percentiles need the full sorted
+    value set (``percentile_exact`` re-scans raw data per horizon);
+    histogram partials are tiny exact-integer state that any horizon
+    merges by ADDITION (same contract as ``merge_additive_parquet``),
+    with error bounded by the bin width by construction. Unlike HLL
+    sketch bytes, integer bin counts are engine-neutral, so this
+    sketch query carries a FULL DuckDB oracle: bin = floor(value /
+    width) is exact IEEE division+floor, and the quantile pick is
+    integer cumulative-count logic — every stage cross-engine-exact.
+
+    Plan: two stacked groupBys (both collapse map-side) and one
+    per-type window over ~25 bins — the window input is bins, not
+    rows, so the sort is O(bins log bins) per type.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / HIST_BIN_WIDTH).cast("bigint").alias("bin"),
+        )
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    merged = daily.groupBy("event_type", "bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = merged.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731 — local one-liner, mirrors the SQL CASE
+        F.when(F.col("cum_cnt") >= F.lit(q) * F.col("n"), F.col("bin"))
+    ) * F.lit(HIST_BIN_WIDTH)
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_values"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        pick(0.5).alias("p50_est"),
+        pick(0.95).alias("p95_est"),
+    )
