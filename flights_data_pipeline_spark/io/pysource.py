@@ -1,0 +1,227 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic-events generator, batch + streaming.
+
+Why the engine ships one: the reference's source surface is fixed
+(Postgres JDBC, CSV in an object store — SURVEY.md §2.1); a Spark-4
+engine's source surface is *extensible*, and this module is the
+engine's worked example — the idioms a user copies to wrap any
+in-house feed (an internal API, a message log, a proprietary format)
+as a first-class ``spark.read.format(...)`` table:
+
+* **partition planning** — ``partitions()`` splits the row space into
+  contiguous ranges; each range generates independently on its
+  executor (no driver data movement, scales with the cluster);
+* **filter pushdown** (4.1 ``pushFilters``) — range predicates on
+  ``event_id`` narrow the generated row space BEFORE partition
+  planning, so a selective filter prunes whole partitions instead of
+  generating-then-discarding;
+* **Arrow batches** — ``read()`` yields ``pyarrow.RecordBatch``, the
+  vectorized path (one Arrow buffer per ~64k rows crosses the
+  Python→JVM boundary, never per-row pickled tuples);
+* **replayable streaming** — the stream reader's offset is simply the
+  row counter, so any (start, end] micro-batch regenerates bit-equal
+  rows: exactly the contract Structured Streaming needs from a
+  replayable source for end-to-end exactly-once.
+
+Generation is splitmix64-style integer mixing (public-domain finalizer
+constants), vectorized in numpy uint64 — deterministic across runs,
+partitionings and machines, with no RNG state to share between
+executors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+if TYPE_CHECKING:  # imported lazily in workers otherwise
+    import pyarrow as pa
+
+SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE"
+)
+#: cumulative per-mille thresholds for event types (view 40%, click
+#: 30%, purchase 15%, error 10%, signup 5%).
+_TYPE_CUM = ((400, "view"), (700, "click"), (850, "purchase"), (950, "error"), (1000, "signup"))
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def _mix(ids):
+    """splitmix64 finalizer over a numpy uint64 array."""
+    import numpy as np
+
+    x = ids.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _generate(start: int, end: int, n_users: int, gap_us: int) -> "pa.RecordBatch":
+    """Rows [start, end) as one Arrow RecordBatch."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.arange(start, end, dtype=np.uint64)
+    h1 = _mix(ids)
+    h2 = _mix(ids + np.uint64(1) << np.uint64(33))
+    h3 = _mix(ids + np.uint64(3) << np.uint64(34))
+    h4 = _mix(ids + np.uint64(7) << np.uint64(35))
+    user_id = (h1 % np.uint64(n_users)).astype(np.int64)
+    type_idx = (h2 % np.uint64(1000)).astype(np.int64)
+    event_type = np.empty(len(ids), dtype=object)
+    lo = 0
+    for cum, name in _TYPE_CUM:
+        mask = (type_idx >= lo) & (type_idx < cum)
+        event_type[mask] = name
+        lo = cum
+    value = (h3 % np.uint64(10000)).astype(np.float64) / 100.0
+    jitter = (h4 % np.uint64(gap_us)).astype(np.int64)
+    ts_us = _EPOCH_2024_US + ids.astype(np.int64) * gap_us + jitter
+    return pa.record_batch(
+        [
+            pa.array(ids.astype(np.int64)),
+            pa.array(ts_us, type=pa.timestamp("us")),
+            pa.array(user_id),
+            pa.array(event_type, type=pa.string()),
+            pa.array(value),
+        ],
+        names=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class _Options:
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.n_users = int(options.get("n_users", 50))
+        self.gap_us = int(options.get("gap_us", 1_000_000))
+        self.batch_rows = int(options.get("batch_rows", 65_536))
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.o = _Options(options)
+        self.lo = 0
+        self.hi = self.o.n_rows
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Claim range predicates on event_id (event_id IS the row
+        index, so narrowing [lo, hi) applies them exactly); everything
+        else is yielded back for Spark to evaluate post-scan."""
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if col == ("event_id",) and isinstance(val, int):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, val + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, val)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, val)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, val + 1)
+                elif isinstance(f, EqualTo):
+                    self.lo = max(self.lo, val)
+                    self.hi = min(self.hi, val + 1)
+                else:
+                    yield f
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, self.o.n_partitions)
+        span = hi - lo
+        step = max(1, -(-span // n)) if span else 1
+        parts = [
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+        # an empty (fully pruned) range still needs one no-op split
+        return parts or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition):
+        if partition.end > partition.start:
+            step = self.o.batch_rows
+            for s in range(partition.start, partition.end, step):
+                yield _generate(
+                    s, min(s + step, partition.end), self.o.n_users, self.o.gap_us
+                )
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Replayable micro-batch source: the offset is the global row
+    counter; (start, end] regenerates deterministically, so restart
+    and replay produce bit-equal batches."""
+
+    def __init__(self, options: dict):
+        self.o = _Options(options)
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # bounded feed: advance one micro-batch per poll, up to n_rows —
+        # an uncapped offset would make processAllAvailable() spin forever
+        self._latest = min(self._latest + self.rows_per_batch, self.o.n_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["row"], end["row"]
+        n = max(1, self.o.n_partitions)
+        step = max(1, -(-(hi - lo) // n))
+        return [
+            _RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition):
+        if partition.end > partition.start:
+            yield _generate(
+                partition.start, partition.end, self.o.n_users, self.o.gap_us
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up — regeneration is the log
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Make ``spark.read.format("synthetic_events")`` available."""
+    spark.dataSource.register(SyntheticEventsDataSource)
