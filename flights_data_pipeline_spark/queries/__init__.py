@@ -24,4 +24,5 @@ from . import timeseries  # noqa: F401
 from . import flights  # noqa: F401
 from . import profiling  # noqa: F401
 from . import curation  # noqa: F401
+from . import modern  # noqa: F401
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

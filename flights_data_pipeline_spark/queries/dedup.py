@@ -481,3 +481,94 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("name_a", "name_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup search (Hamming-ball retrieval).
+# ---------------------------------------------------------------------------
+#: Hamming threshold for "near-duplicate" fingerprints. With the 32-bit
+#: fingerprint split into 4 disjoint 8-bit bands, any pair within
+#: Hamming distance 3 differs in at most 3 bands, so it MUST agree on
+#: at least one band — banding has GUARANTEED recall at this radius
+#: (pigeonhole), unlike MinHash banding's probabilistic recall.
+SIMHASH_HAMMING_MAX = 3
+
+
+def _simhash_band_pairs_oracle() -> str:
+    base = _simhash_oracle().rstrip()
+    return f"""
+    WITH fps AS ({base}),
+    bands AS (
+      SELECT doc_id, simhash, b.band_no,
+             (simhash >> (8 * b.band_no)) & 255 AS band_val
+      FROM fps, (VALUES (0), (1), (2), (3)) b(band_no)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+             x.simhash AS a_fp, y.simhash AS b_fp
+      FROM bands x JOIN bands y
+        ON x.band_no = y.band_no AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_fp, b_fp)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_fp, b_fp)) <= {SIMHASH_HAMMING_MAX}
+    """
+
+
+@query("simhash_band_pairs", oracle=_simhash_band_pairs_oracle())
+def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate PAIRS from the SimHash fingerprints: split each
+    32-bit fingerprint into 4 disjoint 8-bit bands, equi-join on any
+    shared band, verify candidates by exact Hamming distance
+    (``bit_count(a XOR b)``) ≤ 3.
+
+    This executes the retrieval step ``simhash_fingerprint``'s
+    docstring promises. Unlike MinHash-LSH (probabilistic recall),
+    disjoint-band blocking is EXACT for the stated radius: a pair
+    within Hamming 3 differs in ≤ 3 of the 4 bands, so at least one
+    band matches (pigeonhole) — zero false negatives. Plan shape is
+    the canonical 100 TB dedup join: linear fingerprinting, equi-join
+    on (band_no, band_val) — never all-pairs — then an O(1) popcount
+    verify per candidate. Skew caution at scale: a band value shared
+    by M docs yields M² candidates; the production dial drops
+    saturated buckets (as ``minhash_lsh_candidates`` documents).
+    """
+    fp = simhash_fingerprint(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(shiftright(simhash, {8 * i}) & 255)")
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_no") == F.col("y.band_no"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.simhash").alias("a_fp"),
+            F.col("y.simhash").alias("b_fp"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -97,6 +97,27 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_rollup(back)
 
 
+@query("xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → XML sink → schema'd XML source → aggregate: the
+    document-markup landing format (Spark 4 ships the XML connector
+    built in — no external package). Same lossiness hot spots as the
+    JSON round-trip: row counts, omitted-null elements, decimal
+    totals, date round-trip through ISO strings; the shared oracle
+    (computed on the ORIGINAL parquet) proves nothing was bent on the
+    way through."""
+    o = t(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="fdp_xml_rt_") + "/orders"
+    o.write.mode("overwrite").format("xml").option("rowTag", "order").save(land)
+    back = (
+        spark.read.schema(o.schema)
+        .format("xml")
+        .option("rowTag", "order")
+        .load(land)
+    )
+    return _orders_rollup(back)
+
+
 def _orders_rollup(df: DataFrame) -> DataFrame:
     """The shared roundtrip-check aggregate (see csv_roundtrip)."""
     return df.groupBy("o_orderstatus").agg(

@@ -591,3 +591,113 @@ def doc_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_doc", "corpus_doc", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (rational-idf variant, cross-engine exact).
+# ---------------------------------------------------------------------------
+#: fixed query terms for the BM25 retrieval demo (present in the
+#: synthetic corpus vocabulary at mid frequencies).
+BM25_TERMS = ("spark", "vector", "stream")
+BM25_TOP_K = 15
+
+# The scoring body is ONE shared SQL string run by both engines (only
+# the tokenizer frontend differs), so every float op evaluates in the
+# same order on both sides. Rational idf: standard BM25 uses
+# ln((N-df+0.5)/(df+0.5)), but ln() is not bit-identical across
+# engines (correctness rule: no transcendentals in gated floats) — and
+# ln is monotone, so scoring with the raw odds ratio preserves
+# per-term ranking while keeping every op IEEE-exact (+,-,*,/ only).
+# Per-term scores pivot into FIXED columns summed in literal order
+# (s1+s2)+s3 — a SUM aggregate would re-associate nondeterministically.
+_BM25_BODY = """
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE token IN ('{t0}', '{t1}', '{t2}')
+      GROUP BY doc_id, token
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    idf AS (
+      SELECT token,
+             (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+              + CAST(0.5 AS DOUBLE))
+             / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS idf
+      FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY token), stats
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             idf.idf * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(tf.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE)
+                       * (CAST(dl.dl AS DOUBLE) / stats.avgdl))) AS s
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN idf ON tf.token = idf.token, stats
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN token = '{t0}' THEN s END),
+                      CAST(0 AS DOUBLE)) AS s1,
+             COALESCE(MAX(CASE WHEN token = '{t1}' THEN s END),
+                      CAST(0 AS DOUBLE)) AS s2,
+             COALESCE(MAX(CASE WHEN token = '{t2}' THEN s END),
+                      CAST(0 AS DOUBLE)) AS s3
+      FROM scored GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, s1 + s2 + s3 AS bm25
+      FROM pivoted
+      ORDER BY s1 + s2 + s3 DESC, doc_id
+      LIMIT {k}
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+             AS rank
+    FROM top
+""".format(t0=BM25_TERMS[0], t1=BM25_TERMS[1], t2=BM25_TERMS[2], k=BM25_TOP_K)
+
+
+@query(
+    "bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS token
+      FROM documents
+    ),
+    """
+    + _BM25_BODY,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 (k1=1.2, b=0.75) for a fixed 3-term
+    query — lexical retrieval, the sparse half of a hybrid RAG stack
+    beside ``embedding_topk_bruteforce``'s dense half.
+
+    The scoring SQL is ONE shared string both engines execute (see
+    ``_BM25_BODY``): rational idf in place of the non-bit-portable
+    ln(), fixed-order pivoted term sums, top-k before ranking. Plan:
+    tf filters to the query terms BEFORE aggregating (the corpus-wide
+    explode feeds dl anyway — one scan, two branch aggregates), idf
+    and avgdl are scalar/3-row broadcasts, and the final top-k is
+    TakeOrdered (no global window over the corpus).
+    """
+    d = t(spark, sf_dir, "documents")
+    d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    ).createOrReplaceTempView("tok")
+    return spark.sql("WITH " + _BM25_BODY)

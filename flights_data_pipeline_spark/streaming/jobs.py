@@ -390,3 +390,43 @@ def user_running_counters_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# State-store introspection (the statestore / state-metadata readers).
+# ---------------------------------------------------------------------------
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Operator-level metadata of a streaming query's state checkpoint
+    (operator ids/names, store names, partition counts, batch range) —
+    ``spark.read.format("state-metadata")`` over the checkpoint.
+
+    This is the entry point of any production state debugging session:
+    it tells you WHICH operator/store to point ``read_query_state`` at
+    without guessing operator ids."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def read_query_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    *,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Contents of a streaming query's state store as a DataFrame
+    (``key`` struct = grouping key, ``value`` struct = the operator's
+    aggregation buffer, plus ``partition_id``).
+
+    The offline state reader is how an operator debugs skew (rows per
+    ``partition_id``), audits what a watermark has/hasn't evicted, and
+    validates a checkpoint before a risky redeploy — WITHOUT running
+    the stream. Reads go straight to the checkpoint files; the running
+    query is untouched. ``batch_id`` defaults to the last committed
+    micro-batch."""
+    r = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+    )
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint_dir)

@@ -298,3 +298,49 @@ def test_enrich_stream_static_dim(spark, events_dir, sf_dir):
     }
     assert got == want
     assert sum(got.values()) == ev.count()  # left join drops nothing
+
+
+def test_state_store_reader_matches_sink(spark, events_dir):
+    """Offline state introspection: after a tumbling-count query
+    completes, (a) the state-metadata reader names the agg operator
+    and its store, and (b) the statestore reader's key/value rows
+    reconstruct EXACTLY the aggregate the sink emitted — state on
+    disk IS the query result for a complete-mode agg, which also
+    proves the checkpoint is replayable."""
+    ck = tempfile.mkdtemp(prefix="fdp_ssr_ck_")
+    try:
+        agg = jobs.tumbling_counts(jobs.read_events_stream(spark, events_dir))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ssr_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        meta = jobs.read_state_metadata(spark, ck).collect()
+        assert len(meta) == 1
+        assert meta[0].operatorName == "stateStoreSave"
+        assert meta[0].stateStoreName == "default"
+
+        st = jobs.read_query_state(spark, ck, operator_id=meta[0].operatorId)
+        got = {
+            (r.key.window.start, r.key.event_type): (
+                r.value["count"],
+                float(r.value["sum"]),
+            )
+            for r in st.collect()
+        }
+        want = {
+            (r.window_start, r.event_type): (r.n_events, float(r.total_value))
+            for r in spark.sql("SELECT * FROM ssr_sink").collect()
+        }
+        assert got == want and len(got) > 0
+
+        # per-partition key distribution is the skew-debugging readout
+        n_parts = st.select("partition_id").distinct().count()
+        assert n_parts >= 1
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
