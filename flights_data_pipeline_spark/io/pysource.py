@@ -36,7 +36,9 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -45,6 +47,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:  # imported lazily in workers otherwise
@@ -223,5 +226,171 @@ class SyntheticEventsDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Make ``spark.read.format("synthetic_events")`` available."""
+    """Make ``spark.read.format("synthetic_events")`` and
+    ``df.write.format("manifest_parquet")`` available."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(ManifestParquetSink)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python SINK: manifest-committed parquet (batch + streaming).
+# ---------------------------------------------------------------------------
+@dataclass
+class _ParquetCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class _ManifestWriterBase:
+    """Shared task-side write + driver-side commit mechanics.
+
+    Protocol (the classic two-phase file commit, driver-arbitrated):
+
+    1. each task writes its batches to ``<path>/_staging/<uuid>.parquet``
+       — NEVER to the final name, so a failed/retried/zombie task can
+       leave only garbage in ``_staging``, invisible to readers;
+    2. the driver, once ALL tasks succeed, renames every staged file to
+       a final ``part-*`` name and then writes the MANIFEST (the list
+       of committed files) via write-temp-then-atomic-rename;
+    3. readers list the manifest, not the directory — a crash between
+       renames publishes nothing, because visibility is the manifest
+       write, which is a single atomic rename.
+
+    This is the same design as a table format's commit log (and what
+    ``io/jdbc``'s delete+insert upsert does transactionally): on local
+    or HDFS-like storage rename is atomic; on S3-like stores step 2
+    becomes a conditional PUT of the manifest — the structure is
+    unchanged, which is why the manifest (not directory listing) is
+    the only read path."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path") or options.get("dsPath")
+        if not self._path:
+            raise ValueError("manifest_parquet sink requires a path option")
+
+    # -- task side ---------------------------------------------------
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self._path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+        batches = list(iterator)
+        rows = sum(b.num_rows for b in batches)
+        if batches:
+            pq.write_table(pa.Table.from_batches(batches), fname)
+            return _ParquetCommit(staged=fname, rows=rows)
+        return _ParquetCommit(staged="", rows=0)
+
+    # -- driver side helpers ----------------------------------------
+    def _publish(self, messages, manifest_name: str) -> None:
+        import json
+        import os
+
+        final_files, total = [], 0
+        for i, m in enumerate(m for m in messages if m and m.staged):
+            final = os.path.join(
+                self._path, f"part-{i:05d}-{os.path.basename(m.staged)}"
+            )
+            os.replace(m.staged, final)
+            final_files.append(os.path.basename(final))
+            total += m.rows
+        tmp = os.path.join(self._path, f"._{manifest_name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(final_files), "rows": total}, f)
+        os.replace(tmp, os.path.join(self._path, manifest_name))
+
+    def _clean_staged(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class ManifestParquetWriter(_ManifestWriterBase, DataSourceArrowWriter):
+    """Batch writer: one manifest (``_manifest.json``) per write."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options)
+        self._overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        if self._overwrite:
+            # drop the previous committed generation (manifest last, so
+            # a crash mid-clean leaves a readable previous manifest)
+            old = os.path.join(self._path, "_manifest.json")
+            if os.path.exists(old):
+                with open(old) as f:
+                    for fn in json.load(f)["files"]:
+                        p = os.path.join(self._path, fn)
+                        if os.path.exists(p):
+                            os.remove(p)
+        self._publish(messages, "_manifest.json")
+
+    def abort(self, messages) -> None:
+        self._clean_staged(messages)
+
+
+class ManifestParquetStreamWriter(_ManifestWriterBase, DataSourceStreamArrowWriter):
+    """Streaming writer: one manifest per micro-batch
+    (``_manifest-<batchId>.json``) — idempotent on batch replay, which
+    upgrades Structured Streaming's at-least-once task execution to
+    exactly-once FILE visibility: a replayed batch finds its manifest
+    already present and publishes nothing twice."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+
+        manifest = f"_manifest-{batchId:08d}.json"
+        if os.path.exists(os.path.join(self._path, manifest)):
+            self._clean_staged(messages)  # replay of a committed batch
+            return
+        self._publish(messages, manifest)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._clean_staged(messages)
+
+
+class ManifestParquetSink(DataSource):
+    """``df.write.format("manifest_parquet").option("path", ...)`` —
+    the write-side twin of ``SyntheticEventsDataSource`` (SURVEY.md
+    §2.1 extensible-connector surface): Arrow record batches out of
+    the JVM, two-phase manifest commit for atomic visibility."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool) -> ManifestParquetWriter:
+        return ManifestParquetWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> ManifestParquetStreamWriter:
+        return ManifestParquetStreamWriter(self.options)
+
+
+def read_manifest_parquet(spark, path: str):
+    """Read back ONLY the manifest-committed files of a sink directory
+    (the sink's read contract — directory listings see staged garbage;
+    the manifest never does). Batch manifests and per-micro-batch
+    manifests union transparently."""
+    import glob as _glob
+    import json
+    import os
+
+    files: list[str] = []
+    for mf in sorted(
+        _glob.glob(os.path.join(path, "_manifest*.json"))
+    ):
+        with open(mf) as f:
+            files.extend(os.path.join(path, fn) for fn in json.load(f)["files"])
+    if not files:
+        return spark.createDataFrame([], "event_id BIGINT")
+    return spark.read.parquet(*files)

@@ -970,3 +970,59 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed stage: the decontaminated training keep-list.
+# ---------------------------------------------------------------------------
+def _decontaminated_split_oracle() -> str:
+    from .registry import REGISTRY
+
+    contam = REGISTRY["decontamination_ngram_overlap"].oracle.rstrip()
+    return f"""
+    WITH contam AS ({contam}),
+    split AS (
+      SELECT doc_id, lang, {_bucket_sql(_hex_val_duck)} AS bucket
+      FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+    )
+    SELECT s.doc_id, s.lang,
+           CAST(COALESCE(c.n_contaminated_shingles, 0) AS BIGINT)
+             AS n_contaminated_shingles,
+           c.n_contaminated_shingles IS NULL AS kept
+    FROM split s LEFT JOIN contam c ON s.doc_id = c.doc_id
+    WHERE s.bucket < {TRAIN_PCT}
+    """
+
+
+@query("decontaminated_train_split", oracle=_decontaminated_split_oracle())
+def decontaminated_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-list a training run actually consumes: the hashed
+    train split (``train_test_split``) anti-joined against the
+    benchmark-leakage scan (``decontamination_ngram_overlap``) — one
+    row per train document with its contamination count and the final
+    ``kept`` verdict.
+
+    This pins the COMPOSITION, not just the stages: the stages are
+    oracle-matched individually, but a real pipeline chains them, and
+    the chain has its own failure modes (key drift between stages,
+    filter polarity, dropped-vs-flagged semantics). Plan: the
+    contamination side is output-small (documents with shared 8-grams
+    only), so AQE broadcasts it into the split scan — composing the
+    stages adds no shuffle over running them alone.
+    """
+    from .registry import REGISTRY
+
+    split = REGISTRY["train_test_split"].fn(spark, sf_dir)
+    contam = decontamination_ngram_overlap(spark, sf_dir).select(
+        "doc_id", "n_contaminated_shingles"
+    )
+    train = split.filter(F.col("split") == "train").select("doc_id", "lang")
+    return train.join(contam, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_contaminated_shingles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated_shingles"),
+        F.col("n_contaminated_shingles").isNull().alias("kept"),
+    )

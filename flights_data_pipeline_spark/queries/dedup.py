@@ -572,3 +572,80 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: new batch vs the historical corpus.
+# ---------------------------------------------------------------------------
+#: doc_id threshold splitting "historical corpus" from "incoming batch"
+#: in the incremental-dedup demo (the first 80% of ids are history).
+INCR_SPLIT_FRAC = 0.8
+
+
+@query(
+    "incremental_exact_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_fp
+      FROM documents
+    ),
+    cut AS (
+      SELECT CAST(floor(MAX(doc_id) * {INCR_SPLIT_FRAC}) AS BIGINT) AS c
+      FROM fp
+    ),
+    hist AS (SELECT DISTINCT content_fp FROM fp, cut WHERE doc_id < c),
+    incoming AS (SELECT doc_id, content_fp FROM fp, cut WHERE doc_id >= c)
+    SELECT i.doc_id, i.content_fp,
+           h.content_fp IS NOT NULL AS dup_of_history,
+           (h.content_fp IS NULL AND i.doc_id <> mn.first_id) AS dup_in_batch
+    FROM incoming i
+    LEFT JOIN hist h ON i.content_fp = h.content_fp
+    JOIN (SELECT content_fp, MIN(doc_id) AS first_id
+          FROM incoming GROUP BY content_fp) mn
+      ON i.content_fp = mn.content_fp
+    """,
+)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: classify every INCOMING document (the top
+    20% of doc_ids, standing in for today's crawl batch) as a
+    duplicate of the HISTORICAL corpus, a duplicate within its own
+    batch, or novel — without ever re-scanning history's text.
+
+    This is the shape a 100 TB ingest actually runs daily: history is
+    represented only by its distinct content fingerprints (a compact,
+    incrementally-maintained side table — the additive-rollup pattern
+    of ``operators/merge.merge_additive_parquet``), the incoming batch
+    joins against it (fingerprint side is orders of magnitude smaller
+    than the corpus; AQE broadcasts it while it fits), and in-batch
+    dups resolve with one min-id aggregate over the BATCH only. Corpus
+    text is touched exactly once, at fingerprinting time.
+    """
+    d = t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(_norm_text()).alias("content_fp"))
+    cut = fp.agg(
+        F.floor(F.max("doc_id") * INCR_SPLIT_FRAC).cast("bigint").alias("c")
+    )
+    fp = fp.crossJoin(F.broadcast(cut))
+    hist = fp.filter(F.col("doc_id") < F.col("c")).select("content_fp").distinct()
+    incoming = fp.filter(F.col("doc_id") >= F.col("c")).select(
+        "doc_id", "content_fp"
+    )
+    first = incoming.groupBy("content_fp").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    h = hist.withColumn("in_hist", F.lit(True))
+    return (
+        incoming.join(h, "content_fp", "left")
+        .join(first, "content_fp")
+        .select(
+            "doc_id",
+            "content_fp",
+            F.coalesce(F.col("in_hist"), F.lit(False)).alias("dup_of_history"),
+            (
+                F.col("in_hist").isNull()
+                & (F.col("doc_id") != F.col("first_id"))
+            ).alias("dup_in_batch"),
+        )
+    )

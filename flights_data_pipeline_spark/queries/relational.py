@@ -955,3 +955,52 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_nullsafe_runs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe expression evaluation (try_* family).
+# ---------------------------------------------------------------------------
+@query(
+    "try_function_nulls",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN CAST(floor(value) AS BIGINT) % 2 = 0 THEN NULL
+                           ELSE value / (CAST(floor(value) AS BIGINT) % 2)
+                      END) AS BIGINT) AS n_div_ok,
+           CAST(COUNT(TRY_CAST(event_type AS BIGINT)) AS BIGINT)
+             AS n_bogus_int_casts,
+           CAST(COUNT(TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT))
+                AS BIGINT) AS n_good_int_casts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def try_function_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation with the ``try_*`` family: division by
+    zero and failed casts yield NULL instead of killing the job —
+    per event type, how many divisions and casts survived.
+
+    Why it matters at 100 TB: under ANSI mode one malformed row in a
+    trillion aborts the stage; ``try_divide``/``try_cast`` scope the
+    tolerance to the EXPRESSION (unlike flipping ANSI off globally,
+    which silently bends every other operator). The oracle states the
+    same semantics with guarded CASE arithmetic — proving try_* is
+    sugar for the null-on-error contract, not a behavior fork.
+    The divisor derives via ``floor()`` (exact in both engines) — a
+    raw double→int cast would diverge: Spark truncates, DuckDB rounds.
+    """
+    e = t(spark, sf_dir, "events")
+    denom = F.floor(F.col("value")) % 2
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.try_divide(F.col("value"), denom)).cast("bigint").alias(
+            "n_div_ok"
+        ),
+        F.count(F.try_to_number(F.col("event_type"), F.lit("999999")))
+        .cast("bigint")
+        .alias("n_bogus_int_casts"),
+        F.count(
+            F.expr("try_cast(CAST(user_id AS STRING) AS BIGINT)")
+        ).cast("bigint").alias("n_good_int_casts"),
+    )

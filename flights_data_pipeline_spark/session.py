@@ -73,3 +73,44 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def get_persistent_spark(
+    warehouse_dir: str,
+    app_name: str = "flights-data-pipeline-spark-metastore",
+    *,
+    cpus: int | None = None,
+) -> SparkSession:
+    """A session whose catalog SURVIVES the process: Hive-compatible
+    metastore (embedded Derby, stored under ``warehouse_dir``) instead
+    of the default in-memory catalog.
+
+    Why it exists: bucketed layouts (``io/layout.write_bucketed``) are
+    only zero-shuffle-joinable while the BUCKET SPEC is in a catalog —
+    with the in-memory catalog that metadata dies with the session,
+    so a nightly job would re-shuffle what last night's job carefully
+    co-bucketed. Production replaces Derby with a shared metastore
+    service or a table format's own catalog; the calling code is
+    identical, which is the point of proving the flow here.
+
+    Caveats: Derby is single-process (fine for one driver at a time —
+    exactly the local deployment), and this must be the FIRST session
+    in the JVM (enableHiveSupport cannot retrofit a live session).
+    """
+    cpus = cpus or default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.warehouse.dir", os.path.join(warehouse_dir, "wh"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={os.path.join(warehouse_dir, 'derby')}",
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        .enableHiveSupport()
+        .getOrCreate()
+    )

@@ -470,3 +470,36 @@ def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path_fact
     assert "PartitionFilters" in plan
     # semantics: only the two surviving days' rows come back
     assert joined.count() == 2 * (20000 // 40)
+
+
+def test_bucket_pruning_scans_one_bucket(spark, sf_dir, tmp_path_factory):
+    """An equality filter on the bucket key prunes the scan to a
+    SINGLE bucket (executed scan reports ``SelectedBucketsCount: 1 out
+    of 8``) — the read-side payoff of bucketing beyond shuffle-free
+    joins: a point lookup touches 1/n_buckets of the files no matter
+    how large the table grows."""
+    wh = tmp_path_factory.mktemp("bucket_prune")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (
+        o.write.mode("overwrite")
+        .option("path", str(wh / "o"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("o_bucket_prune")
+    )
+    key = o.select("o_orderkey").first().o_orderkey
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    # auto-bucketed-scan turns the bucketed layout OFF for scans with
+    # no join/agg on the key — a point lookup must opt back in to get
+    # the bucket-pruned read
+    spark.conf.set(conf, "false")
+    try:
+        probe = spark.table("o_bucket_prune").filter(
+            F.col("o_orderkey") == key
+        )
+        plan = _explain(spark, probe)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert probe.count() >= 1
+    finally:
+        spark.conf.set(conf, old)

@@ -109,3 +109,141 @@ def test_stream_reader_replays_deterministically(spark, tmp_path):
     assert Counter(map(tuple, got.collect())) == Counter(
         map(tuple, batch.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-committed parquet SINK (batch + streaming writers).
+# ---------------------------------------------------------------------------
+def _committed(path):
+    import glob
+    import json
+    import os
+
+    files = []
+    for mf in sorted(glob.glob(os.path.join(path, "_manifest*.json"))):
+        with open(mf) as f:
+            files.extend(json.load(f)["files"])
+    return files
+
+
+def test_sink_batch_write_manifest_roundtrip(spark, src, tmp_path):
+    from flights_data_pipeline_spark.io.pysource import read_manifest_parquet
+
+    out = str(tmp_path / "sink")
+    df = src.load().filter(F.col("event_id") < 1000)
+    df.write.format("manifest_parquet").mode("append").option("path", out).save()
+
+    # a stray staged file (zombie task) must be invisible to readers
+    import os
+
+    os.makedirs(f"{out}/_staging", exist_ok=True)
+    with open(f"{out}/_staging/deadbeef.parquet", "w") as f:
+        f.write("garbage")
+
+    back = read_manifest_parquet(spark, out)
+    assert back.count() == 1000
+    assert sorted(back.columns) == sorted(df.columns)
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in back.select(*df.columns).collect()}
+    assert a == b
+    # manifest lists exactly the part files it renamed into place
+    names = _committed(out)
+    assert names and all(n.startswith("part-") for n in names)
+
+
+def test_sink_overwrite_replaces_generation(spark, src, tmp_path):
+    from flights_data_pipeline_spark.io.pysource import read_manifest_parquet
+
+    out = str(tmp_path / "sink_ow")
+    src.load().filter(F.col("event_id") < 500).write.format(
+        "manifest_parquet"
+    ).mode("append").option("path", out).save()
+    first_gen = set(_committed(out))
+    src.load().filter(F.col("event_id") < 200).write.format(
+        "manifest_parquet"
+    ).mode("overwrite").option("path", out).save()
+
+    assert read_manifest_parquet(spark, out).count() == 200
+    import os
+
+    # the first generation's data files are gone, not just unlisted
+    for fn in first_gen:
+        assert not os.path.exists(os.path.join(out, fn))
+
+
+def test_sink_stream_writer_one_manifest_per_batch(spark, src, tmp_path):
+    from flights_data_pipeline_spark.io.pysource import read_manifest_parquet
+
+    out = str(tmp_path / "sink_stream")
+    stream = (
+        spark.readStream.format("synthetic_events").options(**OPTS).load()
+    )
+    # ASAP micro-batches; the bounded source feeds rows_per_batch rows
+    # per poll, so the run commits ≥5 micro-batches before going idle
+    q = (
+        stream.writeStream.format("manifest_parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    import glob
+    import json
+    import os
+    import time
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        rows = sum(
+            json.load(open(mf))["rows"]
+            for mf in glob.glob(os.path.join(out, "_manifest-*.json"))
+        )
+        if rows >= N:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    manifests = sorted(glob.glob(os.path.join(out, "_manifest-*.json")))
+    assert len(manifests) >= 2  # 5000 rows at 1000/poll → ≥5 batches
+    back = read_manifest_parquet(spark, out)
+    want = src.load()
+    assert back.count() == want.count() == N
+    assert {tuple(r) for r in back.select(*want.columns).collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_sink_stream_commit_is_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batchId, fresh staged files) must
+    publish NOTHING twice: the existing manifest wins and the replay's
+    staged files are cleaned up."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flights_data_pipeline_spark.io.pysource import (
+        ManifestParquetStreamWriter,
+        _ParquetCommit,
+    )
+
+    out = str(tmp_path / "replay")
+    os.makedirs(f"{out}/_staging", exist_ok=True)
+
+    def stage(name):
+        p = f"{out}/_staging/{name}.parquet"
+        pq.write_table(pa.table({"x": [1, 2, 3]}), p)
+        return _ParquetCommit(staged=p, rows=3)
+
+    w = ManifestParquetStreamWriter({"path": out})
+    w.commit([stage("first")], batchId=7)
+    manifest = f"{out}/_manifest-00000007.json"
+    gen1 = json.load(open(manifest))
+
+    # replay: same batch id, different staged file
+    replay_msg = stage("second")
+    w.commit([replay_msg], batchId=7)
+    assert json.load(open(manifest)) == gen1  # manifest unchanged
+    assert not os.path.exists(replay_msg.staged)  # staged replay cleaned
+    assert len(_committed(out)) == 1
