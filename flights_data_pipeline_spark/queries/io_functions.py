@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 import tempfile
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -345,4 +346,192 @@ def grouped_demean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ev.groupBy("event_type").applyInPandas(
         demean, "event_id bigint, event_type string, cents_dev bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cogrouped applyInPandas — two tables reconciled per key in Python.
+# ---------------------------------------------------------------------------
+@query(
+    "order_reconciliation_cogroup",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS header_total,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           CAST(COALESCE(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))),
+                         CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+             AS computed_total,
+           CAST(sign(COALESCE(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))),
+                              CAST(0 AS DECIMAL(18,4)))
+                     - o.o_totalprice) AS INT) AS diff_sign
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def order_reconciliation_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 cogrouped ``applyInPandas``: orders and their lineitems
+    meet per ``orderkey`` as TWO pandas frames in one Python function,
+    which recomputes the order total from the items and signs the
+    discrepancy against the header — the reconciliation shape
+    (ledger-vs-detail, header-vs-lines) that wants both sides of a key
+    in memory at once.
+
+    The cogroup is the two-table sibling of the grouped map: one
+    shuffle per side on the key, then each key's pair of Arrow batches
+    lands on one worker. Money arithmetic runs in INTEGER 1e-4 units
+    (prices have 2 decimals, discounts 2 — ``round(x·100)`` recovers
+    the exact integer from the Arrow-delivered doubles, and integer
+    sums are exact in any order), converting to double once at the
+    boundary — so the Python path hash-matches the oracle's relational
+    restatement bit-for-bit.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:
+            # lineitems with no order header — none in this corpus, but
+            # the contract (mirror the oracle's LEFT join) drops them
+            return pd.DataFrame(
+                columns=[
+                    "o_orderkey", "header_total", "n_items",
+                    "computed_total", "diff_sign",
+                ]
+            )
+        header_cents = int(round(float(odf["o_totalprice"].iloc[0]) * 100))
+        if len(ldf):
+            price_c = (
+                (ldf["l_extendedprice"].astype("float64") * 100)
+                .round()
+                .astype("int64")
+            )
+            disc_bp = (
+                (ldf["l_discount"].astype("float64") * 100)
+                .round()
+                .astype("int64")
+            )
+            total_e4 = int((price_c * (100 - disc_bp)).sum())
+        else:
+            total_e4 = 0
+        diff = total_e4 - header_cents * 100
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(odf["o_orderkey"].iloc[0])],
+                "header_total": [header_cents / 100.0],
+                "n_items": [len(ldf)],
+                "computed_total": [total_e4 / 10000.0],
+                "diff_sign": [0 if diff == 0 else (1 if diff > 0 else -1)],
+            }
+        )
+
+    return o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
+        reconcile,
+        schema=(
+            "o_orderkey bigint, header_total double, n_items bigint, "
+            "computed_total double, diff_sign int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — columnar Python transform with no pandas materialization.
+# ---------------------------------------------------------------------------
+@query(
+    "arrow_map_value_cents",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def arrow_map_value_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 ``mapInArrow``: a Python transform that stays in Arrow
+    RecordBatches end-to-end — ``pyarrow.compute`` kernels (C++,
+    SIMD), no pandas conversion on either edge. The batch converts
+    money doubles to exact integer cents; the JVM side then aggregates
+    the exact integers, so the Python hop costs no precision.
+
+    When to reach for it over ``mapInPandas``: per-batch work that
+    pyarrow kernels already cover (casts, arithmetic, take/filter) —
+    pandas adds a copy into BlockManager layout and dtype coercions
+    that Arrow-native code skips. Same scale posture as every
+    vectorized-Python operator: batch-at-a-time, zero driver
+    involvement, ~64k-row Arrow buffers on the wire.
+    """
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+
+    def to_cents(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_type"), cents], ["event_type", "cents"]
+            )
+
+    mapped = e.mapInArrow(to_cents, "event_type string, cents bigint")
+    return mapped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterator-form pandas UDF — amortized per-worker init.
+# ---------------------------------------------------------------------------
+@query(
+    "iter_udf_normalized_name",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(lower(p_name), '[^a-z]+', ' ', 'g') AS norm_name,
+           CAST(len(regexp_split_to_array(
+                  trim(regexp_replace(lower(p_name), '[^a-z]+', ' ', 'g')),
+                  ' ')) AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def iter_udf_normalized_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 iterator-form pandas UDF (``Iterator[Series] ->
+    Iterator[Series]``): the variant whose function body runs ONCE per
+    worker around the batch loop — the slot where real pipelines hoist
+    expensive initialization (compiling a tokenizer, loading a model,
+    opening a sidecar connection) so it amortizes across every batch
+    instead of re-running per batch.
+
+    Here the hoisted init is just a compiled regex (the smallest
+    honest stand-in); the semantics — lowercase, collapse non-letters,
+    count words — are pinned against the oracle's relational regex
+    twin, proving the iterator plumbing transforms values identically
+    to the scalar form.
+    """
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    @pandas_udf("string")
+    def norm_name(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        pat = re.compile(r"[^a-z]+")  # per-worker init, amortized
+        for s in batches:
+            yield s.str.lower().map(lambda x: pat.sub(" ", x))
+
+    out = p.select(
+        "p_partkey", norm_name(F.col("p_name")).alias("norm_name")
+    )
+    return out.select(
+        "p_partkey",
+        "norm_name",
+        F.size(F.split(F.trim(F.col("norm_name")), " "))
+        .cast("bigint")
+        .alias("n_words"),
     )

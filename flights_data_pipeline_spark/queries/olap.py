@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.scalars import money as _dec
 from ..io.catalog import load_table as t
@@ -1078,4 +1079,70 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count("*").cast("bigint").alias("n_lineitems"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct count (running distinct buyers by day).
+# ---------------------------------------------------------------------------
+@query(
+    "cumulative_distinct_buyers",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_orderdate,
+             CASE WHEN row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    ),
+    daily AS (
+      SELECT o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(is_first) AS BIGINT) AS n_new_buyers
+      FROM firsts GROUP BY o_orderdate
+    )
+    SELECT o_orderdate, n_orders, n_new_buyers,
+           CAST(SUM(n_new_buyers) OVER (ORDER BY o_orderdate
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_buyers
+    FROM daily
+    """,
+)
+def cumulative_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT buyers by order date — the metric
+    engines cannot express directly (``COUNT(DISTINCT) OVER`` needs
+    per-row distinct state), restated as the first-occurrence trick:
+    mark each customer's first order (one ranked window on the
+    customer key), count firsts per day, cumulative-sum the daily
+    counts (a second window over the DAY-level rows only).
+
+    The restatement IS the 100 TB plan: the ranked window shuffles on
+    ``o_custkey`` (parallel across customers), and the unbounded
+    running sum — the only sequential part — runs over the tiny
+    per-day aggregate, never the fact table. Both engines execute the
+    same restated SQL, pinning the trick's equivalence on integers.
+    """
+    o = t(spark, sf_dir, "orders")
+    w_first = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    firsts = o.select(
+        "o_orderdate",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    daily = firsts.groupBy("o_orderdate").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("is_first").cast("bigint").alias("n_new_buyers"),
+    )
+    w_cum = W.orderBy("o_orderdate").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return daily.select(
+        "o_orderdate",
+        "n_orders",
+        "n_new_buyers",
+        F.sum("n_new_buyers").over(w_cum).cast("bigint").alias(
+            "cum_distinct_buyers"
+        ),
     )

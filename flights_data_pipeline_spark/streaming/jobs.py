@@ -430,3 +430,35 @@ def read_query_state(
     if batch_id is not None:
         r = r.option("batchId", batch_id)
     return r.load(checkpoint_dir)
+
+
+def two_level_window_rollup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """CHAINED stateful aggregation in one streaming query: 10-minute
+    tumbling counts re-aggregated into 1-hour totals (window-on-window
+    — the second ``groupBy`` windows over the FIRST aggregation's
+    window column).
+
+    Until multi-stateful-operator support landed, this shape forced
+    two queries stitched through an intermediate sink (operational
+    cost: two checkpoints, replay coupling, doubled latency). One
+    query means one watermark governs both stores and the fine-grained
+    state (10-min) evicts as soon as the coarse level has consumed it.
+    Output mode must be APPEND: a closed 1-hour window is final, so
+    downstream consumers get exactly-once hourly rows.
+    """
+    fine = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count("*").alias("n10"))
+    )
+    return (
+        fine.groupBy(
+            F.window(F.col("w10"), "1 hour").alias("w60"), "event_type"
+        )
+        .agg(F.sum("n10").cast("bigint").alias("n_events"))
+        .select(
+            F.col("w60.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -503,3 +503,44 @@ def test_bucket_pruning_scans_one_bucket(spark, sf_dir, tmp_path_factory):
         assert probe.count() >= 1
     finally:
         spark.conf.set(conf, old)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selective dim-side filter injects a runtime BLOOM FILTER into
+    the fact scan (``might_contain(...)`` guard fed by a
+    ``bloom_filter_agg`` subquery) when broadcast is off the table —
+    the shuffle-join analogue of DPP: fact rows that cannot match die
+    at the scan instead of crossing the exchange. At 100 TB this is
+    the difference between shuffling the whole fact table and
+    shuffling the ~matching slice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        # size thresholds assume cluster-scale tables; scale them to
+        # the test corpus, and forbid broadcast so the bloom path (the
+        # one a too-big-to-broadcast dim takes) is what gets planned
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = _explain(spark, j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # and the filtered join still returns the right rows
+        want = li.join(
+            load_table(spark, sf_dir, "orders").filter(
+                "o_orderpriority = '1-URGENT'"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        ).count()
+        assert j.count() == want > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -344,3 +344,52 @@ def test_state_store_reader_matches_sink(spark, events_dir):
         assert n_parts >= 1
     finally:
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_two_level_window_rollup_chained_state(spark, sf_dir, tmp_path_factory):
+    """Two stateful aggs chained in ONE query: every emitted hourly
+    row equals the batch twin, and the only rows withheld are the
+    hours the final watermark hasn't closed (append-mode contract).
+
+    Source is a SINGLE file (one micro-batch): the shared events_dir
+    fixture splits rows across files at random, and a multi-trigger
+    read of time-interleaved files is mass late-arrival by
+    construction — the watermark advances past data still sitting in
+    unread files, which append mode then rightly drops. Real feeds
+    deliver roughly in event-time order; the fixture's random split
+    does not model that."""
+    from flights_data_pipeline_spark.io.catalog import load_table
+
+    d = tmp_path_factory.mktemp("chained_src")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "events"))
+    stream = jobs.read_events_stream(spark, str(d / "events"))
+    got_df = _run(
+        jobs.two_level_window_rollup(stream),
+        "chained_rollup",
+        "append",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM chained_rollup").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    want = {
+        (r.window_start, r.event_type): r.n_events for r in batch.collect()
+    }
+    # emitted rows are exactly right...
+    assert got and all(want.get(k) == v for k, v in got.items())
+    # ...and the withheld remainder is only the watermark-open tail
+    import datetime as dt
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=1)
+    late_open = {k for k in want if k not in got}
+    assert all(k[0] + dt.timedelta(hours=1) > horizon for k in late_open)
