@@ -394,3 +394,36 @@ def read_manifest_parquet(spark, path: str):
     if not files:
         return spark.createDataFrame([], "event_id BIGINT")
     return spark.read.parquet(*files)
+
+
+def vacuum_manifest_parquet(path: str) -> list[str]:
+    """Delete every file under ``path`` that NO manifest references —
+    leftover ``_staging`` garbage from failed/zombie tasks and data
+    files orphaned by an overwrite that crashed mid-clean. Returns the
+    deleted paths.
+
+    The sink's visibility rule (readers list the manifest, never the
+    directory) makes orphans harmless but not free — at 100 TB failed
+    attempts accumulate real storage. Vacuum is safe BECAUSE of the
+    commit protocol: anything unreferenced is by definition invisible,
+    so deleting it cannot change any reader's view. (Production adds a
+    grace period for in-flight writers — a staged file younger than
+    the slowest plausible task might still get committed; the same
+    rule every table format's vacuum applies.)"""
+    import glob as _glob
+    import json
+    import os
+
+    referenced: set[str] = set()
+    for mf in _glob.glob(os.path.join(path, "_manifest*.json")):
+        with open(mf) as f:
+            referenced.update(json.load(f)["files"])
+    deleted = []
+    for fp in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        if os.path.basename(fp) not in referenced:
+            os.remove(fp)
+            deleted.append(fp)
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging) and not os.listdir(staging):
+        os.rmdir(staging)
+    return sorted(deleted)

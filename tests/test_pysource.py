@@ -247,3 +247,35 @@ def test_sink_stream_commit_is_replay_idempotent(spark, tmp_path):
     assert json.load(open(manifest)) == gen1  # manifest unchanged
     assert not os.path.exists(replay_msg.staged)  # staged replay cleaned
     assert len(_committed(out)) == 1
+
+
+def test_sink_vacuum_removes_only_unreferenced(spark, src, tmp_path):
+    from flights_data_pipeline_spark.io.pysource import (
+        read_manifest_parquet,
+        vacuum_manifest_parquet,
+    )
+
+    out = str(tmp_path / "vac")
+    df = src.load().filter(F.col("event_id") < 300)
+    df.write.format("manifest_parquet").mode("append").option(
+        "path", out
+    ).save()
+    before = {tuple(r) for r in read_manifest_parquet(spark, out).collect()}
+
+    # plant orphans: a zombie staged file and a fake uncommitted part
+    import os
+
+    os.makedirs(f"{out}/_staging", exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": [1]}), f"{out}/_staging/zombie.parquet")
+    pq.write_table(pa.table({"x": [2]}), f"{out}/part-99999-orphan.parquet")
+
+    deleted = vacuum_manifest_parquet(out)
+    assert len(deleted) == 2
+    assert not os.path.exists(f"{out}/_staging")  # emptied and removed
+
+    # committed data untouched, byte-for-byte view identical
+    after = {tuple(r) for r in read_manifest_parquet(spark, out).collect()}
+    assert after == before and len(after) == 300

@@ -393,3 +393,97 @@ def test_two_level_window_rollup_chained_state(spark, sf_dir, tmp_path_factory):
     horizon = max_ts - dt.timedelta(hours=1)
     late_open = {k for k in want if k not in got}
     assert all(k[0] + dt.timedelta(hours=1) > horizon for k in late_open)
+
+
+def test_stream_stream_left_outer_pads_unconverted(spark, sf_dir, tmp_path_factory):
+    """LEFT OUTER stream-stream join: matched rows equal the batch
+    join, and clicks with no purchase in the window arrive NULL-padded
+    once the watermark closes their match window (single-file source:
+    one batch + final watermark flush)."""
+    from flights_data_pipeline_spark.io.catalog import load_table
+
+    d = tmp_path_factory.mktemp("sso_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(str(d / "events"))
+    stream = jobs.read_events_stream(spark, str(d / "events"))
+    _run(
+        jobs.stream_stream_unconverted_clicks(stream),
+        "sso_sink",
+        "append",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM sso_sink").collect()
+    }
+
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+
+    # every matched pair must be present and correct
+    got_matched = {g for g in got if g[1] is not None}
+    want_matched = {w for w in want if w[1] is not None}
+    assert got_matched == want_matched and got_matched
+    # null-padded rows: a subset of the batch's unmatched clicks (the
+    # watermark cannot close windows near the end of the feed), and never
+    # a click the batch matched
+    got_unmatched = {g[0] for g in got if g[1] is None}
+    want_unmatched = {w[0] for w in want if w[1] is None}
+    assert got_unmatched <= want_unmatched
+    assert got_unmatched  # the flush emitted real padded rows
+
+
+def test_dedup_then_window_agg_chained(spark, sf_dir, tmp_path_factory):
+    """dropDuplicates chained INTO a windowed aggregation in one query
+    (the second multi-stateful-operator shape beside window-on-window):
+    a doubled feed deduped upstream yields exactly the single-feed
+    batch aggregate downstream."""
+    from flights_data_pipeline_spark.io.catalog import load_table
+
+    d = tmp_path_factory.mktemp("dedup_agg_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(str(d / "events"))
+    stream = jobs.read_events_stream(spark, str(d / "events"))
+    doubled = stream.unionByName(stream)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id"]
+    )
+    agg = deduped.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    _run(
+        agg.select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        ),
+        "dedup_agg_sink",
+        "append",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM dedup_agg_sink").collect()
+    }
+    want = {
+        (r.ws, r.event_type): r.n
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    # emitted hours carry SINGLE-feed counts (dedup swallowed the
+    # double), withheld hours are only the watermark-open tail
+    assert got and all(want.get(k) == v for k, v in got.items())
