@@ -649,3 +649,71 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_in_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end dedup keep-list (exact + near-dup composed).
+# ---------------------------------------------------------------------------
+def _dedup_keep_list_oracle() -> str:
+    from .registry import REGISTRY
+
+    near = REGISTRY["near_dup_clusters"].oracle.rstrip()
+    return f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_fp
+      FROM documents
+    ),
+    exact_rep AS (
+      SELECT content_fp, MIN(doc_id) AS keeper FROM fp GROUP BY content_fp
+    ),
+    near AS ({near})
+    SELECT f.doc_id,
+           f.doc_id = e.keeper AS exact_keeper,
+           COALESCE(n.is_representative, TRUE) AS near_keeper,
+           (f.doc_id = e.keeper
+            AND COALESCE(n.is_representative, TRUE)) AS kept
+    FROM fp f
+    JOIN exact_rep e ON f.content_fp = e.content_fp
+    LEFT JOIN near n ON n.doc_id = f.doc_id
+    """
+
+
+@query("dedup_keep_list", oracle=_dedup_keep_list_oracle())
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final verdict a dedup pipeline emits per document: keep it
+    iff it survives BOTH exact dedup (min-id per content hash) and
+    near-dup clustering (representative of its MinHash-closure
+    cluster, trivially true for unclustered docs).
+
+    The composition is the point (like ``decontaminated_train_split``
+    for the curation chain): the exact and near-dup stages are each
+    oracle-matched alone, and this query pins that their VERDICTS
+    compose with the right polarity and null semantics (a doc in no
+    near-dup cluster must default to keep, not drop). Plan: the exact
+    side is one md5 groupBy; the near side reuses the full
+    banded-LSH→closure pipeline; the final joins are key-partitioned
+    on doc_id.
+    """
+    d = t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(_norm_text()).alias("content_fp"))
+    exact_rep = fp.groupBy("content_fp").agg(F.min("doc_id").alias("keeper"))
+    near = near_dup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("n_doc"), "is_representative"
+    )
+    return (
+        fp.join(exact_rep, "content_fp")
+        .join(near, F.col("doc_id") == F.col("n_doc"), "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keeper")).alias("exact_keeper"),
+            F.coalesce(F.col("is_representative"), F.lit(True)).alias(
+                "near_keeper"
+            ),
+            (
+                (F.col("doc_id") == F.col("keeper"))
+                & F.coalesce(F.col("is_representative"), F.lit(True))
+            ).alias("kept"),
+        )
+    )

@@ -1146,3 +1146,63 @@ def cumulative_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_distinct_buyers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (co-purchased part pairs).
+# ---------------------------------------------------------------------------
+@query(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, support, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support,
+             row_number() OVER (ORDER BY COUNT(*) DESC, part_a, part_b)
+               AS rn
+      FROM pairs GROUP BY part_a, part_b
+    ) WHERE rn <= 20
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs most often
+    bought in the same order — the support-counting kernel under
+    association-rule mining (the A-priori first pass).
+
+    Plan shape is the canonical co-occurrence self-join: dedupe to
+    (basket, item), equi-join on the BASKET key with ``a < b``
+    ordering (each unordered pair once, no self-pairs), aggregate on
+    the pair. Scale honesty: pair count grows with Σ basket_size² —
+    TPC-H baskets hold ≤ 7 items so the blowup is bounded ~21× here;
+    real retail pipelines cap or sample outlier baskets first (the
+    same saturated-bucket discipline as the LSH joins). The final
+    top-20 ranks on exact integer support with a total tiebreak.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    sup = pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+    w = W.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        sup.orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
