@@ -369,11 +369,36 @@ class ManifestParquetSink(DataSource):
     def name(cls) -> str:
         return "manifest_parquet"
 
+    def schema(self):
+        # read side: the committed data defines the schema — take it
+        # from the first referenced file's parquet footer (no row reads)
+        import glob as _glob
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path") or self.options.get("dsPath")
+        for mf in sorted(_glob.glob(os.path.join(path or "", "_manifest*.json"))):
+            with open(mf) as f:
+                files = json.load(f)["files"]
+            if files:
+                arrow = pq.read_schema(os.path.join(path, files[0]))
+                return from_arrow_schema(arrow)
+        raise ValueError(
+            "manifest_parquet: no committed manifest under "
+            f"{path!r} to derive a schema from"
+        )
+
     def writer(self, schema, overwrite: bool) -> ManifestParquetWriter:
         return ManifestParquetWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> ManifestParquetStreamWriter:
         return ManifestParquetStreamWriter(self.options)
+
+    def streamReader(self, schema) -> "ManifestParquetStreamReader":
+        return ManifestParquetStreamReader(self.options)
 
 
 def read_manifest_parquet(spark, path: str):
@@ -427,3 +452,81 @@ def vacuum_manifest_parquet(path: str) -> list[str]:
     if os.path.isdir(staging) and not os.listdir(staging):
         os.rmdir(staging)
     return sorted(deleted)
+
+
+class ManifestParquetStreamReader(DataSourceStreamReader):
+    """Stream the sink's COMMITTED output, manifest by manifest: the
+    offset is the count of manifests consumed (the manifest list is
+    append-only for a streaming sink directory), each micro-batch
+    reads exactly the files its new manifests reference, as Arrow
+    batches in executors.
+
+    This closes the connector lifecycle: a feed written through the
+    manifest sink is immediately re-streamable — downstream jobs tail
+    the directory with exactly-once semantics inherited from the
+    manifest protocol (a half-written data file is invisible until its
+    manifest lands; a manifest is a single atomic rename). Offsets are
+    a manifest-NAME high-water mark, so a fixed (start, end] always
+    names the same files regardless of later arrivals. Contract: new
+    manifests must sort after consumed ones — true for the streaming
+    sink's zero-padded ``_manifest-<batchId>`` names; a batch-mode
+    ``_manifest.json`` is picked up only if present before the first
+    poll (it sorts after every batch-numbered name).
+    """
+
+    def __init__(self, options: dict):
+        self._path = options.get("path") or options.get("dsPath")
+        if not self._path:
+            raise ValueError("manifest_parquet stream requires a path option")
+
+    def _manifests(self) -> list[str]:
+        import glob as _glob
+        import os
+
+        return sorted(
+            _glob.glob(os.path.join(self._path, "_manifest*.json"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._manifests()
+        import os
+
+        return {"last": os.path.basename(names[-1]) if names else ""}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        import json
+        import os
+
+        batch = [
+            mf
+            for mf in self._manifests()
+            if start["last"] < os.path.basename(mf) <= end["last"]
+        ]
+        parts = []
+        for mf in batch:
+            with open(mf) as f:
+                files = json.load(f)["files"]
+            if files:
+                parts.append(
+                    _FileListPartition(
+                        tuple(os.path.join(self._path, fn) for fn in files)
+                    )
+                )
+        return parts or [_FileListPartition(())]
+
+    def read(self, partition: "_FileListPartition"):
+        import pyarrow.parquet as pq
+
+        for fp in partition.files:
+            yield from pq.ParquetFile(fp).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are the durable log; nothing to acknowledge
+
+
+@dataclass
+class _FileListPartition(InputPartition):
+    files: tuple

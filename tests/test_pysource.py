@@ -279,3 +279,71 @@ def test_sink_vacuum_removes_only_unreferenced(spark, src, tmp_path):
     # committed data untouched, byte-for-byte view identical
     after = {tuple(r) for r in read_manifest_parquet(spark, out).collect()}
     assert after == before and len(after) == 300
+
+
+def test_sink_output_is_restreamable(spark, src, tmp_path):
+    """Full connector lifecycle: synthetic source → manifest sink →
+    manifest STREAM READER → aggregate equals the batch over the same
+    data; a manifest committed AFTER the first pass arrives as a new
+    micro-batch (tailing works)."""
+    out = str(tmp_path / "loop")
+    # initial generation through the STREAMING writer (zero-padded
+    # batch manifests — the name-monotone layout the tail contract
+    # requires; see ManifestParquetStreamReader docstring)
+    w = (
+        spark.readStream.format("synthetic_events")
+        .options(**OPTS)
+        .option("n_rows", "2000")
+        .load()
+        .writeStream.format("manifest_parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    w.processAllAvailable()
+    w.stop()
+    w.awaitTermination(60)
+
+    restream = (
+        spark.readStream.format("manifest_parquet")
+        .option("path", out)
+        .load()
+    )
+    q = (
+        restream.writeStream.format("memory")
+        .queryName("restream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.sql("SELECT COUNT(*) c FROM restream_sink").collect()[0].c
+    assert n1 == 2000
+
+    # tail: a second committed generation becomes the next micro-batch
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import json
+    import os
+
+    extra = f"{out}/part-extra.parquet"
+    tbl = pa.table(
+        {
+            "event_id": pa.array([99999], pa.int64()),
+            "ts": pa.array([0], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([1.0]),
+        }
+    )
+    pq.write_table(tbl, extra)
+    with open(f"{out}/_manifest-tail.json", "w") as f:
+        json.dump({"files": [os.path.basename(extra)], "rows": 1}, f)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = spark.sql(
+        "SELECT COUNT(*) c, MAX(event_id) m FROM restream_sink"
+    ).collect()[0]
+    assert got.c == 2001 and got.m == 99999
