@@ -1026,3 +1026,145 @@ def decontaminated_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_contaminated_shingles"),
         F.col("n_contaminated_shingles").isNull().alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: order-statistic outlier clipping per group.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = GREATEST(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                      THEN value END) AS lo,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           LEAST(GREATEST(r.value, b.lo), b.hi) AS clipped,
+           (r.value < b.lo OR r.value > b.hi) AS was_clipped
+    FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at the 5th/95th percentile — the
+    outlier-clipping step a feature pipeline runs before
+    normalization, stated on ORDER STATISTICS (the value at rank
+    ⌈q·n⌉) rather than interpolated percentiles.
+
+    The order-statistic form is what makes this gateable AND
+    scale-honest: interpolation arithmetic differs across engines
+    (and percentile_cont needs a full sort anyway), while "the k-th
+    smallest value" is an exact, engine-neutral contract; clipped
+    values are always EXISTING data values, so no new floats are
+    manufactured. Plan: one ranked window per group + a tiny bounds
+    aggregate joined back (AQE broadcasts it — group count is the
+    event-type cardinality).
+    """
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.ceil(0.05 * F.col("n")).cast("bigint"), F.lit(1)
+                ),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    return ranked.join(bounds, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "clipped"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (leak-free categorical feature).
+# ---------------------------------------------------------------------------
+@query(
+    "loo_target_encoding",
+    oracle="""
+    WITH labeled AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS target
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, CAST(SUM(target) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM labeled GROUP BY user_id
+    )
+    SELECT l.event_id, l.user_id, CAST(l.target AS INT) AS target,
+           CASE WHEN st.n > 1
+                THEN CAST(st.s - l.target AS DOUBLE)
+                     / CAST(st.n - 1 AS DOUBLE)
+           END AS loo_rate
+    FROM labeled l JOIN stats st ON l.user_id = st.user_id
+    """,
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of ``user_id`` against the
+    purchase label: each event's feature is the purchase RATE of the
+    same user's OTHER events — (Σtarget − own)/(n−1) — the standard
+    leak-free categorical encoding for tabular training data.
+
+    Exactness: targets are 0/1 integers, so the LOO numerator and
+    denominator are exact integers and the single int/int IEEE
+    division is bit-identical in both engines — no fp aggregation
+    anywhere. Plan: one groupBy on the category key + a key-partitioned
+    join back; singleton categories yield NULL (no other rows to
+    borrow from), pinned by the oracle's CASE.
+    """
+    e = t(spark, sf_dir, "events")
+    labeled = e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "target"
+        ),
+    )
+    stats = labeled.groupBy("user_id").agg(
+        F.sum("target").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return labeled.join(stats, "user_id").select(
+        "event_id",
+        "user_id",
+        F.col("target").cast("int").alias("target"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("target")).cast("double")
+            / (F.col("n") - 1).cast("double"),
+        ).alias("loo_rate"),
+    )

@@ -347,3 +347,32 @@ def test_sink_output_is_restreamable(spark, src, tmp_path):
         "SELECT COUNT(*) c, MAX(event_id) m FROM restream_sink"
     ).collect()[0]
     assert got.c == 2001 and got.m == 99999
+
+
+def test_sink_abort_cleans_staged_files(tmp_path):
+    """Driver-side abort contract: failed writes leave NO data files —
+    abort removes every staged file the failed tasks reported, so a
+    crashed job costs storage only until its abort runs (and nothing
+    is ever visible, manifest or not)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flights_data_pipeline_spark.io.pysource import (
+        ManifestParquetWriter,
+        _ParquetCommit,
+    )
+
+    out = str(tmp_path / "abort")
+    os.makedirs(f"{out}/_staging", exist_ok=True)
+    staged = []
+    for i in range(3):
+        p = f"{out}/_staging/task{i}.parquet"
+        pq.write_table(pa.table({"x": [i]}), p)
+        staged.append(_ParquetCommit(staged=p, rows=1))
+
+    w = ManifestParquetWriter({"path": out}, overwrite=False)
+    w.abort(staged + [None])  # a failed task reports None
+    assert all(not os.path.exists(m.staged) for m in staged)
+    assert not os.path.exists(f"{out}/_manifest.json")
