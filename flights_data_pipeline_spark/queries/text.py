@@ -701,3 +701,281 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).createOrReplaceTempView("tok")
     return spark.sql("WITH " + _BM25_BODY)
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts (next-word distribution).
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_next_word",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(toks))) t(i)
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bigrams GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM counts GROUP BY w1
+    )
+    SELECT c.w1, c.w2, c.n, t.n_w1,
+           CAST(c.n AS DOUBLE) / CAST(t.n_w1 AS DOUBLE) AS p_next,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT w1, w2, n,
+             row_number() OVER (PARTITION BY w1
+                                ORDER BY n DESC, w2) AS rn
+      FROM counts
+    ) c JOIN totals t ON c.w1 = t.w1
+    WHERE rn <= 3
+    """,
+)
+def bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram model: for every word, its top-3 next words with
+    exact conditional probabilities — the n-gram statistic under
+    classic LM training, data-quality heuristics (predictability of
+    text), and tokenizer-merge analyses.
+
+    Bigrams come from a shifted-array ``zip_with`` (rule 6: no
+    re-derived lambdas, one narrow pass per document, no self-join).
+    Counts are exact integers; the conditional probability is ONE
+    int/int IEEE division, so ranking and values cross-engine match.
+    Plan: explode → two keyed aggregates (the second reuses the first's
+    w1 partitioning) → per-key top-3 via a ranked window.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = d.select(
+        F.explode(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    # zip_with pads the shorter (shifted) array with NULL — the last
+    # token of every document has no successor; drop those pairs
+    bigrams = bigrams.filter(F.col("w2").isNotNull())
+    counts = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("w1").agg(F.sum("n").cast("bigint").alias("n_w1"))
+    w = W.partitionBy("w1").orderBy(F.col("n").desc(), "w2")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(totals, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "n_w1",
+            (F.col("n").cast("double") / F.col("n_w1").cast("double")).alias(
+                "p_next"
+            ),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — fixed-width sparse featurization.
+# ---------------------------------------------------------------------------
+#: hashed feature-vector width (buckets).
+N_HASH_FEATURES = 32
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS token
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1)
+             * 16
+             + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1)
+               AS h256,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(h256 % {N_HASH_FEATURES} AS INT) AS feature,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM hashed
+    GROUP BY doc_id, h256 % {N_HASH_FEATURES}
+    HAVING SUM(sgn) <> 0
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: every token maps to one of
+    {N_HASH_FEATURES} feature buckets by md5, with a second hash bit
+    choosing ±1 so collisions cancel in expectation — fixed-width
+    sparse features from unbounded vocabulary with NO dictionary to
+    build, ship, or version.
+
+    That dictionary-freeness is the 100 TB draw: featurization is a
+    stateless narrow map (one scan, one keyed aggregate), identical
+    for any shard, any day, any new vocabulary — nothing to broadcast
+    and no OOV path. Hash bits come from md5 hex digits via integer
+    arithmetic (engine-neutral, rule 4); weights are exact integer
+    sums. Zero-weight buckets are dropped on both sides (a sparse
+    vector's contract).
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    hexpos = "0123456789abcdef"
+    h1 = F.expr(f"(instr('{hexpos}', substr(md5(token), 1, 1)) - 1)")
+    h2 = F.expr(f"(instr('{hexpos}', substr(md5(token), 2, 1)) - 1)")
+    h3 = F.expr(f"(instr('{hexpos}', substr(md5(token), 3, 1)) - 1)")
+    hashed = tok.select(
+        "doc_id",
+        ((h1 * 16 + h2) % N_HASH_FEATURES).cast("int").alias("feature"),
+        F.when(h3 % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "feature")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# χ² token–class association (feature selection for classifiers).
+# ---------------------------------------------------------------------------
+@query(
+    "chi2_token_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS token
+      FROM documents
+    ),
+    n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+    cells AS (
+      SELECT token, lang,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS a
+      FROM tok GROUP BY token, lang
+    ),
+    tot AS (
+      SELECT token, CAST(SUM(a) AS BIGINT) AS t_tok FROM cells GROUP BY token
+    ),
+    ltot AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS t_lang
+      FROM tok GROUP BY lang
+    ),
+    counts AS (
+      SELECT c.token, c.lang, c.a,
+             t.t_tok - c.a AS b,
+             l.t_lang - c.a AS cc,
+             n.n - t.t_tok - l.t_lang + c.a AS d,
+             n.n
+      FROM cells c
+      JOIN tot t ON c.token = t.token
+      JOIN ltot l ON c.lang = l.lang, n_docs n
+    )
+    SELECT token, lang, a AS n_docs_with,
+           CAST(CAST(n AS DECIMAL(38,0))
+                * CAST(a * d - b * cc AS DECIMAL(38,0))
+                * CAST(a * d - b * cc AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(CAST((a + b) AS DECIMAL(38,0))
+                  * CAST((cc + d) AS DECIMAL(38,0))
+                  * CAST((a + cc) AS DECIMAL(38,0))
+                  * CAST((b + d) AS DECIMAL(38,0)) AS DOUBLE) AS chi2
+    FROM counts
+    WHERE (a + b) > 0 AND (cc + d) > 0 AND (a + cc) > 0 AND (b + d) > 0
+    """,
+)
+def chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² association between token presence and document language —
+    the feature-selection statistic a classifier pipeline computes to
+    pick vocabulary before training (which tokens PREDICT the class).
+
+    Exactness through the 2×2 table: cell counts a/b/c/d are exact
+    integers; the χ² numerator n·(ad−bc)² and the marginal-product
+    denominator are computed in DECIMAL(38,0) — they overflow int64
+    (counts² × n can pass 1e20) but fixed-point multiplication is
+    exact — then each side rounds ONCE to double and one IEEE
+    division lands the statistic bit-identically in both engines.
+    Plan: one distinct-presence explode, three keyed aggregates, all
+    joined back on token/lang; the marginals are vocabulary-sized.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    ).distinct()
+    n_docs = tok.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n")
+    )
+    cells = tok.groupBy("token", "lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("a")
+    )
+    tot = cells.groupBy("token").agg(F.sum("a").cast("bigint").alias("t_tok"))
+    ltot = (
+        tok.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("t_lang"))
+    )
+    c = (
+        cells.join(tot, "token")
+        .join(ltot, "lang")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "lang",
+            "a",
+            (F.col("t_tok") - F.col("a")).alias("b"),
+            (F.col("t_lang") - F.col("a")).alias("cc"),
+            (F.col("n") - F.col("t_tok") - F.col("t_lang") + F.col("a")).alias(
+                "d"
+            ),
+            "n",
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("cc")
+    num = dec(F.col("n")) * dec(det) * dec(det)
+    den = (
+        dec(F.col("a") + F.col("b"))
+        * dec(F.col("cc") + F.col("d"))
+        * dec(F.col("a") + F.col("cc"))
+        * dec(F.col("b") + F.col("d"))
+    )
+    return (
+        c.filter(
+            ((F.col("a") + F.col("b")) > 0)
+            & ((F.col("cc") + F.col("d")) > 0)
+            & ((F.col("a") + F.col("cc")) > 0)
+            & ((F.col("b") + F.col("d")) > 0)
+        )
+        .select(
+            "token",
+            "lang",
+            F.col("a").alias("n_docs_with"),
+            (num.cast("double") / den.cast("double")).alias("chi2"),
+        )
+    )
