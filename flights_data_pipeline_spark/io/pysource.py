@@ -287,11 +287,21 @@ class _ManifestWriterBase:
         return _ParquetCommit(staged="", rows=0)
 
     # -- driver side helpers ----------------------------------------
-    def _publish(self, messages, manifest_name: str) -> None:
+    def _publish(
+        self,
+        messages,
+        manifest_name: str,
+        extra_files: tuple = (),
+        extra_rows: int = 0,
+    ) -> list:
+        """Rename staged files into place, then atomically publish the
+        manifest. ``extra_files``/``extra_rows`` carry a prior
+        generation forward (append merges, never unlists). Returns the
+        full committed file list."""
         import json
         import os
 
-        final_files, total = [], 0
+        final_files, total = list(extra_files), extra_rows
         for i, m in enumerate(m for m in messages if m and m.staged):
             final = os.path.join(
                 self._path, f"part-{i:05d}-{os.path.basename(m.staged)}"
@@ -303,6 +313,7 @@ class _ManifestWriterBase:
         with open(tmp, "w") as f:
             json.dump({"files": sorted(final_files), "rows": total}, f)
         os.replace(tmp, os.path.join(self._path, manifest_name))
+        return final_files
 
     def _clean_staged(self, messages) -> None:
         import os
@@ -313,27 +324,58 @@ class _ManifestWriterBase:
 
 
 class ManifestParquetWriter(_ManifestWriterBase, DataSourceArrowWriter):
-    """Batch writer: one manifest (``_manifest.json``) per write."""
+    """Batch writer: one manifest (``_manifest.json``) per write.
+
+    Append merges the prior generation's file list into the new
+    manifest (the fixed manifest name is replaced atomically, so a
+    second append never unlists — and a later vacuum never deletes —
+    the first generation's data). Overwrite publishes the NEW manifest
+    first (the atomic visibility flip), then deletes the files it
+    unreferenced plus stale per-micro-batch streaming manifests; a
+    crash mid-delete leaves only invisible, vacuumable orphans, never
+    a live manifest pointing at deleted files."""
 
     def __init__(self, options: dict, overwrite: bool):
         super().__init__(options)
         self._overwrite = overwrite
 
     def commit(self, messages) -> None:
+        import glob as _glob
         import json
         import os
 
-        if self._overwrite:
-            # drop the previous committed generation (manifest last, so
-            # a crash mid-clean leaves a readable previous manifest)
+        if not self._overwrite:
+            prior_files, prior_rows = [], 0
             old = os.path.join(self._path, "_manifest.json")
             if os.path.exists(old):
                 with open(old) as f:
-                    for fn in json.load(f)["files"]:
-                        p = os.path.join(self._path, fn)
-                        if os.path.exists(p):
-                            os.remove(p)
-        self._publish(messages, "_manifest.json")
+                    d = json.load(f)
+                prior_files, prior_rows = d["files"], d.get("rows", 0)
+            self._publish(
+                messages,
+                "_manifest.json",
+                extra_files=tuple(prior_files),
+                extra_rows=prior_rows,
+            )
+            return
+
+        # overwrite: snapshot the pre-overwrite view, flip visibility
+        # atomically, THEN clean what the flip unreferenced
+        old_manifests = _glob.glob(
+            os.path.join(self._path, "_manifest*.json")
+        )
+        old_files: set = set()
+        for mf in old_manifests:
+            with open(mf) as f:
+                old_files.update(json.load(f)["files"])
+        new_files = self._publish(messages, "_manifest.json")
+        for mf in old_manifests:
+            if os.path.basename(mf) != "_manifest.json":
+                os.remove(mf)  # stale streaming manifests
+        for fn in old_files - set(new_files):
+            p = os.path.join(self._path, fn)
+            if os.path.exists(p):
+                os.remove(p)
 
     def abort(self, messages) -> None:
         self._clean_staged(messages)
@@ -417,7 +459,14 @@ def read_manifest_parquet(spark, path: str):
         with open(mf) as f:
             files.extend(os.path.join(path, fn) for fn in json.load(f)["files"])
     if not files:
-        return spark.createDataFrame([], "event_id BIGINT")
+        # no committed file anywhere → no schema to derive; guessing a
+        # schema would silently break schema-dependent callers on an
+        # empty-but-valid sink of any other dataset
+        raise ValueError(
+            f"manifest_parquet: no committed data files under {path!r}; "
+            "an empty sink has no derivable schema — write a batch "
+            "first or read with an explicit schema via spark.read"
+        )
     return spark.read.parquet(*files)
 
 

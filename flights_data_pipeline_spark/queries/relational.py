@@ -997,7 +997,7 @@ def try_function_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.try_divide(F.col("value"), denom)).cast("bigint").alias(
             "n_div_ok"
         ),
-        F.count(F.try_to_number(F.col("event_type"), F.lit("999999")))
+        F.count(F.expr("try_cast(event_type AS BIGINT)"))
         .cast("bigint")
         .alias("n_bogus_int_casts"),
         F.count(

@@ -171,6 +171,86 @@ def test_sink_overwrite_replaces_generation(spark, src, tmp_path):
         assert not os.path.exists(os.path.join(out, fn))
 
 
+def test_sink_two_appends_accumulate(spark, src, tmp_path):
+    """A second append must MERGE the prior generation into the new
+    manifest — never unlist it (and therefore a vacuum after the
+    second append must not delete the first append's data)."""
+    from flights_data_pipeline_spark.io.pysource import (
+        read_manifest_parquet,
+        vacuum_manifest_parquet,
+    )
+
+    out = str(tmp_path / "sink_app2")
+    a = src.load().filter(F.col("event_id") < 300)
+    b = src.load().filter(
+        (F.col("event_id") >= 300) & (F.col("event_id") < 500)
+    )
+    a.write.format("manifest_parquet").mode("append").option("path", out).save()
+    b.write.format("manifest_parquet").mode("append").option("path", out).save()
+
+    back = read_manifest_parquet(spark, out)
+    assert back.count() == 500
+    want = {tuple(r) for r in a.unionAll(b).collect()}
+    assert {tuple(r) for r in back.select(*a.columns).collect()} == want
+
+    # vacuum after the merge deletes nothing committed
+    assert vacuum_manifest_parquet(out) == []
+    assert read_manifest_parquet(spark, out).count() == 500
+
+    import json
+    import os
+
+    with open(os.path.join(out, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["rows"] == 500 and len(m["files"]) == len(set(m["files"]))
+
+
+def test_sink_overwrite_publishes_before_delete(spark, src, tmp_path):
+    """Overwrite's visibility flip is the manifest publish; stale
+    streaming manifests are removed so the post-overwrite view is
+    exactly the new generation."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flights_data_pipeline_spark.io.pysource import (
+        read_manifest_parquet,
+    )
+
+    out = str(tmp_path / "sink_ow_stream")
+    os.makedirs(out, exist_ok=True)
+    # simulate a prior STREAMING generation: one per-batch manifest
+    pq.write_table(
+        pa.table({"event_id": [1, 2, 3]}), f"{out}/part-00000-old.parquet"
+    )
+    with open(f"{out}/_manifest-00000000.json", "w") as f:
+        json.dump({"files": ["part-00000-old.parquet"], "rows": 3}, f)
+
+    src.load().filter(F.col("event_id") < 100).write.format(
+        "manifest_parquet"
+    ).mode("overwrite").option("path", out).save()
+
+    # the streaming manifest and its data are gone; view = new gen only
+    assert not os.path.exists(f"{out}/_manifest-00000000.json")
+    assert not os.path.exists(f"{out}/part-00000-old.parquet")
+    assert read_manifest_parquet(spark, out).count() == 100
+
+
+def test_sink_empty_read_raises(spark, tmp_path):
+    """No committed manifest → no derivable schema: a clear error, not
+    a guessed single-column DataFrame."""
+    import os
+
+    from flights_data_pipeline_spark.io.pysource import read_manifest_parquet
+
+    out = str(tmp_path / "sink_empty")
+    os.makedirs(out, exist_ok=True)
+    with pytest.raises(ValueError, match="no committed data files"):
+        read_manifest_parquet(spark, out)
+
+
 def test_sink_stream_writer_one_manifest_per_batch(spark, src, tmp_path):
     from flights_data_pipeline_spark.io.pysource import read_manifest_parquet
 
