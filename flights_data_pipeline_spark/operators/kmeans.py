@@ -225,6 +225,7 @@ def kmeans_fit(
     init: str = "maxmin",
     init_sample: int | None = None,
     keep_assignments: bool = False,
+    expect_convergence: bool = True,
 ) -> KMeansModel:
     """Fit k-means on ``df[vec_col]`` (array of numeric) with Lloyd's
     algorithm; returns the centroid table plus fit diagnostics.
@@ -234,7 +235,11 @@ def kmeans_fit(
     ``max_iterations``; like ``connected_components``, running out
     without converging warns rather than silently returning — the
     model is still usable (inertia is monotone non-increasing under
-    Lloyd's), just not at a fixed point.
+    Lloyd's), just not at a fixed point. Callers that fit a FIXED
+    number of rounds on purpose (deterministic quantizers: a fixed
+    iterate is reproducible where "until converged" depends on tol
+    and data drift) pass ``expect_convergence=False`` to state that
+    intent and silence the warning.
 
     ``init``: ``"maxmin"`` (default) = deterministic farthest-point —
     k-1 extra passes, but it separates well-separated clusters (hash
@@ -352,7 +357,7 @@ def kmeans_fit(
         if shift is not None and shift < tol:
             converged = True
             break
-    if not converged:
+    if not converged and expect_convergence:
         warnings.warn(
             f"kmeans_fit did not converge within {max_iterations} iterations "
             f"(last max centroid shift above tol={tol}); the model is the "

@@ -782,7 +782,9 @@ def ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit
 
     e = t(spark, sf_dir, "embeddings")
-    model = kmeans_fit(e, k=8, max_iterations=3, init="hash")
+    model = kmeans_fit(
+        e, k=8, max_iterations=3, init="hash", expect_convergence=False
+    )
     return model.centroids.select(
         "cluster_id",
         "n_members",
@@ -805,6 +807,29 @@ def ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: this synthetic corpus's nearest neighbors sit at ~0.34; real
 #: near-dup corpora use ≥0.9).
 SEMANTIC_DUP_COSINE = 0.3
+#: k-means block count is the same RECALL/COST dial as the sign-LSH
+#: plane count above: the in-block pair kernel is O(N²/k), so any FIXED
+#: k is quadratic at scale. The semantic-dedup queries DERIVE k per
+#: corpus — smallest k holding the corpus at ≤ SEMANTIC_TARGET_BLOCK
+#: expected vectors per block (integer-exact ceil; multi-assignment
+#: variants count each vector once per block it lands in). The cap
+#: bounds the centroid broadcast and the per-vector distance scan; a
+#: corpus that saturates it (≥ ~256k vectors at target 64) shards into
+#: hierarchical blocking — coarse kmeans to route, fine kmeans within.
+SEMANTIC_TARGET_BLOCK = 64
+SEMANTIC_K_MIN = 2
+SEMANTIC_K_MAX = 4096
+
+
+def adaptive_kmeans_blocks(n_vectors: int, assignments_per_vector: int = 1) -> int:
+    """Corpus-derived k-means block count (the ``adaptive_planes``
+    rule applied to data-adaptive blocking): smallest k with expected
+    block occupancy ≤ SEMANTIC_TARGET_BLOCK, clamped to
+    [SEMANTIC_K_MIN, SEMANTIC_K_MAX]. Pure integer math — the same
+    corpus always blocks with the same k."""
+    occupancy = n_vectors * assignments_per_vector
+    need = -(-occupancy // SEMANTIC_TARGET_BLOCK)  # exact ceil
+    return max(SEMANTIC_K_MIN, min(SEMANTIC_K_MAX, need))
 
 
 @query("semantic_cluster_dedup")
@@ -832,10 +857,21 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit
 
     e = t(spark, sf_dir, "embeddings")
+    # corpus-derived block count (see adaptive_kmeans_blocks): 8 on the
+    # 500-vector sf≤0.01 corpora — the exact configuration the kmeans
+    # bit-pin fixtures verify — 32 at sf0.1, bounded occupancy at any sf
+    k = adaptive_kmeans_blocks(table_row_count(sf_dir, "embeddings"))
     # keep_assignments: the fit's diagnostics pass already labeled every
-    # vector — reuse it instead of a second full corpus assignment scan
+    # vector — reuse it instead of a second full corpus assignment scan.
+    # Fixed 3-round fit: a deterministic iterate, not a fixed point —
+    # expect_convergence=False states that on purpose.
     model = kmeans_fit(
-        e, k=8, max_iterations=3, init="hash", keep_assignments=True
+        e,
+        k=k,
+        max_iterations=3,
+        init="hash",
+        keep_assignments=True,
+        expect_convergence=False,
     )
     labeled = model.assignments.join(
         e.select("vec_id", "embedding"), "vec_id"
@@ -886,7 +922,12 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     model = kmeans_fit(
-        e, k=IVF_N_LISTS, max_iterations=3, init="hash", keep_assignments=True
+        e,
+        k=IVF_N_LISTS,
+        max_iterations=3,
+        init="hash",
+        keep_assignments=True,
+        expect_convergence=False,
     )
     v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     assign = model.assignments.select(
@@ -1014,7 +1055,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("semantic_dedup_multiblock")
 def semantic_dedup_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`semantic_cluster_dedup`'s production variant: every vector is
-    assigned to its TOP-2 nearest centroids (k=16), so a duplicate
+    assigned to its TOP-2 nearest centroids (k corpus-derived via
+    ``adaptive_kmeans_blocks`` over 2N), so a duplicate
     pair straddling a block boundary still shares at least one block
     whenever the second-nearest centroid agrees — the multi-assignment
     answer to single-block kmeans' miss mode, at the same kernel cost
@@ -1032,7 +1074,15 @@ def semantic_dedup_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import _sq_l2, kmeans_fit
 
     e = t(spark, sf_dir, "embeddings")
-    model = kmeans_fit(e, k=16, max_iterations=3, init="hash")
+    # top-2 assignment doubles block occupancy, so derive k from 2N —
+    # 16 on the 500-vector sf≤0.01 corpora (the pinned configuration),
+    # 63 at sf0.1; O(N²/k) pair work stays bounded by construction
+    k = adaptive_kmeans_blocks(
+        table_row_count(sf_dir, "embeddings"), assignments_per_vector=2
+    )
+    model = kmeans_fit(
+        e, k=k, max_iterations=3, init="hash", expect_convergence=False
+    )
     carr = model.centroids.agg(
         F.array_sort(
             F.collect_list(

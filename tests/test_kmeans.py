@@ -46,11 +46,11 @@ def test_recovers_separated_blobs(spark, blobs):
 
 def test_inertia_not_worse_than_init_and_deterministic(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(300)
-    one = kmeans_fit(e, k=8, max_iterations=1)
-    ten = kmeans_fit(e, k=8, max_iterations=8)
+    one = kmeans_fit(e, k=8, max_iterations=1, expect_convergence=False)
+    ten = kmeans_fit(e, k=8, max_iterations=8, expect_convergence=False)
     # Lloyd's is monotone: more iterations never increase inertia
     assert ten.inertia <= one.inertia + 1e-9
-    again = kmeans_fit(e, k=8, max_iterations=8)
+    again = kmeans_fit(e, k=8, max_iterations=8, expect_convergence=False)
     assert math.isclose(again.inertia, ten.inertia, rel_tol=0, abs_tol=0.0)
     a1 = {r.vec_id: r.cluster_id for r in kmeans_assign(e, ten).collect()}
     a2 = {r.vec_id: r.cluster_id for r in kmeans_assign(e, again).collect()}
@@ -59,7 +59,7 @@ def test_inertia_not_worse_than_init_and_deterministic(spark, sf_dir):
 
 def test_every_vector_assigned_and_sizes_sum(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(200)
-    model = kmeans_fit(e, k=5, max_iterations=5)
+    model = kmeans_fit(e, k=5, max_iterations=5, expect_convergence=False)
     n = e.count()
     assert model.centroids.agg(F.sum("n_members")).first()[0] == n
     assert kmeans_assign(e, model).count() == n
@@ -103,7 +103,7 @@ def _pin(spark, sf, **kw):
 
     vecs = _load_vecs(sf)
     df = load_table(spark, f"/root/testdata/sf{sf}", "embeddings")
-    model = kmeans_fit(df, **kw)
+    model = kmeans_fit(df, expect_convergence=False, **kw)
     ref_cents, ref_n, ref_it, ref_conv = reference_kmeans(vecs, **kw)
     got = {r.cluster_id: (list(r.centroid), r.n_members) for r in model.centroids.collect()}
     assert set(got) == set(ref_cents)
@@ -140,9 +140,12 @@ def test_sampled_maxmin_equals_full_when_sample_covers_corpus(spark, sf_dir):
     rows the distributed farthest-point scans, with the same strict-fold
     distances and tie-breaks — centroids must be BIT-EQUAL."""
     e = load_table(spark, sf_dir, "embeddings").limit(120)
-    full = kmeans_fit(e, k=5, max_iterations=3, init="maxmin")
+    full = kmeans_fit(
+        e, k=5, max_iterations=3, init="maxmin", expect_convergence=False
+    )
     sampled = kmeans_fit(
-        e, k=5, max_iterations=3, init="maxmin", init_sample=10_000
+        e, k=5, max_iterations=3, init="maxmin", init_sample=10_000,
+        expect_convergence=False,
     )
     f = {r.cluster_id: (list(r.centroid), r.n_members) for r in full.centroids.collect()}
     s = {r.cluster_id: (list(r.centroid), r.n_members) for r in sampled.centroids.collect()}
@@ -155,8 +158,14 @@ def test_sampled_maxmin_subsample_valid_and_deterministic(spark, sf_dir):
     """A proper subsample still yields k centroids, assigns the whole
     corpus, and reproduces exactly on re-run."""
     e = load_table(spark, sf_dir, "embeddings").limit(300)
-    m1 = kmeans_fit(e, k=6, max_iterations=4, init="maxmin", init_sample=50)
-    m2 = kmeans_fit(e, k=6, max_iterations=4, init="maxmin", init_sample=50)
+    m1 = kmeans_fit(
+        e, k=6, max_iterations=4, init="maxmin", init_sample=50,
+        expect_convergence=False,
+    )
+    m2 = kmeans_fit(
+        e, k=6, max_iterations=4, init="maxmin", init_sample=50,
+        expect_convergence=False,
+    )
     assert m1.centroids.count() == 6
     assert m1.centroids.agg(F.sum("n_members")).first()[0] == 300
     c1 = {r.cluster_id: list(r.centroid) for r in m1.centroids.collect()}

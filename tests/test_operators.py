@@ -189,6 +189,33 @@ def test_connected_components_string_ids(spark):
     assert got == {"b": "b", "c": "b", "d": "b", "e": "b", "x": "x", "y": "x"}
 
 
+def test_adaptive_kmeans_blocks_dial():
+    """The semantic-dedup block count must scale with the corpus (any
+    fixed k is O(N²/k)-quadratic at scale) and stay pinned at the
+    bit-verified k=8/k=16 configuration on the 500-vector corpora."""
+    from flights_data_pipeline_spark.queries.similarity import (
+        SEMANTIC_K_MAX,
+        SEMANTIC_K_MIN,
+        SEMANTIC_TARGET_BLOCK,
+        adaptive_kmeans_blocks,
+    )
+
+    # the fixtures' configuration: 500 vectors → k=8 single, k=16 top-2
+    assert adaptive_kmeans_blocks(500) == 8
+    assert adaptive_kmeans_blocks(500, assignments_per_vector=2) == 16
+    # scales linearly with the corpus …
+    assert adaptive_kmeans_blocks(2000) == 32
+    for n in (100, 1000, 50_000, 10_000_000):
+        k = adaptive_kmeans_blocks(n)
+        assert SEMANTIC_K_MIN <= k <= SEMANTIC_K_MAX
+        if k < SEMANTIC_K_MAX:  # below the cap: occupancy bounded
+            assert n <= k * SEMANTIC_TARGET_BLOCK
+            if k > SEMANTIC_K_MIN:  # and k is the SMALLEST such
+                assert n > (k - 1) * SEMANTIC_TARGET_BLOCK
+    # … and the cap bounds the centroid broadcast
+    assert adaptive_kmeans_blocks(10**9) == SEMANTIC_K_MAX
+
+
 def test_multiblock_semantic_dedup_improves_boundary_recall(spark):
     """Top-2 multi-assignment (semantic_dedup_multiblock) must recover
     strictly more of the brute-force ground-truth duplicate set than
