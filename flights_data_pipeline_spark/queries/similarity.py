@@ -441,17 +441,51 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The recall column IS the measurement: the driver gate pins it
     cross-engine, the bench records it at sf0.1 (see BASELINE.md).
+    Two regimes reported there: 0.66 mean recall@5 on this corpus's
+    ADVERSARIAL organic neighbors (cosine ≈0.34, LSH's worst case) and
+    10/10 planted cosine-0.92 near-dups retrieved at sf0.1 — the
+    production near-dup regime, pinned by
+    ``tests/test_operators.py::test_multiprobe_retrieves_planted_near_dups``.
     """
     e = t(spark, sf_dir, "embeddings")
-    nb = N_PROBE_PLANES
+    q, approx_topk, exact_topk = multiprobe_topk(e)
+    hits = approx_topk.join(exact_topk, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(TOP_K)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def multiprobe_topk(
+    e: DataFrame,
+    *,
+    n_planes: int = N_PROBE_PLANES,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The multi-probe retrieval kernel shared by the recall query and
+    the planted-near-dup recall fixture (``tests/test_operators.py``):
+    given a corpus ``(vec_id, embedding)``, returns ``(queries,
+    approx_topk, exact_topk)`` where queries are the vectors with
+    ``vec_id < n_queries`` and each top-k is ``(query_id,
+    neighbor_id)``."""
     b = e.select(
         "vec_id",
         "embedding",
-        _bucket("embedding", nb).alias("bucket"),
+        _bucket("embedding", n_planes).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     q = (
-        b.filter(F.col("vec_id") < N_QUERIES)
+        b.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -459,6 +493,7 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
         )
     )
+    nb = n_planes
     flips = [
         F.expr(
             f"concat(substring(bucket, 1, {i}), "
@@ -491,7 +526,7 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     approx_topk = (
         approx.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("query_id", "neighbor_id")
     )
     exact = (
@@ -508,23 +543,10 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_topk = (
         exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("query_id", "neighbor_id")
     )
-    hits = approx_topk.join(exact_topk, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count("*").cast("bigint").alias("n_hits"))
-    return (
-        q.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(TOP_K)
-            ).alias("recall_at_k"),
-        )
-    )
+    return q, approx_topk, exact_topk
 
 
 # ---------------------------------------------------------------------------

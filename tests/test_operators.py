@@ -119,6 +119,55 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert plain_l == salted_l
 
 
+def test_salted_join_splits_hot_key_across_partitions(spark):
+    """The skew WIN, not just equivalence: one hot key concentrates a
+    vanilla shuffle join's work in a single reducer partition; the
+    salted path must spread the same rows across ~n_salts partitions
+    (a 100 TB flight-count-per-hub join is exactly this shape —
+    straggler elimination IS the operator's contract)."""
+    n_hot = 40_000
+    big = (
+        spark.range(n_hot)
+        .select(F.lit(1).cast("long").alias("k"), F.col("id").alias("v"))
+        .unionAll(
+            spark.range(100).select(
+                (F.col("id") + 2).alias("k"), F.col("id").alias("v")
+            )
+        )
+    )
+    small = spark.range(1, 200).select(F.col("id").alias("k"))
+
+    def max_partition_rows(df):
+        dist = df.select(F.spark_partition_id().alias("p")).groupBy("p").count()
+        return dist.agg(F.max("count")).first()[0]
+
+    # pin both joins to the shuffle path (the skew scenario: small side
+    # too big to broadcast) and keep AQE from coalescing the salted
+    # partitions back together — the split is what's under test
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        vanilla_max = max_partition_rows(big.join(small, "k"))
+        salted_max = max_partition_rows(
+            salted_join(big, small, "k", n_salts=8)
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    # vanilla: every hot-key row lands in ONE reducer
+    assert vanilla_max >= n_hot, vanilla_max
+    # salted: the hot key is split — no reducer sees more than half
+    # (8 salts into 32 shuffle partitions can collide pairwise, so the
+    # bound is conservative; uniform hashing lands near n_hot/8)
+    assert salted_max <= n_hot // 2, salted_max
+
+
 def test_salted_join_rejects_right(spark, quotes_trades):
     quotes, trades = quotes_trades
     with pytest.raises(ValueError):
@@ -250,6 +299,65 @@ def test_multiblock_semantic_dedup_improves_boundary_recall(spark):
     recall_multi = len(multi & truth) / len(truth)
     assert recall_multi > recall_single + 0.1, (recall_single, recall_multi)
     assert recall_multi >= 0.75, recall_multi
+
+
+def test_multiprobe_retrieves_planted_near_dups(spark):
+    """The production ANN regime, measured: near-dups live at cosine
+    ≥0.9 (the synthetic corpus's organic neighbors sit at ~0.34 — LSH's
+    adversarial worst case, which `ann_recall_multiprobe` reports).
+    Plant a deterministic cosine-0.92 twin for each query vector and
+    require the Hamming≤1 multi-probe to retrieve most of them.
+
+    The twin construction is exact: w = v̂·cosθ + r̂⊥·sinθ (scaled back
+    to ‖v‖) for a fixed alternating-sign direction r — no RNG, so the
+    measured retrieval rate is a constant of the corpus, not a flaky
+    sample. Measured here (sf0.001): 10/10 planted twins are each
+    query's exact top-1; 8/10 survive sign-LSH bucketing (the two
+    misses flip ≥2 of the 4 plane signs — exactly the miss mode the
+    probe budget dials away). BASELINE.md records both regimes."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from flights_data_pipeline_spark.queries.similarity import (
+        N_QUERIES,
+        multiprobe_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    d = X.shape[1]
+    from flights_data_pipeline_spark.io.catalog import load_table
+
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    target_cos = 0.92
+    base = max(ids) + 1000
+    r = np.array([(-1.0) ** i for i in range(d)])
+    rows = []
+    for qid in range(N_QUERIES):
+        v = X[qid]
+        nv = np.linalg.norm(v)
+        vhat = v / nv
+        rp = r - (r @ vhat) * vhat
+        rhat = rp / np.linalg.norm(rp)
+        w = (vhat * target_cos + rhat * np.sqrt(1 - target_cos**2)) * nv
+        rows.append((base + qid, [float(x) for x in w]))
+    planted = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    q, approx_topk, exact_topk = multiprobe_topk(e.unionByName(planted))
+    ap = {(r.query_id, r.neighbor_id) for r in approx_topk.collect()}
+    ex = {(r.query_id, r.neighbor_id) for r in exact_topk.collect()}
+
+    # construction guarantee: every planted twin is its query's exact
+    # nearest neighbor (cosine 0.92 vs organic ~0.34)
+    in_exact = sum(1 for qid in range(N_QUERIES) if (qid, base + qid) in ex)
+    assert in_exact == N_QUERIES, in_exact
+    # the retrieval claim: multi-probe finds the planted twins at a
+    # rate far above the adversarial-regime recall
+    retrieved = sum(1 for qid in range(N_QUERIES) if (qid, base + qid) in ap)
+    assert retrieved >= 0.7 * N_QUERIES, retrieved
 
 
 def test_hll_sketch_rollup_accuracy_contract(spark, sf_dir):
