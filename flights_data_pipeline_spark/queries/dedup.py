@@ -126,16 +126,34 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # N-gram Jaccard: top-20 most similar pairs (verification kernel).
 # ---------------------------------------------------------------------------
+#: document-frequency cap on the shingles that GENERATE pairs: a
+#: shingle shared by c documents contributes C(c,2) pairs, so one
+#: boilerplate shingle in a million docs is 5·10¹¹ joined rows — the
+#: unbounded-quadratic failure mode of any shingle self-join. Capping
+#: DF bounds per-shingle work at C(cap,2) and total work at
+#: O(#distinct shingles · cap²) — linear in the corpus for a fixed
+#: cap. This corpus's max shingle DF is 25 (sf0.1), so 50 changes
+#: NOTHING here; it is the documented safety rail for denser corpora
+#: (the standard "stop-shingle" rule: ubiquitous boilerplate carries
+#: no similarity evidence). The oracle applies the identical filter.
+NGRAM_DF_CAP = 50
+
+
 @query(
     "ngram_jaccard_topk",
     oracle=f"""
     WITH sh AS ({_DUCK_SHINGLES}),
     e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM e
+      ) WHERE df <= {NGRAM_DF_CAP}
+    ),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT p.a_id, p.b_id, p.n_common,
@@ -150,17 +168,27 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 doc pairs by 3-token-shingle Jaccard similarity.
 
-    All-pairs via a self-equi-join on the shingle (no cartesian); the
-    Jaccard value is a raw int/int IEEE division — bit-identical in
-    both engines, so ordering and the LIMIT cutoff agree exactly. At
-    100 TB this exact kernel only ever runs on LSH candidate blocks
+    All-pairs via a self-equi-join on the shingle (no cartesian), with
+    pair generation capped to shingles of document frequency ≤
+    {NGRAM_DF_CAP} (see the constant's rationale — the dial that keeps
+    the kernel linear on corpora where boilerplate shingles densify);
+    the Jaccard value is a raw int/int IEEE division — bit-identical
+    in both engines, so ordering and the LIMIT cutoff agree exactly.
+    At 100 TB this exact kernel only ever runs on LSH candidate blocks
     (see ``minhash_lsh_candidates``), never corpus-wide.
     """
     d = t(spark, sf_dir, "documents")
     sh = d.select("doc_id", _shingles().alias("shingles"))
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    a, b = e.alias("a"), e.alias("b")
+    # DF cap via groupBy+join (not a window): the aggregate collapses
+    # map-side and the join on s reuses the same hash partitioning the
+    # self-join needs — AQE sees one exchange on s feeding all three
+    df_s = e.groupBy("s").agg(F.count("*").alias("df"))
+    kept = e.join(df_s.filter(F.col("df") <= NGRAM_DF_CAP), "s").select(
+        "doc_id", "s"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
