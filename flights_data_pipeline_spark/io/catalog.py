@@ -58,9 +58,16 @@ def _pin_parquet_confs(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-provided parquet table with engine-typed columns."""
+    """Load one driver-provided parquet table with engine-typed columns.
+
+    ``sf_dir`` may be any supported filesystem URI (local, s3a://,
+    hdfs:// …) — ``io.paths.validate_path`` gates the scheme at plan
+    time, so pointing the engine at an object store is a conf change
+    (``io.paths.s3a_conf``), not a code change."""
+    from .paths import validate_path
+
     _pin_parquet_confs(spark)
-    path = f"{sf_dir}/{name}.parquet"
+    path = validate_path(f"{sf_dir}/{name}.parquet")
     df = spark.read.parquet(path)
     for c in _NANOS_TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, LongType):

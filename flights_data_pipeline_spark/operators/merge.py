@@ -219,7 +219,8 @@ def _swap_in(spark: SparkSession, merged: DataFrame, target_path: str) -> int:
     if "://" in target_path and not target_path.startswith("file://"):
         raise ValueError(
             f"_swap_in requires a local filesystem path, got {target_path!r}; "
-            "for object stores use an overwrite-by-partition write instead"
+            "for object stores use an overwrite-by-partition write instead "
+            "(see io/paths.py for the engine's scheme posture)"
         )
     staged = target_path.rstrip("/") + "__staged"
     merged.write.mode("overwrite").parquet(staged)
