@@ -133,6 +133,68 @@ def range_join_binned(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int = 86400,
+) -> DataFrame:
+    """Interval×interval overlap join: all (left, right) pairs sharing
+    a key whose closed intervals intersect
+    (``left_start <= right_end AND right_start <= left_end``).
+
+    Same scale reasoning as ``range_join_binned`` (which handles the
+    point-in-interval case): naive planning turns the overlap predicate
+    into a per-key equi-join + post-filter — quadratic on hot keys.
+    Here BOTH sides explode to the coarse bins their interval covers
+    and the join becomes an equi-join on ``(key, bin)`` plus the exact
+    overlap filter. Two overlapping intervals can share many bins, so
+    exactly-once output needs an OWNERSHIP rule instead of a
+    ``distinct()`` (which would shuffle the full pre-dedup pair set):
+    a pair is emitted only in the bin containing
+    ``greatest(left_start, right_start)`` — a point that overlap
+    guarantees lies inside BOTH intervals, hence inside exactly one
+    shared bin. ``bin_width`` (in the columns' own units) should be on
+    the order of the typical interval length: work scales with
+    rows × bins-per-interval, never per-key row products.
+    """
+    ls, le = F.col(left_start).cast("long"), F.col(left_end).cast("long")
+    rs, re_ = F.col(right_start).cast("long"), F.col(right_end).cast("long")
+    l = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(ls / bin_width).cast("long"),
+                F.floor(le / bin_width).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(rs / bin_width).cast("long"),
+                F.floor(re_ / bin_width).cast("long"),
+            )
+        ),
+    )
+    joined = l.join(r, [on, "__bin"])
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    owner = F.floor(
+        F.greatest(
+            F.col(left_start).cast("long"), F.col(right_start).cast("long")
+        )
+        / bin_width
+    ).cast("long")
+    return joined.filter(overlap & (F.col("__bin") == owner)).drop("__bin")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

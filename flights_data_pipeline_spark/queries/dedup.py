@@ -745,3 +745,63 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable MinHash rollup: corpus-slice signatures from doc partials.
+# ---------------------------------------------------------------------------
+def _merge_rollup_oracle() -> str:
+    doc_sigs = ", ".join(
+        f"MIN(substr(md5(s), {4 * i + 1}, 4)) AS sig{i}" for i in range(N_PERMS)
+    )
+    merged = ", ".join(f"MIN(sig{i}) AS sig{i}" for i in range(N_PERMS))
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    doc_sig AS (
+      SELECT doc_id, {doc_sigs} FROM e GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT d.lang, ds.* FROM doc_sig ds JOIN documents d USING (doc_id)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, {merged}
+    FROM labeled GROUP BY lang
+    """
+
+
+@query("minhash_merge_rollup", oracle=_merge_rollup_oracle())
+def minhash_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language MERGED MinHash signature: the min of the member
+    documents' per-permutation minima — because a MinHash signature is
+    a mergeable sketch (min is associative/commutative), the signature
+    of a union is the elementwise min of the parts' signatures.
+
+    That mergeability is the 100 TB point: corpus-slice signatures
+    (per language, per crawl, per day) roll up from per-doc partials
+    with ONE map-side-combinable aggregate — no re-shingling, no
+    second corpus pass — the same additive-rollup pattern
+    ``operators/merge.merge_additive_parquet`` applies to counts, here
+    applied to a sketch. Downstream, slice signatures estimate
+    cross-slice Jaccard (shared components / {N_PERMS}) before anyone
+    pays for an exact comparison. The per-doc signature construction
+    is bit-identical to ``minhash_lsh_candidates`` (disjoint md5
+    slices, lexicographic minima of fixed-width hex).
+    """
+    d = t(spark, sf_dir, "documents")
+    e_h = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    doc_sig = e_h.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", 4 * i + 1, 4)).alias(f"sig{i}")
+            for i in range(N_PERMS)
+        ]
+    )
+    return (
+        doc_sig.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            *[F.min(f"sig{i}").alias(f"sig{i}") for i in range(N_PERMS)],
+        )
+    )

@@ -1206,3 +1206,57 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# NTILE decile banding: equal-frequency buckets with per-band stats.
+# ---------------------------------------------------------------------------
+@query(
+    "ntile_decile_stats",
+    oracle="""
+    WITH banded AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS decile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM banded GROUP BY decile
+    """,
+)
+def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile bands over order value (NTILE) with
+    per-band population, bounds, and total — the binning layer under
+    price-tier reporting, fraud-score banding, and data-quality drift
+    checks (band boundaries moving between runs = distribution shift).
+
+    NTILE is only deterministic under a TOTAL order, so the window
+    orders by (price, orderkey); both engines then assign identical
+    band numbers (same ceil/floor split of n into 10). Band totals sum
+    in DECIMAL and cast once at the surface (the module's float
+    discipline). Scale note: a global NTILE is a single total sort —
+    fine as a reporting tail over pre-aggregated data; for raw-fact
+    banding at 100 TB use ``approx_aggregates``' percentile buckets
+    instead (no global sort).
+    """
+    o = t(spark, sf_dir, "orders")
+    banded = o.select(
+        F.ntile(10)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint")
+        .alias("decile"),
+        "o_totalprice",
+    )
+    return banded.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -1163,3 +1163,216 @@ def semantic_dedup_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("dup_group"),
         (F.col("node") == F.col("component")).alias("is_representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension ablation: retrieval quality of prefix-dim slices.
+# ---------------------------------------------------------------------------
+#: prefix dimensions evaluated against the full 64-dim ground truth.
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_oracle() -> str:
+    full_dot = _duck_dot("q.embedding", "c.embedding")
+    selects = []
+    for dim in MATRYOSHKA_DIMS:
+        pd = _duck_dot(f"q.embedding[1:{dim}]", f"c.embedding[1:{dim}]")
+        selects.append(f"""
+    SELECT CAST({dim} AS BIGINT) AS dim, query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {pd}
+                 / (sqrt({_duck_dot(f"q.embedding[1:{dim}]", f"q.embedding[1:{dim}]")})
+                    * sqrt({_duck_dot(f"c.embedding[1:{dim}]", f"c.embedding[1:{dim}]")}))
+                 DESC, c.vec_id) AS rn
+      FROM qv q CROSS JOIN embeddings c WHERE c.vec_id != q.vec_id
+    ) WHERE rn <= {TOP_K}""")
+    prefix_union = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH qv AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {full_dot}
+                   / (sqrt({_duck_dot("q.embedding", "q.embedding")})
+                      * sqrt({_duck_dot("c.embedding", "c.embedding")}))
+                   DESC, c.vec_id) AS rn
+        FROM qv q CROSS JOIN embeddings c WHERE c.vec_id != q.vec_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    pref AS ({prefix_union})
+    SELECT p.dim, p.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(t.neighbor_id) / {TOP_K} AS overlap_at_k
+    FROM pref p LEFT JOIN truth t
+      ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+    GROUP BY 1, 2
+    """
+
+
+@query("matryoshka_dim_ablation", oracle=_matryoshka_oracle())
+def matryoshka_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension ablation: for each prefix width in
+    {MATRYOSHKA_DIMS}, the overlap@{TOP_K} between exact retrieval on
+    the TRUNCATED embedding and exact retrieval on the full vector —
+    the measurement behind the modern "store 64 dims, search 16, rerank
+    full" serving pattern (truncating a matryoshka-trained embedding is
+    a free 4-8× scan-cost cut IF retrieval quality holds; this query is
+    the dial that says whether it does for a given corpus).
+
+    Plan: the {N_QUERIES}-row query side broadcasts once per prefix
+    width; each scoring pass is a narrow corpus scan (slice + fold —
+    the slice costs nothing extra: the fold just stops early), and the
+    per-query top-k window sees Q·N rows pre-AQE. All arithmetic is the
+    engine-pinned strict-left-fold cosine, so rankings — and therefore
+    the integer overlap counts — are bit-identical cross-engine.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = e.select("vec_id", "embedding")
+
+    def topk_at(dim: int | None) -> DataFrame:
+        qe = F.col("q_emb") if dim is None else F.slice("q_emb", 1, dim)
+        ce = (
+            F.col("embedding")
+            if dim is None
+            else F.slice("embedding", 1, dim)
+        )
+        scored = (
+            cand.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (_dot(qe, ce) / (_norm(qe) * _norm(ce))).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk_at(None)
+    pref = None
+    for dim in MATRYOSHKA_DIMS:
+        part = topk_at(dim).select(
+            F.lit(dim).cast("bigint").alias("dim"), "query_id", "neighbor_id"
+        )
+        pref = part if pref is None else pref.unionByName(part)
+    return (
+        pref.alias("p")
+        .join(
+            truth.alias("t"),
+            (F.col("p.query_id") == F.col("t.query_id"))
+            & (F.col("p.neighbor_id") == F.col("t.neighbor_id")),
+            "left",
+        )
+        .groupBy("p.dim", "p.query_id")
+        .agg(
+            F.count(F.col("t.neighbor_id")).cast("bigint").alias("n_hits"),
+            (
+                F.count(F.col("t.neighbor_id")) / F.lit(TOP_K)
+            ).alias("overlap_at_k"),
+        )
+        .select("dim", "query_id", "n_hits", "overlap_at_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-quality eval: confusion counts + precision/recall per class.
+# ---------------------------------------------------------------------------
+def _knn_eval_oracle() -> str:
+    from .registry import REGISTRY
+
+    votes = REGISTRY["knn_label_vote"].oracle.rstrip()
+    return f"""
+    WITH votes AS ({votes}),
+    cls AS (
+      SELECT true_label AS label FROM votes
+      UNION
+      SELECT predicted_label FROM votes
+    )
+    SELECT c.label,
+           CAST((SELECT COUNT(*) FROM votes v
+                 WHERE v.true_label = c.label) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM votes v
+                 WHERE v.predicted_label = c.label) AS BIGINT) AS n_pred,
+           CAST((SELECT COUNT(*) FROM votes v
+                 WHERE v.true_label = c.label
+                   AND v.predicted_label = c.label) AS BIGINT) AS n_correct,
+           CASE WHEN (SELECT COUNT(*) FROM votes v
+                      WHERE v.predicted_label = c.label) = 0 THEN NULL
+                ELSE (SELECT COUNT(*) FROM votes v
+                      WHERE v.true_label = c.label
+                        AND v.predicted_label = c.label)
+                     / CAST((SELECT COUNT(*) FROM votes v
+                             WHERE v.predicted_label = c.label) AS DOUBLE)
+           END AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM votes v
+                      WHERE v.true_label = c.label) = 0 THEN NULL
+                ELSE (SELECT COUNT(*) FROM votes v
+                      WHERE v.true_label = c.label
+                        AND v.predicted_label = c.label)
+                     / CAST((SELECT COUNT(*) FROM votes v
+                             WHERE v.true_label = c.label) AS DOUBLE)
+           END AS recall
+    FROM cls c
+    """
+
+
+@query("knn_label_eval", oracle=_knn_eval_oracle())
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class eval of the kNN label vote (`knn_label_vote`):
+    support, prediction count, correct count, precision and recall —
+    the label-quality report a training-data pipeline runs when weak
+    labels (here: neighbor votes) stand in for gold ones.
+
+    Composition pin like ``dedup_keep_list``: the vote query is
+    oracle-matched alone; this gate pins that the eval layer computes
+    the confusion counts off it with the right polarity (precision
+    divides by PREDICTED support, recall by TRUE support, NULL — not
+    0 — on empty denominators). Ratios divide the same bigints in both
+    engines → identical IEEE doubles. Plan: the 10-row vote output
+    aggregates twice and full-outer-joins on label — all driver-cheap,
+    the expensive part (the vote) is one corpus scan.
+    """
+    votes = knn_label_vote(spark, sf_dir)
+    truth = votes.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    pred = votes.groupBy(F.col("predicted_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_pred"),
+        F.count(
+            F.when(F.col("predicted_label") == F.col("true_label"), 1)
+        ).cast("bigint").alias("n_correct"),
+    )
+    z = F.lit(0).cast("bigint")
+    joined = truth.join(pred, "label", "full_outer").select(
+        "label",
+        F.coalesce("n_true", z).alias("n_true"),
+        F.coalesce("n_pred", z).alias("n_pred"),
+        F.coalesce("n_correct", z).alias("n_correct"),
+    )
+    return joined.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.when(
+            F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0, F.col("n_correct") / F.col("n_true")
+        ).alias("recall"),
+    )

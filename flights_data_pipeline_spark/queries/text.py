@@ -979,3 +979,107 @@ def chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("double") / den.cast("double")).alias("chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): guaranteed-coverage robust hashing.
+# ---------------------------------------------------------------------------
+#: winnowing window (in 3-gram positions): every run of WINNOW_W
+#: consecutive k-grams contributes at least one fingerprint, so any
+#: shared substring of >= WINNOW_W + 2 tokens is GUARANTEED to share a
+#: fingerprint — the detection floor MinHash can only promise
+#: probabilistically. Density is ~2/(WINNOW_W+1) of all k-grams.
+WINNOW_W = 4
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, string_split(norm, ' ') AS toks FROM n
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             md5(toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2])
+               || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS key
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) - 1)) AS pos
+            FROM tok)
+    ),
+    win AS (
+      SELECT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS wkey,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS cnt
+      FROM g
+    )
+    SELECT DISTINCT doc_id,
+           CAST(999999 - CAST(substr(wkey, 33, 6) AS INTEGER) AS BIGINT)
+             AS fp_pos,
+           substr(wkey, 1, 32) AS fp_hash
+    FROM win WHERE cnt = {WINNOW_W}
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS algorithm): per document, the minimal
+    3-gram hash of every {WINNOW_W}-window of consecutive positions,
+    ties broken to the RIGHTMOST position — the robust fingerprint set
+    whose guarantee exact dedup lacks and MinHash only approximates:
+    any shared run of ≥ {WINNOW_W}+2 tokens between two documents
+    SHARES a fingerprint, deterministically.
+
+    Cross-engine determinism trick: "minimal hash, rightmost position"
+    is restated as a plain string MIN over ``md5(shingle) ||
+    lpad(999999 - pos)`` — md5 hex is fixed-width, so the
+    lexicographic min is (hash asc, pos desc), no engine-specific
+    arg_min tie-break anywhere. Plan: one narrow projection builds
+    positional shingle hashes (shifted ``zip_with``, never indexed
+    lambdas — no CSE in higher-order functions), one window pass
+    selects, one aggregate dedups; work is linear in corpus tokens,
+    and the window is partition-local — fingerprinting shards
+    perfectly at 100 TB.
+    """
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    s12 = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    grams = F.zip_with(
+        s12,
+        F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda xy, z: F.when(z.isNotNull(), F.concat_ws(" ", xy, z)),
+    )
+    g = d.select(
+        "doc_id", F.posexplode(F.filter(grams, lambda s: s.isNotNull()))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),
+        F.concat(
+            F.md5("col"),
+            F.lpad((F.lit(999999) - F.col("pos") - 1).cast("string"), 6, "0"),
+        ).alias("key"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = g.select(
+        "doc_id",
+        F.min("key").over(win).alias("wkey"),
+        F.count("*").over(win).alias("cnt"),
+    ).filter(F.col("cnt") == WINNOW_W)
+    return sel.select(
+        "doc_id",
+        (
+            F.lit(999999) - F.substring("wkey", 33, 6).cast("int")
+        ).cast("bigint").alias("fp_pos"),
+        F.substring("wkey", 1, 32).alias("fp_hash"),
+    ).distinct()

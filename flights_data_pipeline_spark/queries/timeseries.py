@@ -503,3 +503,112 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 3.0)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval overlap join (binned — the operator Spark lacks).
+# ---------------------------------------------------------------------------
+#: bin width for the shipment-overlap query, in DAYS: ship→receipt
+#: windows run ~2-8 weeks, so 32-day bins put a typical interval in
+#: 1-3 bins (work = rows × bins-per-interval, never per-key products).
+OVERLAP_BIN_DAYS = 32
+
+
+@query(
+    "overlapping_shipments",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE)
+               + CAST(floor(l_quantity) AS INTEGER) AS e
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    p AS (
+      SELECT a.l_partkey,
+             datediff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+               AS overlap_days
+      FROM li a JOIN li b
+        ON a.l_partkey = b.l_partkey
+       AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(overlap_days) AS BIGINT) AS total_overlap_days
+    FROM p GROUP BY 1
+    """,
+)
+def overlapping_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: how many pairs of returned-flag shipments were in
+    transit concurrently (closed [shipdate, shipdate+floor(quantity)
+    days] windows overlapping — quantity stands in for transit length
+    in this schema), and the total overlapping days — the
+    interval×interval join underlying resource-contention analytics
+    (port congestion, warehouse co-residency, GPU-reservation overlap).
+
+    Spark has no overlap-join operator; the engine's
+    ``operators.joins.interval_overlap_join`` supplies it: both sides
+    explode to {OVERLAP_BIN_DAYS}-day bins, equi-join on (key, bin),
+    exact overlap filter, and an OWNERSHIP-bin rule (the pair is kept
+    only in the bin containing the later start) makes output
+    exactly-once without a distinct over the pre-dedup pair set. The
+    oracle states the same pairs with a plain inequality self-join —
+    per-key quadratic, fine for DuckDB at test scale, the exact shape
+    the binning avoids at 100 TB. Overlap lengths are integer day
+    arithmetic, and the transit-days derivation uses ``floor`` (exact
+    in both engines; a raw double→int cast rounds in DuckDB and
+    truncates in Spark).
+    """
+    from ..operators.joins import interval_overlap_join
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("s"),
+            F.date_add(
+                F.to_date("l_shipdate"),
+                F.floor("l_quantity").cast("int"),
+            ).alias("e"),
+        )
+    )
+    # the operator bins NUMERIC interval bounds: days since epoch
+    a = li.select(
+        "l_partkey",
+        F.col("l_orderkey").alias("a_ok"),
+        F.col("l_linenumber").alias("a_ln"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.unix_date("s").alias("a_sd"),
+        F.unix_date("e").alias("a_ed"),
+    )
+    b = li.select(
+        "l_partkey",
+        F.col("l_orderkey").alias("b_ok"),
+        F.col("l_linenumber").alias("b_ln"),
+        F.unix_date("s").alias("b_sd"),
+        F.unix_date("e").alias("b_ed"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "l_partkey", "a_sd", "a_ed", "b_sd", "b_ed",
+        bin_width=OVERLAP_BIN_DAYS,
+    )
+    # unordered pairs once: the operator emits (x,y) and (y,x)
+    ordered = pairs.filter(
+        F.struct("a_ok", "a_ln") < F.struct("b_ok", "b_ln")
+    )
+    overlap_days = (
+        F.least("a_ed", "b_ed") - F.greatest("a_sd", "b_sd") + F.lit(1)
+    )
+    return (
+        ordered.select("l_partkey", overlap_days.alias("od"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum("od").cast("bigint").alias("total_overlap_days"),
+        )
+    )

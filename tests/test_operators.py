@@ -119,6 +119,39 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert plain_l == salted_l
 
 
+def test_interval_overlap_join_equals_naive(spark):
+    """Binned overlap join == naive inequality join, exactly once per
+    pair — including intervals spanning many bins, touching endpoints
+    (closed semantics), zero-length intervals, and disjoint keys."""
+    from flights_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    # deterministic fixture: ids spread intervals across bin widths
+    left = spark.range(120).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("lid"),
+        (F.col("id") * 7 % 200).alias("ls"),
+        (F.col("id") * 7 % 200 + F.col("id") % 40).alias("le"),
+    )
+    right = spark.range(150).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 11 % 210).alias("rs"),
+        (F.col("id") * 11 % 210 + F.col("id") % 25).alias("re"),
+    )
+    naive = left.join(right, "k").filter(
+        (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+    )
+    for bin_width in (1, 16, 1000):  # tiny, typical, one-bin-fits-all
+        got = interval_overlap_join(
+            left, right, "k", "ls", "le", "rs", "re", bin_width=bin_width
+        )
+        assert Counter(map(tuple, got.collect())) == Counter(
+            map(tuple, naive.collect())
+        ), bin_width
+
+
 def test_salted_join_splits_hot_key_across_partitions(spark):
     """The skew WIN, not just equivalence: one hot key concentrates a
     vanilla shuffle join's work in a single reducer partition; the
