@@ -18,6 +18,34 @@ DuckDB JDBC driver jar is discoverable on the machine (see
 ``find_duckdb_jdbc_jar``), and skip otherwise. The parquet path
 (``catalog``) stands in for JDBC everywhere else (SURVEY.md §2.1 S1
 note).
+
+**Postgres dialect pins** (the reference's actual engine; unprovable
+live here, so the assumptions are stated where they bite):
+
+* **Watermark column type**: the day-window literals compare cleanly
+  against ``timestamp`` (without time zone). Against ``timestamptz``
+  Postgres interprets the literal in the SESSION's TimeZone — a
+  connection with a non-UTC default silently shifts the window. Pin
+  ``options={"sessionInitStatement": "SET TIME ZONE 'UTC'"}`` (or an
+  ``options=-c TimeZone=UTC`` JDBC url parameter) when the watermark
+  is ``timestamptz``.
+* **Sub-second watermarks**: the reference-shaped CLOSED window
+  ``[00:00:00, 23:59:59]`` drops rows in ``(23:59:59, 24:00:00)`` —
+  real on Postgres ``timestamp(6)``. ``half_open=True`` generates
+  ``>= day AND < day+1`` instead (exactly-once across consecutive
+  days at any precision); the default stays closed because the
+  reference's Airflow-style contract is closed and S6's
+  delete+insert upsert keys on the same window.
+* **Types**: Postgres unconstrained ``numeric`` maps to Spark
+  ``DecimalType(38,18)`` — declare precision in DDL or cast in a
+  pushdown subquery, or downstream decimal arithmetic inherits scale
+  18. ``timestamptz`` reads as ``TimestampType`` in the session zone.
+  Spark writes ``TimestampType`` as ``timestamp`` (never
+  ``timestamptz``).
+* **Identifiers**: ``_IDENT_RE`` accepts only unquoted
+  ``schema.table`` names — the safe subset that Postgres folds to
+  lower-case; mixed-case/quoted identifiers are rejected rather than
+  interpolated into pushdown SQL.
 """
 
 from __future__ import annotations
@@ -84,15 +112,19 @@ def jdbc_scan(
     num_partitions: int = 8,
     lower_bound: str | None = None,
     upper_bound: str | None = None,
+    half_open: bool = False,
 ) -> DataFrame:
     """S1 full / S2 incremental scan over JDBC.
 
-    With ``ds``, the closed day window lands in a pushed-down query so
-    only the day's rows leave the database — the reference's watermark
-    extract (``dags/flights_data_pipeline.py:102-109``). With
-    ``partition_column`` bounds, the read fans out over
-    ``num_partitions`` connections (the scale axis the reference's
-    single pandas connection lacks).
+    With ``ds``, the day window lands in a pushed-down query so only
+    the day's rows leave the database — the reference's watermark
+    extract (``dags/flights_data_pipeline.py:102-109``). The default
+    window is the reference-shaped CLOSED ``[00:00:00, 23:59:59]``;
+    ``half_open=True`` generates ``>= day AND < day+1`` instead — the
+    correct form for sub-second watermark columns (see the module
+    docstring's Postgres dialect pins). With ``partition_column``
+    bounds, the read fans out over ``num_partitions`` connections (the
+    scale axis the reference's single pandas connection lacks).
     """
     opts = cfg.reader_options()
     if ds is not None:
@@ -105,10 +137,19 @@ def jdbc_scan(
             raise ValueError(f"watermark_col is not an identifier: {watermark_col!r}")
         if not _IDENT_RE.match(cfg.table):
             raise ValueError(f"table is not an identifier: {cfg.table!r}")
+        if half_open:
+            import datetime as _dt
+
+            nxt = (
+                _dt.date.fromisoformat(ds) + _dt.timedelta(days=1)
+            ).isoformat()
+            upper = f"{watermark_col} < '{nxt} 00:00:00'"
+        else:
+            upper = f"{watermark_col} <= '{ds} 23:59:59'"
         opts["dbtable"] = (
             f"(SELECT * FROM {cfg.table} "
             f"WHERE {watermark_col} >= '{ds} 00:00:00' "
-            f"AND {watermark_col} <= '{ds} 23:59:59') AS w"
+            f"AND {upper}) AS w"
         )
     reader: DataFrameReader = spark.read.format("jdbc")
     for k, v in opts.items():

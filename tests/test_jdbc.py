@@ -91,3 +91,46 @@ def test_jdbc_batch_insert_roundtrip(spark, db_path):
     got = dict(con.execute("SELECT ref, amount FROM stg_amounts").fetchall())
     con.close()
     assert {k: float(v) for k, v in got.items()} == {"s1": 10.0, "s2": 20.5}
+
+
+def test_jdbc_half_open_window_catches_subsecond_tail(spark, tmp_path):
+    """The Postgres dialect pin made live: a timestamp(6) row at
+    23:59:59.5 falls INSIDE the day but OUTSIDE the reference-shaped
+    closed [00:00:00, 23:59:59] window; half_open=True (>= day AND
+    < day+1) captures it and still excludes the next day's midnight."""
+    path = f"{tmp_path}/frac.duckdb"
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE wm (id VARCHAR, updated_at TIMESTAMP)"
+    )
+    con.execute(
+        """
+        INSERT INTO wm VALUES
+          ('in_day',    TIMESTAMP '2024-01-02 12:00:00'),
+          ('tail_frac', TIMESTAMP '2024-01-02 23:59:59.500'),
+          ('next_day',  TIMESTAMP '2024-01-03 00:00:00')
+        """
+    )
+    con.close()
+    cfg = JdbcConfig(url=f"jdbc:duckdb:{path}", table="wm", driver=DRIVER)
+
+    closed = sorted(
+        r.id for r in jdbc_scan(spark, cfg, ds="2024-01-02").collect()
+    )
+    assert closed == ["in_day"]  # the documented sub-second blind spot
+
+    half = sorted(
+        r.id
+        for r in jdbc_scan(
+            spark, cfg, ds="2024-01-02", half_open=True
+        ).collect()
+    )
+    assert half == ["in_day", "tail_frac"]
+    # consecutive half-open windows partition the timeline exactly once
+    nxt = sorted(
+        r.id
+        for r in jdbc_scan(
+            spark, cfg, ds="2024-01-03", half_open=True
+        ).collect()
+    )
+    assert nxt == ["next_day"]
