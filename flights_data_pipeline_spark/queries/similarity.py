@@ -1376,3 +1376,252 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true") > 0, F.col("n_correct") / F.col("n_true")
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: PQ encode + asymmetric-distance (ADC) retrieval.
+# ---------------------------------------------------------------------------
+#: PQ geometry: M subspaces of SUB dims each (M·SUB = the corpus'
+#: 64-dim vectors), K centroids per subspace → codes are M small ints,
+#: a 64-float vector compresses to 8 bytes (32×). K and M are the
+#: memory/recall dials; production PQ trains per-subspace k-means —
+#: here the codebook is the hash-chosen sample quantizer (the
+#: ``ann_ivf_probe`` trick) so the WHOLE pipeline stays
+#: SQL-expressible and cross-engine exact; swap in
+#: ``operators.kmeans`` per subspace for trained codebooks (the
+#: ``ann_ivf_kmeans`` upgrade path).
+PQ_M = 8
+PQ_SUB = 8
+PQ_K = 16
+
+
+def _pq_oracle_ctes() -> str:
+    """Shared CTEs: hash-chosen codebook + per-vector PQ codes."""
+    return f"""
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+    ),
+    sub AS (
+      SELECT e.vec_id, m.m, c.cid AS k,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}), i ->
+               (CAST(e.embedding[(m.m-1)*{PQ_SUB} + i] AS DOUBLE)
+                  - c.emb[(m.m-1)*{PQ_SUB} + i])
+               * (CAST(e.embedding[(m.m-1)*{PQ_SUB} + i] AS DOUBLE)
+                  - c.emb[(m.m-1)*{PQ_SUB} + i])),
+               (x, y) -> x + y) AS d2
+      FROM embeddings e, range(1, {PQ_M + 1}) m(m), cents c
+    ),
+    best AS (
+      SELECT vec_id, m, k, d2,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2, k) AS rn
+      FROM sub
+    ),
+    coded AS (
+      SELECT vec_id, list(k ORDER BY m) AS codes,
+             list_reduce(list(d2 ORDER BY m), (x, y) -> x + y) AS recon_d2
+      FROM best WHERE rn = 1 GROUP BY vec_id
+    )"""
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+    WITH {_pq_oracle_ctes()}
+    SELECT vec_id, codes, recon_d2 FROM coded
+    """,
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus: each vector → {PQ_M} centroid ids
+    (nearest codebook entry per {PQ_SUB}-dim subspace) plus the exact
+    reconstruction error — 32× compression with a quantization-quality
+    column, the build step of a FAISS-style IVFPQ index.
+
+    Cross-engine exactness: the per-subspace argmin is a strict fold
+    over centroid ids ascending with a strict ``<`` (Spark) ⇔
+    row_number ordered by (d2, k) (DuckDB) — identical tie-breaks; all
+    distances are the module's strict-left-fold arithmetic, and the
+    reconstruction error sums subspace minima in subspace order (a
+    plain SUM would be order-nondeterministic in BOTH engines). Plan:
+    the {PQ_K}-row codebook broadcasts as ONE nested-array row; encode
+    is a single narrow corpus pass (no shuffle, no explode — the
+    {PQ_M}×{PQ_K} search runs inside one codegen'd expression per row).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(e)
+    INF = F.lit(float("inf"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def sub_m(col, m):
+        return F.slice(col, (m - F.lit(1)) * PQ_SUB + F.lit(1), PQ_SUB)
+
+    best = F.transform(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        lambda m: F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_K)),
+            F.struct(INF.alias("d"), F.lit(0).alias("k")),
+            lambda acc, k: F.when(
+                d2(sub_m(F.col("embedding"), m),
+                   F.element_at(F.element_at("cb", m), k)) < acc["d"],
+                F.struct(
+                    d2(sub_m(F.col("embedding"), m),
+                       F.element_at(F.element_at("cb", m), k)).alias("d"),
+                    k.alias("k"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        e.crossJoin(F.broadcast(cb))
+        .select("vec_id", best.alias("best"))
+        .select(
+            "vec_id",
+            F.transform("best", lambda s: s["k"]).alias("codes"),
+            F.aggregate(
+                F.transform("best", lambda s: s["d"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("recon_d2"),
+        )
+    )
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """One-row DataFrame: ``cb[m][k]`` = the {PQ_SUB}-dim slice of the
+    k-th hash-chosen codebook vector — the broadcastable nested-array
+    form both PQ queries attach with a crossJoin."""
+    cents = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .withColumn("cid", F.row_number().over(W.orderBy("h", "vec_id")))
+        .select(
+            "cid",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "emb"))).alias("carr")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PQ_M)),
+            lambda m: F.transform(
+                F.col("carr"),
+                lambda s: F.slice(
+                    s["emb"], (m - F.lit(1)) * PQ_SUB + F.lit(1), PQ_SUB
+                ),
+            ),
+        ).alias("cb")
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_oracle_ctes()},
+    cbrow AS (
+      SELECT list_transform(range(1, {PQ_M + 1}), m ->
+               list_transform(cl, e ->
+                 e[(m-1)*{PQ_SUB} + 1 : (m-1)*{PQ_SUB} + {PQ_SUB}])) AS cb
+      FROM (SELECT list(emb ORDER BY cid) AS cl FROM cents)
+    ),
+    qv AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {PQ_M + 1}), m ->
+               list_reduce(list_transform(range(1, {PQ_SUB + 1}), i ->
+                 (CAST(q.embedding[(m-1)*{PQ_SUB} + i] AS DOUBLE)
+                    - cb.cb[m][cd.codes[m]][i])
+                 * (CAST(q.embedding[(m-1)*{PQ_SUB} + i] AS DOUBLE)
+                    - cb.cb[m][cd.codes[m]][i])),
+                 (x, y) -> x + y)),
+               (a, b) -> a + b) AS adc_d2
+      FROM qv q, coded cd, cbrow cb
+      WHERE cd.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id)
+                AS BIGINT) AS rank,
+           adc_d2
+    FROM adc
+    QUALIFY rank <= {TOP_K}
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-{TOP_K}: queries stay exact,
+    corpus vectors are their PQ codes — distance ≈ sum over subspaces
+    of ‖query-subvector − codebook[code]‖², the compressed-domain scan
+    that makes billion-vector search fit in memory (8 bytes/vector
+    here vs 256).
+
+    Plan: the scan side carries CODES ONLY (the {PQ_K}-row codebook
+    and the {N_QUERIES} queries broadcast as one nested-array row), so
+    the scan's working set is the compressed corpus — the entire point
+    of PQ at 100 TB. The distance is a strict fold over subspaces of
+    strict-fold subspace distances (identical in both engines;
+    relying on a SUM across joined rows would be order-random in
+    both). Ranking ties break on neighbor_id.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(e)
+    codes = pq_encode(spark, sf_dir).select("vec_id", "codes")
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q_emb"),
+    )
+
+    def sub_m(col, m):
+        return F.slice(col, (m - F.lit(1)) * PQ_SUB + F.lit(1), PQ_SUB)
+
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.aggregate(
+            F.zip_with(
+                sub_m(F.col("q_emb"), m),
+                F.element_at(
+                    F.element_at("cb", m), F.element_at("codes", m)
+                ),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qv.crossJoin(cb)))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )
