@@ -266,10 +266,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (the part that survives 100 TB):
 
-    1. ONE per-doc aggregate computes all {N_PERMS} signature minima
-       AND the md5-shingle set used later for verification — the
-       shingle/md5 work happens in a single linear pass per branch, and
-       the groupBy reuses the doc_id partitioning (no extra shuffle);
+    1. the per-doc signature pass is SHUFFLE-FREE: all {N_PERMS}
+       signature minima come from ``array_min(transform(hset, …))``
+       over the in-row md5-shingle array — no explode, no groupBy of
+       shingle-level rows (the prior explode+groupBy shape shuffled
+       every shingle instance; this one never leaves the document
+       row). One doc-level repartition AFTER the pass materializes it
+       at an exchange that every downstream consumer (both band-join
+       sides, both verify sides) reuses;
     2. candidates come from ONE equi-join on (band, key) — linear
        shuffle, per-bucket pairs, never an all-pairs cartesian;
     3. verification broadcasts only the id/count candidate rows (a few
@@ -294,16 +298,34 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(d.inputFiles()) < max(2, n_cores // 2):
         d = d.repartition(n_cores, "doc_id")
 
-    e_h = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
-        "doc_id", F.md5("s").alias("h")
-    )
     r = N_PERMS // N_BANDS
-    per_doc = e_h.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("h", 4 * i + 1, 4)).alias(f"sig{i}")
-            for i in range(N_PERMS)
-        ],
-        F.collect_set("h").alias("hset"),
+
+    def _slice(i: int):
+        # factory, not a default-arg lambda: a default arg makes the
+        # callable 2-ary and Spark parses it as an (element, index)
+        # lambda (STATUS rule 6)
+        return lambda h: F.substring(h, 4 * i + 1, 4)
+
+    per_doc = (
+        d.select("doc_id", _shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        # materialize the md5 array ONCE per row (CollapseProject keeps
+        # the alias because md5-in-a-lambda is not a cheap expression),
+        # then take the 8 minima as in-row array folds — the signature
+        # pass never shuffles shingle-level rows
+        .withColumn("hset", F.transform("sh", F.md5))
+        .select(
+            "doc_id",
+            "hset",
+            *[
+                F.array_min(F.transform("hset", _slice(i))).alias(f"sig{i}")
+                for i in range(N_PERMS)
+            ],
+        )
+        # doc-level rows (tiny vs the shingle-level explode this
+        # replaced); this exchange is the reuse point for all four
+        # downstream consumers
+        .repartition(n_cores, "doc_id")
     )
 
     band_exprs = ", ".join(

@@ -586,3 +586,48 @@ def iter_udf_normalized_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_words"),
     )
+
+
+_PARTITIONED_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    WHERE o_orderstatus != 'O'
+    GROUP BY o_orderstatus
+    """
+
+
+@query("partitioned_roundtrip", oracle=_PARTITIONED_ORACLE)
+def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → HIVE-PARTITIONED parquet layout (one directory per
+    ``o_orderstatus``) → partition-pruned read: the physical layout a
+    100 TB lake actually uses. The read filters ``!= 'O'`` and the
+    filter must resolve at PLANNING time against directory names
+    (PartitionFilters in the scan; the 'O' partition's files are
+    never opened — at scale that's the difference between scanning
+    1/3 of the table and all of it). The partition column round-trips
+    through a directory NAME, not parquet data pages — a classic
+    lossiness spot (string escaping, type re-inference) the shared
+    oracle on the original table pins.
+
+    The status-partitioned layout also demonstrates the write-side
+    discipline: partitionBy on a low-cardinality column (3 statuses),
+    with each partition's files written by the task that owns the
+    rows — no global sort, no shuffle beyond the original
+    distribution.
+    """
+    o = t(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="fdp_part_rt_") + "/orders"
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(land)
+    back = spark.read.parquet(land).filter(F.col("o_orderstatus") != "O")
+    # the partition column comes back typed from the directory name;
+    # normalize to the source schema's string type for the rollup
+    back = back.withColumn(
+        "o_orderstatus", F.col("o_orderstatus").cast("string")
+    )
+    return _orders_rollup(back)

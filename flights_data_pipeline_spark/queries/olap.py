@@ -1260,3 +1260,86 @@ def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph.
+# ---------------------------------------------------------------------------
+@query(
+    "copurchase_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT x) FROM
+                  (SELECT u AS x FROM e UNION SELECT v FROM e)) AS BIGINT)
+             AS n_nodes
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts bought together
+    in ≥2 distinct orders): triangles, edges, nodes — the inputs to a
+    clustering coefficient, the standard density diagnostic for the
+    SAME graphs the dedup family builds (near-dup candidate graphs,
+    co-citation graphs). A spiking triangle count is how template spam
+    shows up before any pairwise threshold fires.
+
+    Plan: the canonical two-join triangle enumeration over the ORIENTED
+    edge list (u < v everywhere) — each triangle {a<b<c} is produced
+    exactly once as (a,b)⋈(b,c)⋈(a,c), no /6 correction, no directed
+    double counting. Scale posture: the support-≥2 HAVING prunes the
+    edge list before the quadratic step (the same guard
+    ``copurchase_part_pairs`` applies via top-k); the triangle joins
+    are plain equi-joins on part keys — shuffle-partitioned, no
+    cartesian anywhere, and at 100 TB the standard refinement (orient
+    edges by degree) drops the worst key's fan-out from deg² to
+    O(sqrt(|E|)) without changing this query's contract.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    edges_nodes = e.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+    )
+    nodes = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    return tri.crossJoin(F.broadcast(edges_nodes)).crossJoin(F.broadcast(nodes))

@@ -795,3 +795,132 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5).alias("p50_est"),
         pick(0.95).alias("p95_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency summaries with probe guarantees.
+# ---------------------------------------------------------------------------
+_CMS_D = 4   #: hash rows
+_CMS_W = 64  #: buckets per row
+
+
+def _cms_bucket_spark(j: int) -> str:
+    h = f"md5(concat('{j}:', token))"
+    v = (
+        f"((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+    )
+    return f"CAST(({v}) % {_CMS_W} AS BIGINT)"
+
+
+def _cms_bucket_duck(j: int) -> str:
+    h = f"md5(concat('{j}:', token))"
+    v = (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+    )
+    return f"CAST(({v}) % {_CMS_W} AS BIGINT)"
+
+
+def _cms_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_duck(j)} AS bucket FROM tok"
+        for j in range(_CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT token, exact_cnt, {j} AS j, {_cms_bucket_duck(j)} AS bucket "
+        "FROM probes"
+        for j in range(_CMS_D)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    rows_ AS ({rows}),
+    cms AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rows_ GROUP BY j, bucket
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ),
+    probes AS (
+      SELECT token, exact_cnt FROM (
+        SELECT token, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, token) AS rn
+        FROM exact
+      ) WHERE rn <= 20
+    ),
+    prows AS ({probe_rows})
+    SELECT p.token, p.exact_cnt, MIN(c.cnt) AS cms_est,
+           MIN(c.cnt) >= p.exact_cnt AS never_undercounts
+    FROM prows p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.token, p.exact_cnt
+    """
+
+
+@query("countmin_token_frequency", oracle=_cms_oracle())
+def countmin_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch ({_CMS_D} rows × {_CMS_W} buckets) over the
+    corpus token stream, probed with the 20 highest-frequency tokens:
+    per token the exact count, the sketch estimate, and the
+    one-sided-error guarantee bit (CMS never undercounts).
+
+    Why a sketch when the exact count is one groupBy away: the CMS
+    table is {_CMS_D}×{_CMS_W} = fixed-size, MERGEABLE state — counts
+    are additive, so per-slice sketches (per day, per shard, per
+    crawl) sum elementwise into the corpus sketch with no token-level
+    re-shuffle, the same additive-rollup pattern as
+    ``histogram_quantile_rollup``/``minhash_merge_rollup``. At 100 TB
+    a frequency probe against yesterday's corpus is a lookup into
+    256 persisted rows, not a trillion-row groupBy; the groupBy
+    building it is map-side-combinable down to ≤{_CMS_D}×{_CMS_W}
+    rows per partition.
+
+    Hashes are engine-portable by construction (md5 hex digits →
+    integer arithmetic, never an engine-native hash — the module-wide
+    dedup/text discipline), so the sketch CONTENTS are bit-identical
+    across engines, which is what lets the oracle pin the estimates
+    exactly rather than within a tolerance.
+    """
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    bexprs = [f"{_cms_bucket_spark(j)} AS b{j}" for j in range(_CMS_D)]
+    stack_args = ", ".join(f"{j}, b{j}" for j in range(_CMS_D))
+    rows = base.selectExpr("token", *bexprs).selectExpr(
+        f"stack({_CMS_D}, {stack_args}) AS (j, bucket)"
+    )
+    cms = rows.groupBy("j", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    exact = base.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    probes = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("exact_cnt").desc(), "token")),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    prows = probes.selectExpr("token", "exact_cnt", *bexprs).selectExpr(
+        "token",
+        "exact_cnt",
+        f"stack({_CMS_D}, {stack_args}) AS (j, bucket)",
+    )
+    return (
+        prows.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+    )

@@ -1625,3 +1625,387 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "adc_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified top-k.
+# ---------------------------------------------------------------------------
+MMR_POOL = 20  #: relevance-ranked candidate pool fed to the greedy stage
+MMR_K = 5     #: diversified picks
+
+
+def _mmr_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> greatest(CAST(-127 AS BIGINT),
+                                least(CAST(127 AS BIGINT),
+                                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                       AS BIGINT))))
+             END AS qv
+      FROM s
+    ),
+    qq AS (SELECT qv AS qqv FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+    rels AS (
+      SELECT q.vec_id, q.qv,
+             CAST({dot.format(a="q.qv", b="qq.qqv")} AS BIGINT) AS relevance
+      FROM q CROSS JOIN qq
+      WHERE q.vec_id != (SELECT MIN(vec_id) FROM q)
+    ),
+    pool AS (
+      SELECT vec_id, qv, relevance FROM rels
+      ORDER BY relevance DESC, vec_id LIMIT {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             CAST({dot.format(a="a.qv", b="b.qv")} AS BIGINT) AS sim
+      FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+    ),
+    sel AS (
+      SELECT 1 AS step,
+             [(SELECT vec_id FROM pool ORDER BY relevance DESC, vec_id
+               LIMIT 1)] AS picked
+      UNION ALL
+      SELECT step + 1,
+             list_append(picked, (
+               SELECT p.vec_id FROM pool p
+               WHERE NOT list_contains(sel.picked, p.vec_id)
+               ORDER BY p.relevance - (
+                   SELECT MAX(si.sim) FROM sims si
+                   WHERE si.ai = p.vec_id
+                     AND list_contains(sel.picked, si.bi)
+                 ) DESC, p.vec_id
+               LIMIT 1))
+      FROM sel WHERE step < {MMR_K}
+    ),
+    final AS (SELECT picked FROM sel WHERE step = {MMR_K}),
+    ranked AS (
+      SELECT unnest(range(1, {MMR_K} + 1)) AS rank, picked FROM final
+    )
+    SELECT CAST(r.rank AS INT) AS rank,
+           r.picked[r.rank] AS vec_id,
+           p.relevance,
+           COALESCE((SELECT MAX(si.sim) FROM sims si
+                     WHERE si.ai = r.picked[r.rank]
+                       AND list_contains(r.picked[1:r.rank - 1], si.bi)),
+                    0) AS max_sim_prior,
+           p.relevance - COALESCE((SELECT MAX(si.sim) FROM sims si
+                     WHERE si.ai = r.picked[r.rank]
+                       AND list_contains(r.picked[1:r.rank - 1], si.bi)),
+                    0) AS mmr_score
+    FROM ranked r JOIN pool p ON p.vec_id = r.picked[r.rank]
+    """
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: from the {MMR_POOL}
+    most-relevant vectors (integer-dot relevance to the corpus' first
+    vector), greedily pick {MMR_K} that balance relevance against
+    redundancy — score = relevance − max-similarity-to-already-picked
+    (λ=0.5, scaled ×2 so the arithmetic stays integral). The
+    de-redundancy step every retrieval-augmented pipeline runs between
+    ANN recall and the context window: plain top-k returns near-dup
+    passages, MMR spends the k slots on COVERAGE.
+
+    Exactness: similarities are integer dot products of the SAME int8
+    quantization ``embedding_int8_quant`` pins (scale = max|v|/127,
+    floor(x+0.5) quantizer) — every comparison in both engines is
+    exact bigint arithmetic, so the greedy argmax (ties by vec_id)
+    is fully deterministic and the oracle's recursive-CTE greedy
+    lands on the identical selection.
+
+    Scale shape: relevance ranking is a linear scan + top-{MMR_POOL}
+    (TakeOrdered, no global sort); the inherently-sequential greedy
+    runs EXECUTOR-side over the bounded pool via one
+    single-group ``applyInPandas`` (a {MMR_POOL}×{MMR_POOL} integer
+    matrix — never a driver collect, never corpus-quadratic; the pool
+    bound is the knob that keeps the greedy O(k·pool) at any corpus
+    size).
+    """
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(dbl(x))))
+        / 127.0
+    )
+    s = e.select("vec_id", "embedding", scale.alias("scale"))
+    quant = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.greatest(
+                F.lit(-127).cast("bigint"),
+                F.least(
+                    F.lit(127).cast("bigint"),
+                    F.floor(dbl(x) / F.col("scale") + 0.5),
+                ),
+            ),
+        )
+    )
+    q = s.select("vec_id", quant.alias("qv"))
+    qid = q.agg(F.min("vec_id").alias("qid"))
+    qq = (
+        q.join(F.broadcast(qid), q.vec_id == F.col("qid"))
+        .select(F.col("qv").alias("qqv"))
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    rels = (
+        q.crossJoin(F.broadcast(qq))
+        .crossJoin(F.broadcast(qid))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "qv", dot(F.col("qv"), F.col("qqv")).alias("relevance"))
+    )
+    pool = (
+        rels.orderBy(F.col("relevance").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .withColumn("g", F.lit(1))
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["relevance", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        m = np.array([np.array(v, dtype=np.int64) for v in pdf["qv"]])
+        sims = m @ m.T  # exact int64 pairwise dots
+        rel = pdf["relevance"].to_numpy(dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        picked: list[int] = []
+        out = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for i in range(len(ids)):
+                if i in picked:
+                    continue
+                ms = int(sims[i, picked].max()) if picked else 0
+                score = int(rel[i]) - ms
+                key = (-score, int(ids[i]))
+                if best is None or key < best[0]:
+                    best = (key, i, ms, score)
+            _, i, ms, score = best
+            picked.append(i)
+            out.append((rank, int(ids[i]), int(rel[i]), ms, score))
+        return pd.DataFrame(
+            out,
+            columns=["rank", "vec_id", "relevance", "max_sim_prior", "mmr_score"],
+        )
+
+    return pool.groupBy("g").applyInPandas(
+        greedy,
+        schema="rank int, vec_id bigint, relevance bigint, "
+        "max_sim_prior bigint, mmr_score bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse routing + compressed-domain ADC scan (the full FAISS
+# IVFPQ composition).
+# ---------------------------------------------------------------------------
+def _duck_d2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    return f"""
+    WITH {_pq_oracle_ctes()},
+    cbrow AS (
+      SELECT list_transform(range(1, {PQ_M + 1}), m ->
+               list_transform(cl, e ->
+                 e[(m-1)*{PQ_SUB} + 1 : (m-1)*{PQ_SUB} + {PQ_SUB}])) AS cb
+      FROM (SELECT list(emb ORDER BY cid) AS cl FROM cents)
+    ),
+    ivf_cent AS (
+      SELECT vec_id AS list_id, embedding AS c_emb
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {IVF_N_LISTS}
+    ),
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_duck_d2('v.embedding', 'c.c_emb')}, c.list_id
+               ) AS rn
+        FROM embeddings v CROSS JOIN ivf_cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qprobe AS (
+      SELECT query_id, q_emb, list_id FROM (
+        SELECT q.query_id, q.q_emb, c.list_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_duck_d2('q.q_emb', 'c.c_emb')}, c.list_id
+               ) AS rn
+        FROM q CROSS JOIN ivf_cent c
+      ) WHERE rn <= {IVF_N_PROBE}
+    ),
+    adc AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {PQ_M + 1}), m ->
+               list_reduce(list_transform(range(1, {PQ_SUB + 1}), i ->
+                 (CAST(p.q_emb[(m-1)*{PQ_SUB} + i] AS DOUBLE)
+                    - cb.cb[m][cd.codes[m]][i])
+                 * (CAST(p.q_emb[(m-1)*{PQ_SUB} + i] AS DOUBLE)
+                    - cb.cb[m][cd.codes[m]][i])),
+                 (x, y) -> x + y)),
+               (a2, b2) -> a2 + b2) AS adc_d2
+      FROM qprobe p
+      JOIN assign a ON a.list_id = p.list_id
+      JOIN coded cd ON cd.vec_id = a.vec_id
+      CROSS JOIN cbrow cb
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id)
+                AS BIGINT) AS rank,
+           adc_d2
+    FROM adc
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+@query("ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style IVFPQ composition: an {IVF_N_LISTS}-list
+    coarse quantizer routes each query to its {IVF_N_PROBE} nearest
+    lists (L2, consistent with the ADC metric), and only those lists'
+    PQ CODES are scanned with asymmetric distance — the index layout
+    that serves billion-vector corpora from memory (candidate set cut
+    {IVF_N_PROBE}/{IVF_N_LISTS}× by routing, bytes-per-candidate cut
+    32× by PQ).
+
+    Composition contract: routing reuses the IVF probe mechanics
+    (``ann_ivf_probe``) and scoring reuses the PQ codebook/ADC kernel
+    (``pq_encode``/``pq_adc_topk``) — each stage is oracle-matched
+    alone, and this query pins that they compose (same codes, same
+    strict-fold distances, rank ties on neighbor_id). Production
+    refinement not modeled here: FAISS encodes RESIDUALS (v − coarse
+    centroid) for a tighter codebook; same plan shape, different
+    encode input.
+
+    Scale plan: both centroid tables are O(nlist) broadcasts; the
+    corpus shuffles once on list_id (at rest: the stored index IS the
+    corpus bucketed by list_id, codes-only); the ADC scan touches
+    codes, never raw vectors.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(e)
+    codes = pq_encode(spark, sf_dir).select("vec_id", "codes")
+
+    def d2full(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ivf_cent = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_N_LISTS)
+        .select(
+            F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    wa = W.partitionBy("vec_id").orderBy("c_d2", "list_id")
+    assign = (
+        e.crossJoin(F.broadcast(ivf_cent))
+        .select(
+            "vec_id",
+            "list_id",
+            d2full(F.col("embedding"), F.col("c_emb")).alias("c_d2"),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q_emb"),
+    )
+    wq = W.partitionBy("query_id").orderBy("c_d2", "list_id")
+    qprobe = (
+        q.crossJoin(F.broadcast(ivf_cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "list_id",
+            d2full(F.col("q_emb"), F.col("c_emb")).alias("c_d2"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_N_PROBE)
+        .select("query_id", "q_emb", "list_id")
+    )
+
+    def sub_m(col, m):
+        return F.slice(col, (m - F.lit(1)) * PQ_SUB + F.lit(1), PQ_SUB)
+
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.aggregate(
+            F.zip_with(
+                sub_m(F.col("q_emb"), m),
+                F.element_at(
+                    F.element_at("cb", m), F.element_at("codes", m)
+                ),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    scored = (
+        assign.join(codes, "vec_id")
+        .join(F.broadcast(qprobe), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_d2"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )

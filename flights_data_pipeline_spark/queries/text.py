@@ -1083,3 +1083,204 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("fp_pos"),
         F.substring("wkey", 1, 32).alias("fp_hash"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Positional-index phrase search.
+# ---------------------------------------------------------------------------
+@query(
+    "phrase_search_positional",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             )) AS phrase
+      FROM tok
+    ),
+    top5 AS (
+      SELECT phrase FROM (
+        SELECT phrase,
+               row_number() OVER (ORDER BY COUNT(*) DESC, phrase) AS rn
+        FROM tri GROUP BY phrase
+      ) WHERE rn <= 5
+    )
+    SELECT t.phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+    FROM tri t JOIN top5 USING (phrase)
+    GROUP BY t.phrase
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a POSITIONAL inverted index: the
+    corpus' 5 most frequent 3-token phrases, with occurrence and
+    document frequencies, found by joining (token, position) postings
+    — token₁ at p ⋈ token₂ at p+1 ⋈ token₃ at p+2 — never by
+    re-scanning text.
+
+    This is the retrieval half ``bm25_topk`` doesn't cover: BM25 ranks
+    by bag-of-words weight; phrase queries need positions. The posting
+    list (doc_id, pos, token) is the materialization a search layer
+    over a 100 TB corpus actually stores (partitioned by token — each
+    phrase probe touches only its terms' postings, the adjacency join
+    is an equi-join on (doc, pos+offset), and document text is never
+    read at query time). The probe set is derived from the corpus
+    itself (top-5 by instance count, ties by phrase) to keep the query
+    self-contained and the oracle exact.
+    """
+    d = t(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    p1, p2, p3 = post.alias("p1"), post.alias("p2"), post.alias("p3")
+    tri = (
+        p1.join(
+            p2,
+            (F.col("p1.doc_id") == F.col("p2.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1),
+        )
+        .join(
+            p3,
+            (F.col("p1.doc_id") == F.col("p3.doc_id"))
+            & (F.col("p3.pos") == F.col("p1.pos") + 2),
+        )
+        .select(
+            F.col("p1.doc_id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("p1.token"), F.col("p2.token"), F.col("p3.token")
+            ).alias("phrase"),
+        )
+    )
+    top5 = (
+        tri.groupBy("phrase")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("c").desc(), "phrase"))
+        )
+        .filter(F.col("rn") <= 5)
+        .select("phrase")
+    )
+    return (
+        tri.join(F.broadcast(top5), "phrase")
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence with exact PMI-style lift.
+# ---------------------------------------------------------------------------
+@query(
+    "skipgram_cooccurrence",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    post AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+      FROM tok
+    ),
+    p AS (SELECT doc_id, pos, toks[pos] AS token FROM post),
+    pairs AS (
+      SELECT a.token AS w_token, b.token AS c_token,
+             CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM p a JOIN p b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+      GROUP BY 1, 2
+    ),
+    wc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM p GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM p)
+    SELECT w_token, c_token, pair_cnt,
+           w.cnt AS w_cnt, c.cnt AS c_cnt,
+           CAST(pair_cnt * n.total AS DOUBLE)
+             / CAST(w.cnt * c.cnt AS DOUBLE) AS lift
+    FROM pairs
+    JOIN wc w ON w.token = w_token
+    JOIN wc c ON c.token = c_token
+    CROSS JOIN n
+    ORDER BY pair_cnt DESC, w_token, c_token
+    LIMIT 20
+    """,
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (forward window of 2 positions)
+    with a PMI-style lift score — the counting pass under word-vector
+    pretraining (word2vec SGNS trains on exactly these (word, context)
+    pairs) and the standard collocation detector for corpus QA
+    (template boilerplate shows up as lift ≫ 1 pairs).
+
+    Lift = P(w,c)/(P(w)·P(c)) restated as ONE division of exact
+    integer products (pair_cnt·N / w_cnt·c_cnt — both < 2⁵³, and a
+    single IEEE division is bit-identical across engines); the STATUS
+    rule that log()/PMI-proper never appears in a gated float. Ranking
+    is by the integer pair count, never the float. Plan: the pair
+    generation is a positional-posting self-join on (doc, pos-range) —
+    shuffle on doc_id, window bounded at 2, so pairs are ≤ 2N rows,
+    linear in the corpus; the count tables are map-side-combinable
+    aggregates, and the probe joins run against broadcast count sides.
+    """
+    d = t(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") >= F.col("a.pos") + 1)
+            & (F.col("b.pos") <= F.col("a.pos") + 2),
+        )
+        .groupBy(
+            F.col("a.token").alias("w_token"), F.col("b.token").alias("c_token")
+        )
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+    )
+    wc = post.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    n = post.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        pairs.join(
+            F.broadcast(wc.select(F.col("token").alias("w_token"),
+                                  F.col("cnt").alias("w_cnt"))),
+            "w_token",
+        )
+        .join(
+            F.broadcast(wc.select(F.col("token").alias("c_token"),
+                                  F.col("cnt").alias("c_cnt"))),
+            "c_token",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w_token",
+            "c_token",
+            "pair_cnt",
+            "w_cnt",
+            "c_cnt",
+            (
+                (F.col("pair_cnt") * F.col("total")).cast("double")
+                / (F.col("w_cnt") * F.col("c_cnt")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "w_token", "c_token")
+        .limit(20)
+    )
