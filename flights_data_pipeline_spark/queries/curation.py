@@ -1168,3 +1168,171 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1).cast("double"),
         ).alias("loo_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (token-budget-proportional, integer-exact).
+# ---------------------------------------------------------------------------
+#: systematic-sample size (number of selection strata over the corpus).
+SYS_SAMPLE_K = 50
+
+
+@query(
+    "weighted_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_toks) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before,
+             CAST(SUM(n_toks) OVER () AS BIGINT) AS total
+      FROM w
+    )
+    SELECT doc_id, lang, n_toks, cum_before
+    FROM c
+    WHERE ((cum_before + n_toks) * {SYS_SAMPLE_K}) // total
+        > (cum_before * {SYS_SAMPLE_K}) // total
+    """,
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted systematic sample: order the corpus by a
+    deterministic hash, lay documents end-to-end on the token axis,
+    and select every document whose token interval crosses one of
+    {SYS_SAMPLE_K} equally spaced strata — inclusion probability
+    ∝ token count, documents longer than one stratum are selected
+    with certainty. This is how a training-mix builder subsamples to
+    a TOKEN budget rather than a document budget (uniform doc
+    sampling over-represents short documents in token space).
+
+    Exactness: the crossing test is pure integer arithmetic —
+    ``floor(cum_after·K/total) > floor(cum_before·K/total)`` with
+    bigint products (never a double division, never a rounded
+    stratum width), so both engines select the identical set. Plan:
+    one narrow scan for weights, one window over the hash order (a
+    single total-order exchange — at 100 TB the same restatement as
+    ``pack_sequences``: partition the window by shard/source and
+    sample within), and the filter is stateless per row.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    win = (
+        W.orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = w.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.coalesce(F.sum("n_toks").over(win), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+        F.sum("n_toks").over(W.partitionBy()).cast("bigint").alias("total"),
+    )
+    crossed = F.expr(
+        f"((cum_before + n_toks) * {SYS_SAMPLE_K}) DIV total"
+        f" > (cum_before * {SYS_SAMPLE_K}) DIV total"
+    )
+    return c.filter(crossed).select("doc_id", "lang", "n_toks", "cum_before")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget apportionment (largest-remainder / Hamilton method).
+# ---------------------------------------------------------------------------
+#: training-mix token budget to apportion across sources.
+MIX_BUDGET = 100_000
+
+
+@query(
+    "token_budget_apportionment",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total FROM s),
+    base AS (
+      SELECT source, n_toks,
+             ({MIX_BUDGET} * n_toks) // t.total AS base_alloc,
+             ({MIX_BUDGET} * n_toks) % t.total AS remainder,
+             t.total
+      FROM s CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rk,
+             {MIX_BUDGET} - SUM(base_alloc) OVER () AS leftover
+      FROM base
+    )
+    SELECT source, n_toks,
+           CAST(base_alloc AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a {MIX_BUDGET}-token
+    training budget across sources, proportional to each source's token
+    mass: ``base = floor(B·n_i/N)``, then the leftover tokens go one
+    each to the sources with the largest integer remainders (ties by
+    source name). The allocations sum to B exactly — the property a mix
+    config needs and naive per-source rounding does not give.
+
+    This is the integerization step between "mix weights" (DoReMi-style
+    proportions) and an actual sampler: every downstream stage consumes
+    whole-token (or whole-document) budgets. All arithmetic is bigint
+    (products ≤ B·N ≈ 10¹¹ here, far under 2⁶³); the only float
+    anywhere is none. Plan: one groupBy(source) aggregate, a broadcast
+    total, and a window over the (tiny) per-source table.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    s = d.select("source", F.size(toks).cast("bigint").alias("t")).groupBy(
+        "source"
+    ).agg(F.sum("t").cast("bigint").alias("n_toks"))
+    tot = s.agg(F.sum("n_toks").cast("bigint").alias("total"))
+    b = F.lit(MIX_BUDGET).cast("bigint")
+    base = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        F.expr(f"(CAST({MIX_BUDGET} AS BIGINT) * n_toks) DIV total")
+        .cast("bigint")
+        .alias("base_alloc"),
+        ((b * F.col("n_toks")) % F.col("total")).alias("remainder"),
+    )
+    ranked = base.select(
+        "source",
+        "n_toks",
+        "base_alloc",
+        "remainder",
+        F.row_number()
+        .over(W.orderBy(F.col("remainder").desc(), "source"))
+        .alias("rk"),
+        (b - F.sum("base_alloc").over(W.partitionBy())).alias("leftover"),
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_toks",
+        "base_alloc",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
+    )
