@@ -250,6 +250,75 @@ def _minhash_oracle() -> str:
     """
 
 
+def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash state: the {N_PERMS} signature minima AND
+    the md5-shingle array, computed SHUFFLE-FREE as in-row array folds
+    (no shingle-level explode+groupBy), then materialized at one
+    doc-level exchange that every consumer reuses."""
+    d = t(spark, sf_dir, "documents")
+    # A small corpus arrives as one parquet split → the md5-heavy pass
+    # would run on one core. Spread by doc_id only when the scan has
+    # fewer splits than cores; a real many-split corpus skips this
+    # shuffle entirely.
+    n_cores = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < max(2, n_cores // 2):
+        d = d.repartition(n_cores, "doc_id")
+
+    def _slice(i: int):
+        # factory, not a default-arg lambda: a default arg makes the
+        # callable 2-ary and Spark parses it as an (element, index)
+        # lambda (STATUS rule 6)
+        return lambda h: F.substring(h, 4 * i + 1, 4)
+
+    return (
+        d.select("doc_id", _shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        # materialize the md5 array ONCE per row (CollapseProject keeps
+        # the alias because md5-in-a-lambda is not a cheap expression),
+        # then take the 8 minima as in-row array folds — the signature
+        # pass never shuffles shingle-level rows
+        .withColumn("hset", F.transform("sh", F.md5))
+        .select(
+            "doc_id",
+            "hset",
+            *[
+                F.array_min(F.transform("hset", _slice(i))).alias(f"sig{i}")
+                for i in range(N_PERMS)
+            ],
+        )
+        # doc-level rows (tiny vs the shingle-level explode this
+        # replaced); this exchange is the reuse point for downstream
+        # consumers
+        .repartition(n_cores, "doc_id")
+    )
+
+
+def _lsh_candidates(per_doc: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (a_id < b_id, shared-band count) from
+    the per-doc signature table — the verification-free subtree, so
+    closure/keep-list consumers never pay for the Jaccard-verify joins
+    they immediately drop."""
+    r = N_PERMS // N_BANDS
+    band_exprs = ", ".join(
+        f"{j}, concat({', '.join(f'sig{j * r + k}' for k in range(r))})"
+        for j in range(N_BANDS)
+    )
+    bands = per_doc.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, bkey)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    )
+
+
 @query("minhash_lsh_candidates", oracle=_minhash_oracle())
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash({N_PERMS} perms) banded {N_BANDS}×r={N_PERMS//N_BANDS}
@@ -289,65 +358,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
        exchange reuse; the production note at 100 TB is to semi-filter
        the set side by the candidate id list before the shuffle.)
     """
-    d = t(spark, sf_dir, "documents")
-    # A small corpus arrives as one parquet split → the md5-heavy pass
-    # would run on one core. Spread by doc_id only when the scan has
-    # fewer splits than cores; a real many-split corpus skips this
-    # shuffle entirely.
-    n_cores = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < max(2, n_cores // 2):
-        d = d.repartition(n_cores, "doc_id")
-
-    r = N_PERMS // N_BANDS
-
-    def _slice(i: int):
-        # factory, not a default-arg lambda: a default arg makes the
-        # callable 2-ary and Spark parses it as an (element, index)
-        # lambda (STATUS rule 6)
-        return lambda h: F.substring(h, 4 * i + 1, 4)
-
-    per_doc = (
-        d.select("doc_id", _shingles().alias("sh"))
-        .filter(F.size("sh") > 0)
-        # materialize the md5 array ONCE per row (CollapseProject keeps
-        # the alias because md5-in-a-lambda is not a cheap expression),
-        # then take the 8 minima as in-row array folds — the signature
-        # pass never shuffles shingle-level rows
-        .withColumn("hset", F.transform("sh", F.md5))
-        .select(
-            "doc_id",
-            "hset",
-            *[
-                F.array_min(F.transform("hset", _slice(i))).alias(f"sig{i}")
-                for i in range(N_PERMS)
-            ],
-        )
-        # doc-level rows (tiny vs the shingle-level explode this
-        # replaced); this exchange is the reuse point for all four
-        # downstream consumers
-        .repartition(n_cores, "doc_id")
-    )
-
-    band_exprs = ", ".join(
-        f"{j}, concat({', '.join(f'sig{j * r + k}' for k in range(r))})"
-        for j in range(N_BANDS)
-    )
-    bands = per_doc.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, bkey)"
-    )
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
-    )
-
+    per_doc = _minhash_per_doc(spark, sf_dir)
+    cand = _lsh_candidates(per_doc)
     sha = per_doc.select(F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a"))
     shb = per_doc.select(F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b"))
     # candidate side broadcast (tiny, id/count columns only); the
@@ -409,7 +421,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    pairs = minhash_lsh_candidates(spark, sf_dir).select("a_id", "b_id")
+    # the verification-free candidate subtree: the closure only needs
+    # pair KEYS, so it skips the Jaccard-verify joins (same pair set —
+    # verification adds columns, never filters)
+    pairs = _lsh_candidates(_minhash_per_doc(spark, sf_dir)).select(
+        "a_id", "b_id"
+    )
     comp = connected_components(pairs, "a_id", "b_id")
     return comp.select(
         F.col("node").cast("bigint").alias("doc_id"),
