@@ -10,6 +10,11 @@ the engine's equivalent:
 * ``query`` — execute one registered engine query by name and print
   a bounded preview (the full registry: ``list-queries``).
 * ``list-queries`` — every registered query and its oracle status.
+* ``sql`` — ad-hoc Spark SQL over the test tables (registered as temp
+  views from ``--sf-dir``): the "bring your own query" surface a
+  reference user expects beside the canned registry.
+* ``curate`` — run the materialized corpus-curation DAG
+  (``pipeline/curation.py``) and print the funnel report.
 """
 
 from __future__ import annotations
@@ -38,6 +43,16 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list-queries", help="list registered queries")
+
+    s = sub.add_parser("sql", help="run ad-hoc SQL over the test tables")
+    s.add_argument("statement", help="a Spark SQL statement")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--limit", type=int, default=20)
+
+    c = sub.add_parser("curate", help="run the corpus-curation DAG")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    c.add_argument("--out", required=True, help="stage-output directory")
+    c.add_argument("--retries", type=int, default=1)
     return p
 
 
@@ -54,6 +69,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("fdp-spark-cli")
+    if args.cmd == "sql":
+        from .io.catalog import register_views
+
+        register_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "curate":
+        from .pipeline.curation import run_curation
+
+        def curate_alert(step: str, exc: Exception) -> None:
+            print(f"ALERT step={step} failed: {exc}", file=sys.stderr)
+
+        report = run_curation(
+            spark, args.sf_dir, args.out,
+            retries=args.retries, on_failure=curate_alert,
+        )
+        for stage, docs in report.items():
+            print(f"{stage:24s} {docs}")
+        return 0
+
     if args.cmd == "query":
         if args.name not in REGISTRY:
             print(f"unknown query: {args.name}", file=sys.stderr)

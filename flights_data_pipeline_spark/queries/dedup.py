@@ -844,3 +844,60 @@ def minhash_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.min(f"sig{i}").alias(f"sig{i}") for i in range(N_PERMS)],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup leakage matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "cross_source_neardup_matrix",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle()})
+    SELECT least(da.source, db.source) AS src_lo,
+           greatest(da.source, db.source) AS src_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE da.source = db.source) AS BIGINT)
+             AS n_within
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a_id
+    JOIN documents db ON db.doc_id = p.b_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source matrix of near-dup candidate pairs: for every
+    unordered source pair, how many MinHash-LSH candidates connect
+    them (and how many stay within one source). The provenance
+    diagnostic a crawl pipeline reads BEFORE deduplicating — mirror
+    sites, syndication, and cross-crawl re-fetches show up as hot
+    off-diagonal cells, which then justify source-level dedup rules
+    far cheaper than pairwise verification.
+
+    Plan: candidate pairs come from the shared verification-free LSH
+    subtree (``_lsh_candidates``); the two provenance lookups are
+    doc-id equi-joins against a two-column projection of the corpus
+    (at 100 TB: broadcast-sized after the candidate filter, since the
+    pair table is orders of magnitude smaller than the corpus). The
+    matrix itself is a tiny groupBy over source pairs.
+    """
+    d = t(spark, sf_dir, "documents")
+    pairs = _lsh_candidates(_minhash_per_doc(spark, sf_dir)).select(
+        "a_id", "b_id"
+    )
+    src = d.select("doc_id", "source")
+    pa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src_a"))
+    pb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(pa, "a_id")
+        .join(pb, "b_id")
+        .groupBy(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.count(F.when(F.col("src_a") == F.col("src_b"), 1))
+            .cast("bigint")
+            .alias("n_within"),
+        )
+    )

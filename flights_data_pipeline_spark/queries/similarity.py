@@ -2009,3 +2009,122 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "adc_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-label centroid sums (int8 domain) + inter-label affinity.
+# ---------------------------------------------------------------------------
+@query(
+    "label_centroid_affinity",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> greatest(CAST(-127 AS BIGINT),
+                                least(CAST(127 AS BIGINT),
+                                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                       AS BIGINT))))
+             END AS qv
+      FROM s
+    ),
+    e AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, qv FROM q),
+    comps AS (
+      SELECT label, pos, CAST(SUM(qv[pos]) AS BIGINT) AS sv
+      FROM e GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(sv ORDER BY pos) AS c FROM comps GROUP BY label),
+    cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(list_reduce(list_transform(range(1, len(a.c) + 1),
+                                           i -> a.c[i] * b.c[i]),
+                            (x, y) -> x + y) AS BIGINT) AS dot_sums
+    FROM cent a
+    JOIN cent b ON a.label < b.label
+    JOIN cnt ca ON ca.label = a.label
+    JOIN cnt cb ON cb.label = b.label
+    """,
+)
+def label_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label affinity from EXACT integer centroid sums: quantize
+    every vector to int8 (the ``embedding_int8_quant`` contract),
+    elementwise-SUM per label, and take integer dot products between
+    label sum-vectors — ∝ n_a·n_b·cos-affinity between class centroids.
+    The class-overlap diagnostic run before hard-negative mining or
+    cluster-balanced sampling: label pairs with outsized affinity are
+    the confusable ones.
+
+    Summing the QUANTIZED integers instead of the float embeddings is
+    what makes the centroid cross-engine exact (float sums are
+    order-dependent; bigint sums are not) AND mergeable — per-shard
+    (label, component) partial sums roll up by addition, the same
+    additive-sketch pattern as ``minhash_merge_rollup``/
+    ``countmin_token_frequency``, so at 100 TB the centroid table
+    maintains incrementally without re-reading history. Plan: one
+    narrow quantize pass, one posexplode groupBy (the only corpus
+    shuffle, keyed on (label, component)), then all pairwise work runs
+    on a k-row table.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(dbl(x))))
+        / 127.0
+    )
+    s = e.select("vec_id", "label", "embedding", scale.alias("scale"))
+    quant = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.greatest(
+                F.lit(-127).cast("bigint"),
+                F.least(
+                    F.lit(127).cast("bigint"),
+                    F.floor(dbl(x) / F.col("scale") + 0.5),
+                ),
+            ),
+        )
+    )
+    q = s.select("vec_id", "label", quant.alias("qv"))
+    comps = (
+        q.select("label", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").cast("bigint").alias("sv"))
+    )
+    cent = comps.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sv"))),
+            lambda st: st["sv"],
+        ).alias("c")
+    )
+    cnt = q.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    ca = cent.join(cnt, "label").select(
+        F.col("label").alias("label_a"),
+        F.col("c").alias("c_a"),
+        F.col("n").alias("n_a"),
+    )
+    cb = cent.join(cnt, "label").select(
+        F.col("label").alias("label_b"),
+        F.col("c").alias("c_b"),
+        F.col("n").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("c_a"), F.col("c_b"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ca.join(cb, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", "n_a", "n_b", dot.alias("dot_sums"))
+    )

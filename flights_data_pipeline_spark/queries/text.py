@@ -1284,3 +1284,87 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_cnt").desc(), "w_token", "c_token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each document is first-seen content.
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             ))) AS gram
+      FROM tok WHERE len(toks) >= 3
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+             AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM g JOIN firsts f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-token shingles whose FIRST corpus occurrence (smallest doc_id
+    carrying the gram) is the document itself. Low novelty = the
+    document restates earlier corpus content — the memorization-risk /
+    boilerplate signal curation teams threshold on between full
+    near-dup passes (it catches partial recombination that whole-doc
+    MinHash misses, at one groupBy instead of an LSH pipeline).
+
+    Exactness: counts are integers; the one float is a single IEEE
+    division. "First" is defined by doc_id order — a deterministic
+    total order both engines share (in production: ingest timestamp).
+    Plan: one gram explode, one groupBy(gram) for the first-occurrence
+    table (map-side combinable MIN), one re-join on gram — linear,
+    shuffle keyed on the gram, the same shape as ``term_doc_frequency``.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tk = F.col("toks")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        )
+    )
+    g = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(tri).alias("gram"))
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+                .cast("double")
+                / F.count("*").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -41,3 +41,30 @@ def test_run_command_end_to_end(spark, capsys):
     out = capsys.readouterr().out
     assert "bookings" in out and ("loaded" in out or "skipped" in out)
     assert spark.read.parquet(f"{d}/wh/dim_aircrafts").count() > 0
+
+
+def test_sql_command(spark, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "o_orderstatus" in out and "n" in out
+
+
+def test_curate_command(spark, capsys, tmp_path):
+    rc = main(
+        [
+            "curate",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "cur"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "final_corpus" in out
