@@ -67,6 +67,12 @@ HEADLINE = [
     "embedding_int8_quant",
     "tumbling_window_agg",
     "session_window_agg",
+    # round-5 additions (compare cross-round on the common prefix;
+    # BASELINE.md records the round-5 testdata regeneration)
+    "countmin_token_frequency",
+    "mmr_diverse_topk",
+    "ivf_pq_topk",
+    "weighted_systematic_sample",
 ]
 
 

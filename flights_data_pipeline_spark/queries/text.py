@@ -1234,7 +1234,10 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is a positional-posting self-join on (doc, pos-range) —
     shuffle on doc_id, window bounded at 2, so pairs are ≤ 2N rows,
     linear in the corpus; the count tables are map-side-combinable
-    aggregates, and the probe joins run against broadcast count sides.
+    aggregates, and the vocabulary joins are key-partitioned (a
+    token-count table is vocabulary-sized — unbounded at 100 TB — so
+    no broadcast HINT; AQE still broadcasts at runtime when the
+    measured side is small, as it is here).
     """
     d = t(spark, sf_dir, "documents")
     post = d.select(
@@ -1258,15 +1261,20 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = post.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
     n = post.agg(F.count("*").cast("bigint").alias("total"))
+    # vocabulary sides join WITHOUT a broadcast hint: token-count
+    # tables are corpus-vocabulary-sized (unbounded at 100 TB), so the
+    # safe default is a key-partitioned join — AQE still converts to
+    # broadcast at runtime whenever the measured side is small (as it
+    # is here)
     return (
         pairs.join(
-            F.broadcast(wc.select(F.col("token").alias("w_token"),
-                                  F.col("cnt").alias("w_cnt"))),
+            wc.select(F.col("token").alias("w_token"),
+                      F.col("cnt").alias("w_cnt")),
             "w_token",
         )
         .join(
-            F.broadcast(wc.select(F.col("token").alias("c_token"),
-                                  F.col("cnt").alias("c_cnt"))),
+            wc.select(F.col("token").alias("c_token"),
+                      F.col("cnt").alias("c_cnt")),
             "c_token",
         )
         .crossJoin(F.broadcast(n))

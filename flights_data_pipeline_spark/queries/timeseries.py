@@ -612,3 +612,63 @@ def overlapping_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("od").cast("bigint").alias("total_overlap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (dyadic alpha): exact sequential smoothing as an ordered fold.
+# ---------------------------------------------------------------------------
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           vals[len(vals)] AS last_value,
+           list_reduce(vals, (acc, x) -> (acc + x) / 2.0) AS ewma
+    FROM o
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (α = 1/2, seeded with the first observation): the recursive
+    smoother behind rate limiting, anomaly baselines, and engagement
+    scores — a computation SQL window functions cannot express
+    (EWMA is a linear RECURRENCE, not a frame aggregate), restated as
+    an ordered array fold.
+
+    Cross-engine exactness: α = 1/2 makes every step one addition and
+    one division by 2 (exact in binary floating point); the fold is
+    STRICTLY sequential over the identical (ts, event_id) order in
+    both engines, so even where addition rounds, both engines round
+    the same bits — the module's strict-left-fold rule applied to a
+    recurrence. Plan: one groupBy(user_id) collects each user's
+    ordered series in-row (bounded by per-user activity — the same
+    per-entity-array posture as ``gap_fill_forward``); the fold runs
+    inside codegen, no UDF, no iteration.
+    """
+    ev = t(spark, sf_dir, "events")
+    o = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals"),
+    )
+    tail = F.slice(
+        "vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))
+    )
+    return o.select(
+        "user_id",
+        "n_events",
+        F.element_at("vals", -1).alias("last_value"),
+        F.aggregate(
+            tail,
+            F.element_at("vals", 1),
+            lambda acc, x: (acc + x) / F.lit(2.0),
+        ).alias("ewma"),
+    )

@@ -1,0 +1,156 @@
+"""Invariant and plan pins for the round-5 operator batch.
+
+The oracle suite pins these queries' VALUES; these tests pin what the
+corpus gate cannot see — algorithmic guarantees on adversarial inputs
+(CMS one-sided error, apportionment exactness, systematic-sampling
+weight guarantees) and the physical-plan properties the 100 TB posture
+depends on (partition pruning reaching the scan).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flights_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder apportionment: pure-Python reference on random inputs.
+# ---------------------------------------------------------------------------
+def _hamilton(budget: int, masses: dict[str, int]) -> dict[str, int]:
+    total = sum(masses.values())
+    base = {s: budget * n // total for s, n in masses.items()}
+    rem = {s: budget * n % total for s, n in masses.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(masses, key=lambda s: (-rem[s], s))
+    for s in order[:leftover]:
+        base[s] += 1
+    return base
+
+
+@given(
+    budget=st.integers(1, 10_000),
+    masses=st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(8)]),
+        st.integers(1, 10_000),
+        min_size=1,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_hamilton_reference_properties(budget, masses):
+    """The reference implementation itself honors the contract the
+    Spark query mirrors: allocations sum EXACTLY to the budget and
+    each allocation is within 1 of its real-valued quota (the
+    largest-remainder guarantee)."""
+    alloc = _hamilton(budget, masses)
+    assert sum(alloc.values()) == budget
+    total = sum(masses.values())
+    for s, n in masses.items():
+        quota = budget * n / total
+        assert quota - 1 < alloc[s] < quota + 1
+
+
+def test_apportionment_matches_reference_on_corpus(spark):
+    """The Spark query equals the pure-Python Hamilton reference on the
+    real corpus masses (the oracle pins Spark↔DuckDB; this pins the
+    METHOD against an independent restatement)."""
+    rows = REGISTRY["token_budget_apportionment"].fn(spark, SF).collect()
+    masses = {r["source"]: r["n_toks"] for r in rows}
+    from flights_data_pipeline_spark.queries.curation import MIX_BUDGET
+
+    expected = _hamilton(MIX_BUDGET, masses)
+    got = {r["source"]: r["alloc"] for r in rows}
+    assert got == expected
+    assert sum(got.values()) == MIX_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling: selection-count and certainty guarantees.
+# ---------------------------------------------------------------------------
+def test_systematic_sample_guarantees(spark):
+    from flights_data_pipeline_spark.queries.curation import SYS_SAMPLE_K
+
+    rows = REGISTRY["weighted_systematic_sample"].fn(spark, SF).collect()
+    # strata are disjoint and a doc crosses ≥1 of K boundaries → at
+    # most K selected, and exactly K whenever no doc spans 2+ strata
+    assert 0 < len(rows) <= SYS_SAMPLE_K
+    # the systematic guarantee: every document at least one full
+    # stratum long is selected with certainty
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    total = con.execute(
+        "SELECT SUM(len(regexp_split_to_array(trim(text), '\\s+')))"
+        " FROM documents"
+    ).fetchone()[0]
+    stratum = total / SYS_SAMPLE_K
+    picked = {r["doc_id"] for r in rows}
+    big = {r["doc_id"] for r in rows if r["n_toks"] >= stratum}
+    assert big <= picked
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: the one-sided-error guarantee on every probed token.
+# ---------------------------------------------------------------------------
+def test_countmin_never_undercounts(spark):
+    rows = REGISTRY["countmin_token_frequency"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["never_undercounts"] is True
+
+
+# ---------------------------------------------------------------------------
+# MMR: diversified picks are relevant-pool members, distinct, rank-keyed.
+# ---------------------------------------------------------------------------
+def test_mmr_selection_invariants(spark):
+    from flights_data_pipeline_spark.queries.similarity import MMR_K
+
+    rows = sorted(
+        REGISTRY["mmr_diverse_topk"].fn(spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, MMR_K + 1))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == MMR_K
+    # rank-1 is the pure-relevance argmax: no prior similarity term
+    assert rows[0]["max_sim_prior"] == 0
+    assert rows[0]["mmr_score"] == rows[0]["relevance"]
+    # every later score is relevance minus the pinned prior-max
+    for r in rows[1:]:
+        assert r["mmr_score"] == r["relevance"] - r["max_sim_prior"]
+
+
+# ---------------------------------------------------------------------------
+# Partitioned layout: the status filter must prune at PLANNING time.
+# ---------------------------------------------------------------------------
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flights_data_pipeline_spark.io.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    land = tempfile.mkdtemp(prefix="fdp_part_pin_") + "/orders"
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(land)
+    back = spark.read.parquet(land).filter(F.col("o_orderstatus") != "O")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must reach the scan as a PARTITION filter
+    # (directory-name pruning), not a data filter (inputFiles() lists
+    # pre-pruning, so the plan line is the observable)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_orderstatus" in pf.group(1)
+    # and the data/pushed-filter sides must NOT re-check the partition
+    # column — pruning happened at the directory level, not in data
+    for kind in ("DataFilters", "PushedFilters"):
+        m = re.search(kind + r": \[([^\]]*)\]", plan)
+        assert m is not None and "o_orderstatus" not in m.group(1)
