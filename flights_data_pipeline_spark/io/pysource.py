@@ -443,19 +443,34 @@ class ManifestParquetSink(DataSource):
         return ManifestParquetStreamReader(self.options)
 
 
-def read_manifest_parquet(spark, path: str):
+def read_manifest_parquet(spark, path: str, up_to_batch: int | None = None):
     """Read back ONLY the manifest-committed files of a sink directory
     (the sink's read contract — directory listings see staged garbage;
     the manifest never does). Batch manifests and per-micro-batch
-    manifests union transparently."""
+    manifests union transparently.
+
+    ``up_to_batch`` is streaming-sink TIME TRAVEL: include only
+    micro-batch manifests with batchId ≤ the bound (each committed
+    micro-batch is a retained generation, so any prefix of the stream
+    is reconstructable for audits/backfills — and stays valid because
+    ``vacuum_manifest_parquet`` deletes only UNreferenced files).
+    Batch-mode writes keep a single merged ``_manifest.json`` (always
+    included): batch append/overwrite intentionally retains no
+    generations — that is what makes overwrite's post-flip cleanup and
+    vacuum safe."""
     import glob as _glob
     import json
     import os
+    import re
 
     files: list[str] = []
     for mf in sorted(
         _glob.glob(os.path.join(path, "_manifest*.json"))
     ):
+        if up_to_batch is not None:
+            m = re.match(r"_manifest-(\d+)\.json$", os.path.basename(mf))
+            if m and int(m.group(1)) > up_to_batch:
+                continue
         with open(mf) as f:
             files.extend(os.path.join(path, fn) for fn in json.load(f)["files"])
     if not files:

@@ -163,6 +163,7 @@ def run_curation(
     *,
     retries: int = 0,
     on_failure: FailureCallback | None = None,
+    resume: bool = False,
 ) -> dict[str, int]:
     """Materialize every curation stage to ``{out_dir}/{stage}`` in
     dependency order and return the report as ``{stage: docs}``.
@@ -172,8 +173,18 @@ def run_curation(
     (or a replayed orchestrator task) converges to identical output —
     every stage is a deterministic function of the corpus, so the
     pipeline is idempotent end to end.
+
+    ``resume=True`` skips any stage whose output already committed
+    (parquet ``_SUCCESS`` marker present) — the restart-after-crash
+    mode: at 100 TB a failed decontamination pass must not re-run the
+    MinHash closure. A partially-written stage (no marker) re-runs;
+    overwrite semantics make that safe.
     """
+    import os
+
     for name in CURATION_ORDER:
+        if resume and os.path.exists(f"{out_dir}/{name}/_SUCCESS"):
+            continue
 
         def step(name: str = name) -> None:
             df = CURATION_STAGES[name](spark, sf_dir, out_dir)

@@ -515,3 +515,57 @@ def stream_stream_unconverted_clicks(
         "purchase_id",
         "purchase_ts",
     )
+
+
+def dedup_ingest_stream(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming corpus ingest with EXACT dedup against all history:
+    the micro-batch twin of ``incremental_exact_dedup``, and the shape
+    a 100 TB crawl ingest actually runs — documents arrive
+    continuously, and only first-seen content may land.
+
+    One store does double duty: the target parquet is keyed by
+    ``content_fp`` (md5 of whitespace-normalized text), so the
+    "fingerprints seen so far" set IS the output corpus — no separate
+    state table to keep consistent with it. Each micro-batch runs a
+    FIRST-WINS keyed merge (``merge_latest_parquet`` with the
+    ordering negated: the greatest ``-doc_id`` is the smallest
+    doc_id), which makes the sink
+
+    * dedup-correct: a fingerprint already in the store always beats a
+      re-ingested copy with a higher doc_id;
+    * replay-idempotent: ``foreachBatch`` delivers at-least-once, and
+      re-merging the same batch converges to the identical store;
+    * out-of-order-safe: a late batch carrying the true first copy
+      (lower doc_id) still wins its key.
+
+    At scale the merge shuffles on ``content_fp`` — the identical
+    exchange exact dedup pays anywhere — and the store would be a
+    bucketed/partitioned table so each batch merges against only its
+    key ranges. Returns the started ``StreamingQuery``.
+    """
+    fp = stream.withColumn(
+        "content_fp",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")),
+    ).withColumn("__first_wins", -F.col("doc_id"))
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        from ..operators.merge import merge_latest_parquet
+
+        merge_latest_parquet(
+            batch.sparkSession,
+            target_path,
+            batch,
+            keys=["content_fp"],
+            order_cols=["__first_wins"],
+        )
+
+    writer = fp.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -140,3 +140,25 @@ def test_retry_and_failure_hook(spark, tmp_path_factory, monkeypatch):
             on_failure=lambda step, exc: calls.append(step),
         )
     assert calls == ["curation:doc_flags"]
+
+
+def test_resume_skips_committed_stages(spark, curated, monkeypatch):
+    """resume=True must not re-execute stages whose output committed —
+    the restart-after-crash contract (a failed late stage never re-runs
+    the dedup closure)."""
+    out, report = curated
+    calls: list[str] = []
+    orig = dict(cp.CURATION_STAGES)
+
+    def tracking(name):
+        def fn(spark_, sf_dir_, work_):
+            calls.append(name)
+            return orig[name](spark_, sf_dir_, work_)
+
+        return fn
+
+    for name in cp.CURATION_ORDER:
+        monkeypatch.setitem(cp.CURATION_STAGES, name, tracking(name))
+    report2 = cp.run_curation(spark, SF_DIR, out, resume=True)
+    assert calls == []  # everything committed → nothing re-ran
+    assert report2 == report

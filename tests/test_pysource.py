@@ -456,3 +456,58 @@ def test_sink_abort_cleans_staged_files(tmp_path):
     w.abort(staged + [None])  # a failed task reports None
     assert all(not os.path.exists(m.staged) for m in staged)
     assert not os.path.exists(f"{out}/_manifest.json")
+
+
+def test_sink_time_travel_up_to_batch(spark, src, tmp_path):
+    """Streaming-sink time travel: reading with up_to_batch=k returns
+    exactly the union of micro-batch generations ≤ k — any prefix of
+    the stream is reconstructable, and the full read is the no-bound
+    special case."""
+    import glob
+    import json
+    import os
+    import re
+    import time
+
+    from flights_data_pipeline_spark.io.pysource import read_manifest_parquet
+
+    out = str(tmp_path / "sink_tt")
+    stream = (
+        spark.readStream.format("synthetic_events").options(**OPTS).load()
+    )
+    q = (
+        stream.writeStream.format("manifest_parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_tt"))
+        .start()
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        rows = sum(
+            json.load(open(mf))["rows"]
+            for mf in glob.glob(os.path.join(out, "_manifest-*.json"))
+        )
+        if rows >= N:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    manifests = sorted(glob.glob(os.path.join(out, "_manifest-*.json")))
+    assert len(manifests) >= 2
+    ids = [
+        int(re.match(r"_manifest-(\d+)\.json", os.path.basename(m)).group(1))
+        for m in manifests
+    ]
+    cut = ids[0]
+    expected_rows = sum(
+        json.load(open(m))["rows"]
+        for m, i in zip(manifests, ids)
+        if i <= cut
+    )
+    prefix = read_manifest_parquet(spark, out, up_to_batch=cut)
+    assert prefix.count() == expected_rows
+    full = read_manifest_parquet(spark, out)
+    assert full.count() == N
+    # the prefix is a SUBSET of the full view (generations only append)
+    assert prefix.count() < full.count()
