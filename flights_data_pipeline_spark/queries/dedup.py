@@ -901,3 +901,103 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_within"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy match → cluster closure → golden record.
+# ---------------------------------------------------------------------------
+_ER_PAIRS_SQL = """
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             split_part(p_name, ' ', 2) AS block_key
+      FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b
+    FROM names a JOIN names b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query(
+    "entity_golden_record",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_ER_PAIRS_SQL}),
+    edges AS (
+      SELECT name_a AS u, name_b AS v FROM pairs
+      UNION
+      SELECT name_b AS u, name_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION
+      SELECT e.v AS node, r.lbl
+      FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (
+      SELECT node AS p_name, MIN(lbl) AS golden_name
+      FROM reach GROUP BY node
+    ),
+    surv AS (
+      SELECT c.golden_name,
+             CAST(COUNT(DISTINCT c.p_name) AS BIGINT) AS n_variants,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS DOUBLE) AS total_retail
+      FROM comp c JOIN part p ON p.p_name = c.p_name
+      GROUP BY c.golden_name
+    )
+    SELECT c.p_name, c.golden_name,
+           c.p_name = c.golden_name AS is_golden,
+           s.n_variants, s.n_parts, s.total_retail
+    FROM comp c JOIN surv s ON s.golden_name = c.golden_name
+    """,
+)
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity-resolution pass — the MDM pipeline every warehouse
+    eventually needs: blocked fuzzy matching (edit distance ≤ 3 within
+    the name's noun block, `fuzzy_name_match`'s kernel) → cluster
+    closure (connected components — here over STRING node ids, which
+    exercises the operator's changed-row convergence probe instead of
+    the integer sum-potential) → one golden record per cluster (the
+    lexicographically-smallest name) with survivorship aggregates
+    rolled up across ALL the cluster's variants (variant count, part
+    rows, total retail value).
+
+    The composition contract mirrors ``dedup_keep_list``: matching and
+    closure are each verified alone; this query pins that verdicts,
+    cluster labels, and the survivorship join compose. Plan: the
+    quadratic kernel stays distinct-then-blocked; the closure is
+    O(diameter) linear shuffles on the (tiny) matched-name graph; the
+    survivorship join re-touches the part table once, keyed on name.
+    """
+    from ..operators.graph import connected_components
+
+    p = t(spark, sf_dir, "part")
+    pairs = fuzzy_name_match(spark, sf_dir).select("name_a", "name_b")
+    comp = connected_components(pairs, "name_a", "name_b").select(
+        F.col("node").alias("p_name"), F.col("component").alias("golden_name")
+    )
+    surv = (
+        comp.join(p, "p_name")
+        .groupBy("golden_name")
+        .agg(
+            F.countDistinct("p_name").cast("bigint").alias("n_variants"),
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_retail"),
+        )
+    )
+    return (
+        comp.join(surv, "golden_name")
+        .select(
+            "p_name",
+            "golden_name",
+            (F.col("p_name") == F.col("golden_name")).alias("is_golden"),
+            "n_variants",
+            "n_parts",
+            "total_retail",
+        )
+    )
