@@ -924,3 +924,145 @@ def countmin_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: mergeable distinct sets WITH intersection.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+
+@query(
+    "kmv_jaccard_matrix",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hv FROM du),
+    sk AS (
+      SELECT event_type,
+             list_sort(list(hv))[1:{_KMV_K}] AS kmv,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM h GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.kmv AS ka, b.kmv AS kb, a.n_exact AS n_a, b.n_exact AS n_b
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    est AS (
+      SELECT type_a, type_b, n_a, n_b,
+             list_sort(list_distinct(ka || kb))[1:{_KMV_K}] AS u,
+             ka, kb
+      FROM pairs
+    ),
+    ej AS (
+      SELECT type_a, type_b, n_a, n_b,
+             CAST(len(list_intersect(list_intersect(u, ka), kb)) AS BIGINT)
+               AS k_both,
+             CAST(len(u) AS BIGINT) AS k_union
+      FROM est
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b, e.n_a, e.n_b,
+           e.k_both, e.k_union,
+           CAST(e.k_both AS DOUBLE) / CAST(e.k_union AS DOUBLE)
+             AS est_jaccard,
+           CAST(x.n_common AS DOUBLE)
+             / CAST(e.n_a + e.n_b - x.n_common AS DOUBLE) AS exact_jaccard
+    FROM ej e JOIN exact x
+      ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """,
+)
+def kmv_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from {_KMV_K}-
+    minimum-values sketches, beside the exact answer: KMV is the
+    mergeable distinct sketch that — unlike HLL — supports set
+    INTERSECTION, because the k smallest hashes of a union are
+    computable from the parts' sketches and the matching-fraction
+    among them estimates Jaccard. The audience-overlap /
+    cross-segment-reach primitive, per slice, rolled up without ever
+    re-touching raw data.
+
+    Everything is oracle-EXACT, not approximately compared: hashes are
+    md5 hex (order-isomorphic strings in both engines), the sketch is
+    a deterministic sorted prefix, the union/intersection algebra is
+    exact array arithmetic, and the two floats are single IEEE
+    divisions of exact integers. So the gate pins the sketch CONTENTS
+    and both estimators bit-for-bit; the est-vs-exact gap in the row
+    is the sketch's real accuracy, honestly measured.
+
+    Scale: per-slice sketches are one groupBy over distinct
+    (slice, member) pairs with a bounded collect_set; the pair matrix
+    joins k-row sketch tables (slices², never members²). The exact
+    twin — computed here for calibration — is the thing you STOP
+    running at 100 TB.
+    """
+    ev = t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hv")
+    )
+    sk = h.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_set("hv")), 1, _KMV_K).alias("kmv"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("kmv").alias("ka"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("kmv").alias("kb"),
+        F.col("n_exact").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, _KMV_K
+    )
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.size(
+            F.array_intersect(F.array_intersect(u, F.col("ka")), F.col("kb"))
+        )
+        .cast("bigint")
+        .alias("k_both"),
+        F.size(u).cast("bigint").alias("k_union"),
+    )
+    da = du.select(F.col("event_type").alias("type_a"), "user_id")
+    db = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        da.join(db, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "k_both",
+            "k_union",
+            (F.col("k_both").cast("double") / F.col("k_union").cast("double"))
+            .alias("est_jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -121,3 +121,39 @@ def test_retraction_without_insert_raises_on_compact(spark, tmp_path):
     ij.apply(retract_a=ghost)
     with pytest.raises(ValueError, match="net-negative"):
         ij.compact()
+
+
+def test_additive_rollup_accepts_retractions(spark, tmp_path):
+    """Aggregate IVM handles deletes the same way the join does:
+    a NEGATED increment retracts a prior contribution, and the rollup
+    equals a recompute over the surviving raw rows."""
+    from flights_data_pipeline_spark.operators.merge import (
+        merge_additive_parquet,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderkey", F.lit(1).cast("bigint").alias("n")
+    )
+    day1 = o.filter("o_orderkey % 2 = 0")
+    day2 = o.filter("o_orderkey % 2 = 1")
+    undo = day1.filter("o_orderkey % 10 = 0")  # late-arriving deletes
+
+    path = str(tmp_path / "rollup")
+    inc = lambda df: df.groupBy("o_custkey").agg(  # noqa: E731
+        F.sum("n").cast("bigint").alias("n")
+    )
+    merge_additive_parquet(spark, path, inc(day1), ["o_custkey"], ["n"])
+    merge_additive_parquet(spark, path, inc(day2), ["o_custkey"], ["n"])
+    neg = inc(undo).withColumn("n", -F.col("n"))
+    merge_additive_parquet(spark, path, neg, ["o_custkey"], ["n"])
+
+    surviving = o.exceptAll(undo)
+    want = {
+        (r["o_custkey"]): r["n"]
+        for r in inc(surviving).collect()
+    }
+    got = {
+        (r["o_custkey"]): r["n"]
+        for r in spark.read.parquet(path).filter("n != 0").collect()
+    }
+    assert got == want
