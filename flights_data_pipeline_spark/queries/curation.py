@@ -29,6 +29,7 @@ gate, deterministic ordering via hashed keys (never ``rand()``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1335,4 +1336,61 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_alloc",
         extra.cast("bigint").alias("extra"),
         (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality (zlib) — the low-information-content gate.
+# ---------------------------------------------------------------------------
+@query("compression_ratio_quality")  # rows-only: no zlib in the oracle engine
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the CCNet/RedPajama-style
+    low-information gate: machine-generated boilerplate and repeated
+    spans compress far below natural prose, so a low
+    compressed/uncompressed ratio flags junk that token-level
+    heuristics (``repetition_quality``) miss, and an abnormally HIGH
+    ratio flags random noise.
+
+    Rows-only gate entry (DuckDB has no zlib), with the compensating
+    pin in ``tests/test_new_ops_invariants.py``: the whole sf0.001
+    corpus is re-compressed with CPython's zlib directly and compared
+    byte-count-for-byte-count — zlib level 6 is deterministic for a
+    given input, so the pin is exact, not statistical.
+
+    Engine posture: this is the LEGITIMATE Python-UDF case — a
+    C-library computation with no JVM expression equivalent — done the
+    fast way: Arrow-batched Series→Series pandas_udf (one zlib call
+    per row on batched data, no per-row Python round trip), integer
+    outputs plus one IEEE division. At 100 TB it runs embarrassingly
+    parallel in the scan projection, no shuffle.
+    """
+    # NOTE the module-global import: with postponed annotations the
+    # pandas_udf type-hint strings must resolve in MODULE globals
+    # (hard-won rule 16) — a function-local `import pandas` makes the
+    # signature uninferable
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _compressed_bytes(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda s: len(zlib.compress(s.encode("utf-8"), 6))
+            if s is not None
+            else None
+        )
+
+    d = t(spark, sf_dir, "documents")
+    n_bytes = F.octet_length("text").cast("bigint")
+    out = d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        _compressed_bytes(F.col("text")).alias("n_compressed"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        (F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"))
+        .alias("ratio"),
     )

@@ -154,3 +154,54 @@ def test_partitioned_roundtrip_prunes_partitions(spark):
     for kind in ("DataFilters", "PushedFilters"):
         m = re.search(kind + r": \[([^\]]*)\]", plan)
         assert m is not None and "o_orderstatus" not in m.group(1)
+
+
+# ---------------------------------------------------------------------------
+# zlib compression ratio: bit-pin vs direct CPython zlib (rows-only query).
+# ---------------------------------------------------------------------------
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    rows = REGISTRY["compression_ratio_quality"].fn(spark, SF).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    assert len(rows) == len(texts)
+    for r in rows:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        want = len(zlib.compress(raw, 6))
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed"] == want, r["doc_id"]
+        assert r["ratio"] == want / len(raw)
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-file tolerance: the ingest posture for a dirty landing zone.
+# ---------------------------------------------------------------------------
+def test_corrupt_parquet_tolerance(spark, tmp_path):
+    """A garbage file in the landing directory fails the strict read
+    (data loss must be LOUD by default) and is skipped — with the good
+    files' rows intact — under ignoreCorruptFiles (the explicit
+    opt-in a 100 TB backfill over a flaky landing zone runs with)."""
+    import pytest as _pytest
+
+    from flights_data_pipeline_spark.io.catalog import load_table
+
+    d = str(tmp_path / "land")
+    o = load_table(spark, SF, "orders")
+    o.coalesce(2).write.mode("overwrite").parquet(d)
+    with open(f"{d}/part-corrupt.parquet", "wb") as f:
+        f.write(b"this is not a parquet file at all")
+
+    with _pytest.raises(Exception, match="[Cc]orrupt|[Pp]arquet|footer"):
+        spark.read.parquet(d).count()
+
+    n = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(d).count()
+    )
+    assert n == o.count()
