@@ -424,3 +424,115 @@ def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
             )
 
     return planned.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: near-dup detection for media payloads.
+# ---------------------------------------------------------------------------
+def ahash_stub(payload: bytes, grid: int = 8) -> int | None:
+    """Average-hash (aHash) over the stubbed "pixel" view of a payload:
+    resample the bytes into ``grid²`` cells (mean of each byte slice),
+    set bit i iff cell i ≥ the overall cell mean, pack LSB-first.
+
+    This is the REAL aHash algorithm applied to fake pixels: unlike a
+    cryptographic digest, it has byte-space LOCALITY — flipping a few
+    payload bytes moves a few cells a little, so near-identical
+    payloads land at small Hamming distance while sha256 scatters them.
+    That locality is what the near-dup join below exploits, and what a
+    codec-enabled deployment gets for free by swapping the cell source
+    for real luminance pixels (``decode_image_real``).
+    """
+    if payload is None:
+        return None
+    n = grid * grid
+    if len(payload) == 0:
+        return 0
+    cells = []
+    for i in range(n):
+        lo = i * len(payload) // n
+        hi = max((i + 1) * len(payload) // n, lo + 1)
+        chunk = payload[lo:hi] if lo < len(payload) else payload[-1:]
+        cells.append(sum(chunk) / len(chunk))
+    mean = sum(cells) / n
+    bits = 0
+    for i, c in enumerate(cells):
+        if c >= mean:
+            bits |= 1 << i
+    # two's-complement into signed int64 (Spark LongType)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def perceptual_hash_media(df: DataFrame, grid: int = 8) -> DataFrame:
+    """(media_id, ahash) via Arrow-batched ``mapInPandas`` — the same
+    bounded-batch posture as the feature extractor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pdf["payload"].map(
+                        lambda b: ahash_stub(b, grid)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, "media_id BIGINT, ahash BIGINT")
+
+
+def near_dup_media(
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup media pairs from 64-bit perceptual hashes: band the
+    hash into ``n_bands`` disjoint 16-bit keys, equi-join on any
+    matching band (pigeonhole: any pair within Hamming distance
+    ``n_bands − 1`` SHARES an untouched band — guaranteed recall ≤ 3
+    for 4 bands; larger radii are probabilistic), then verify the
+    exact Hamming distance with a popcount of the XOR — all JVM-side
+    bit arithmetic, the same band-then-verify plan as
+    ``simhash_band_pairs``. Output: (id_a < id_b, hamming ≤ bound).
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright("ahash", j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "ahash", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

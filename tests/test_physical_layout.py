@@ -576,3 +576,80 @@ def test_schema_evolution_merge_on_read(spark, tmp_path_factory):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "quality_score" in pushed[0], plan
     assert q.count() == 10
+
+
+def test_cbo_column_stats_enable_broadcast_after_filter(spark):
+    """Cost-based optimization uses ANALYZE'd COLUMN statistics to see
+    through a selective dimension filter: the dim's on-disk size is
+    above the broadcast threshold, but its post-filter cardinality
+    estimate (from cat's NDV) is far below it — so with CBO on the
+    planner picks BroadcastHashJoin where rule-based sizing falls back
+    to SortMergeJoin. At 100 TB this is THE star-join planning lever:
+    filtered dims broadcast only if the optimizer can estimate the
+    filter, and it can only estimate it from collected stats.
+
+    AQE is disabled here to isolate STATIC planning (AQE could rescue
+    the join at runtime from observed shuffle sizes; the point of CBO
+    stats is to get the right plan before running anything)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    # an in-memory catalog forgets managed tables between sessions but
+    # their warehouse directories persist — clear any leftovers so
+    # saveAsTable doesn't refuse the location
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("cbo_fact", "cbo_dim"):
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    spark.range(0, 500_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100_000).alias("d")
+    ).write.mode("overwrite").saveAsTable("cbo_fact")
+    spark.range(0, 100_000).select(
+        F.col("id").alias("d"),
+        (F.col("id") % 10).alias("cat"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    ).write.mode("overwrite").saveAsTable("cbo_dim")
+    spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    q = (
+        "SELECT f.k, d.pad FROM cbo_fact f "
+        "JOIN cbo_dim d ON f.d = d.d WHERE d.cat = 0"
+    )
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        plan_off = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # stats reached the optimizer: exact rowCount (only surfaced
+        # in plan stats once CBO is on), not a size guess
+        st = (
+            spark.table("cbo_dim")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert "100000" in st.rowCount().toString()
+        plan_on = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_fact")
+        spark.sql("DROP TABLE IF EXISTS cbo_dim")
+
+    assert "SortMergeJoin" in plan_off and "BroadcastHashJoin" not in plan_off
+    assert "BroadcastHashJoin" in plan_on
