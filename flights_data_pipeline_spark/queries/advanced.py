@@ -250,3 +250,163 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * HEAVY_K > F.lit(n))
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group WITH ties (RANK, not ROW_NUMBER).
+# ---------------------------------------------------------------------------
+@query(
+    "rank_with_ties_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+               AS rk
+      FROM orders
+    ) WHERE rk <= 2
+    """,
+)
+def rank_with_ties_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer KEEPING ties — ``RANK``, not
+    ``ROW_NUMBER``: when two orders tie on price, both belong in a
+    "top spenders" report, and a row_number cutoff would silently drop
+    one on an arbitrary tiebreak. The flip side — output size is no
+    longer bounded by 2·|groups| — is exactly the semantic difference
+    this query pins (the gate fails if either engine resolves ties).
+
+    Ordering is on the DECIMAL price (exact comparison; module float
+    discipline), surfaced as DOUBLE. Plan: same WindowGroupLimit
+    push-down as the row_number top-k (`domain_quota_sample`) — rank
+    cutoffs prune below the shuffle too.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.rank().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+# ---------------------------------------------------------------------------
+@query(
+    "null_safe_join_counts",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN value < 1.0 THEN NULL
+                  ELSE CAST(floor(value / 20.0) AS BIGINT) END AS vbucket,
+             event_type
+      FROM events
+    ),
+    a AS (
+      SELECT vbucket, CAST(COUNT(*) AS BIGINT) AS n_click
+      FROM keyed WHERE event_type = 'click' GROUP BY vbucket
+    ),
+    b AS (
+      SELECT vbucket, CAST(COUNT(*) AS BIGINT) AS n_view
+      FROM keyed WHERE event_type = 'view' GROUP BY vbucket
+    )
+    SELECT a.vbucket, a.n_click, b.n_view
+    FROM a JOIN b ON a.vbucket IS NOT DISTINCT FROM b.vbucket
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ⇔ ``IS NOT DISTINCT FROM``): the
+    NULL bucket — here "value below threshold", in practice "unknown
+    segment / unparsed key" — MATCHES ITSELF instead of silently
+    dropping out of the report, the way a plain ``=`` join loses every
+    NULL row of both sides. Reconciliation jobs between two rollups of
+    the same dirty key are the canonical use; losing the NULL cell is
+    the classic silent-undercount bug this pins.
+
+    Plan note: Spark plans `<=>` as a HASH join key (NULL hashes like
+    a value under null-safe semantics) — no nested-loop penalty; both
+    sides here are pre-aggregated bucket tables, so the join is
+    k-row × k-row.
+    """
+    ev = t(spark, sf_dir, "events")
+    vbucket = F.when(
+        F.col("value") < 1.0, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(F.col("value") / 20.0).cast("bigint"))
+    keyed = ev.select(vbucket.alias("vbucket"), "event_type")
+    a = (
+        keyed.filter(F.col("event_type") == "click")
+        .groupBy("vbucket")
+        .agg(F.count("*").cast("bigint").alias("n_click"))
+    )
+    b = (
+        keyed.filter(F.col("event_type") == "view")
+        .groupBy("vbucket")
+        .agg(F.count("*").cast("bigint").alias("n_view"))
+        .withColumnRenamed("vbucket", "vb_b")
+    )
+    return (
+        a.join(b, F.col("vbucket").eqNullSafe(F.col("vb_b")))
+        .select("vbucket", "n_click", "n_view")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-interval functions: month-end billing cycles.
+# ---------------------------------------------------------------------------
+@query(
+    "month_end_billing",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(last_day(o_orderdate) AS DATE) AS cycle_end,
+             CAST(last_day(o_orderdate + INTERVAL 1 MONTH) AS DATE)
+               AS next_cycle_end,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(last_day(o_orderdate) AS DATE)) AS INT)
+               AS days_to_cycle_end
+      FROM orders
+    )
+    SELECT cycle_end,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days_to_cycle_end) AS INT) AS min_days_left,
+           CAST(MAX(days_to_cycle_end) AS INT) AS max_days_left,
+           MIN(next_cycle_end) AS next_cycle_end
+    FROM c GROUP BY cycle_end
+    """,
+)
+def month_end_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end billing-cycle rollup — the calendar-interval function
+    family (`last_day`, `add_months`, day diffs to a cycle boundary)
+    that every invoicing/closing job leans on, pinned cross-engine:
+    month arithmetic is where engines disagree most (adding a month to
+    Jan 31, leap Februaries — `add_months` clamps to month-end in both
+    engines, which the oracle's `+ INTERVAL 1 MONTH` matches for the
+    last_day inputs used here).
+
+    Plan: pure narrow date arithmetic in the scan projection + one
+    groupBy on the derived cycle key — at 100 TB the cycle_end column
+    is what the table would be partitioned by.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("cycle_end"),
+        F.last_day(F.add_months("o_orderdate", 1)).alias("next_cycle_end"),
+        F.datediff(F.last_day("o_orderdate"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days_to_cycle_end"),
+    )
+    return c.groupBy("cycle_end").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("days_to_cycle_end").cast("int").alias("min_days_left"),
+        F.max("days_to_cycle_end").cast("int").alias("max_days_left"),
+        F.min("next_cycle_end").alias("next_cycle_end"),
+    )

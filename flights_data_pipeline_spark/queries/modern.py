@@ -312,3 +312,39 @@ def sql_udf_discounted_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL (modern aggregate shorthand, identical in both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "group_by_all_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the modern-SQL shorthand (Spark 3.4+/DuckDB)
+    that infers the grouping keys from the non-aggregate SELECT items.
+    Worth a pin because the INFERENCE is the contract: both engines
+    must classify exactly the same expressions as keys (a divergence
+    would change the output grouping silently). The Spark side runs
+    the literal SQL through ``spark.sql`` over a registered view — the
+    engine's ad-hoc SQL surface, same as the CLI ``sql`` subcommand.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ALL
+        """
+    )
