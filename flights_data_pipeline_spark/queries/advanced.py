@@ -410,3 +410,211 @@ def month_end_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("days_to_cycle_end").cast("int").alias("max_days_left"),
         F.min("next_cycle_end").alias("next_cycle_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust dispersion: median absolute deviation (nested exact medians).
+# ---------------------------------------------------------------------------
+@query(
+    "mad_robust_dispersion",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY price, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM p
+    ),
+    med AS (
+      SELECT grp, price AS m FROM r1 WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT p.grp, p.o_orderkey, abs(p.price - med.m) AS dev, med.m
+      FROM p JOIN med ON p.grp = med.grp
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY dev, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM d
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(m AS DOUBLE) AS median_price,
+           CAST(dev AS DOUBLE) AS mad
+    FROM r2 WHERE rn = (n + 1) // 2
+    """,
+)
+def mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per priority class — the robust
+    dispersion measure anomaly baselines use where stddev is poisoned
+    by the very outliers being hunted (one whale order inflates σ and
+    hides every other anomaly; MAD doesn't move).
+
+    Exactness: both medians are DISCRETE order statistics defined by
+    row_number over (value, orderkey) — the module's portable
+    percentile (built-in median/quantile interpolate differently
+    across engines) — and the deviations are DECIMAL subtractions, so
+    the nested median is exact end-to-end with floats only at the
+    output surface. Plan: two windows + one join, all partitioned on
+    the group key; nothing global.
+    """
+    o = t(spark, sf_dir, "orders")
+    p = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w1 = W.partitionBy("grp").orderBy("price", "o_orderkey")
+    r1 = p.select(
+        "grp",
+        "o_orderkey",
+        "price",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(W.partitionBy("grp")).alias("n"),
+    )
+    med = r1.filter(
+        F.col("rn") == F.expr("(n + 1) DIV 2")
+    ).select("grp", F.col("price").alias("m"))
+    d = p.join(med, "grp").select(
+        "grp",
+        "o_orderkey",
+        F.abs(F.col("price") - F.col("m")).alias("dev"),
+        "m",
+    )
+    w2 = W.partitionBy("grp").orderBy("dev", "o_orderkey")
+    r2 = d.select(
+        "grp",
+        "dev",
+        "m",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(W.partitionBy("grp")).alias("n"),
+    )
+    return r2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "grp",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("m").cast("double").alias("median_price"),
+        F.col("dev").cast("double").alias("mad"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates: flag rollups.
+# ---------------------------------------------------------------------------
+@query(
+    "event_flag_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CASE event_type
+               WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+               WHEN 'purchase' THEN 8 WHEN 'error' THEN 16 ELSE 0
+             END AS flag
+      FROM events
+    )
+    SELECT user_id,
+           CAST(bit_or(flag) AS BIGINT) AS flags_any,
+           CAST(bit_and(flag) AS BIGINT) AS flags_every,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM f GROUP BY user_id
+    """,
+)
+def event_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior flags via BITWISE aggregates: each event type
+    is one bit; ``bit_or`` over a user's events is their lifetime
+    capability mask ("has ever purchased" = bit 3), ``bit_and`` the
+    invariant mask. One bigint per user replaces five boolean columns
+    — and, like every mask, rolls up further by OR/AND without
+    touching raw events again (mergeable, the sketch-family property).
+
+    bit_or/bit_and are order-free integer lattice operations — exact
+    in any engine, fully map-side combinable. Funnel membership
+    queries become bitmask tests on the rollup
+    (``flags_any & 10 = 10`` = clicked AND purchased).
+    """
+    ev = t(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(0)
+    )
+    return (
+        ev.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("flag").cast("bigint").alias("flags_any"),
+            F.bit_and("flag").cast("bigint").alias("flags_every"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN vs NOT EXISTS under NULLs (the three-valued-logic trap).
+# ---------------------------------------------------------------------------
+@query(
+    "not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN value < 1.0 THEN NULL
+                  ELSE CAST(floor(value) AS BIGINT) END AS v
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT v FROM probe)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.v = c.c_custkey)) AS BIGINT)
+        AS n_not_exists,
+      CAST((SELECT COUNT(*) FROM probe WHERE v IS NULL) AS BIGINT)
+        AS n_null_probes
+    """,
+)
+def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-valued-logic footgun, pinned as a row: ``NOT IN``
+    against a subquery containing even ONE NULL returns ZERO rows
+    (every comparison is UNKNOWN, never true), while the intended
+    query — ``NOT EXISTS`` / an anti join — returns the real
+    complement. Both engines implement standard SQL here; the gate
+    pins that the engine's null-aware anti join preserves the
+    standard's (surprising) semantics rather than "fixing" them, plus
+    the witness count of NULL probes that springs the trap.
+
+    Plan note: Spark compiles the ``NOT IN`` form to a null-aware
+    anti join (BroadcastNestedLoopJoin when the probe side is small);
+    ``NOT EXISTS`` compiles to a plain left-anti hash join — same
+    answer only when the probe side is NULL-free, which is exactly
+    what this row documents.
+    """
+    ev = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    ev.createOrReplaceTempView("events_v")
+    c.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN value < 1.0 THEN NULL
+                      ELSE CAST(floor(value) AS BIGINT) END AS v
+          FROM events_v WHERE event_type = 'error'
+        )
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer_v
+                WHERE c_custkey NOT IN (SELECT v FROM probe)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT COUNT(*) FROM customer_v c
+                WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                  WHERE p.v = c.c_custkey)) AS BIGINT)
+            AS n_not_exists,
+          CAST((SELECT COUNT(*) FROM probe WHERE v IS NULL) AS BIGINT)
+            AS n_null_probes
+        """
+    )
