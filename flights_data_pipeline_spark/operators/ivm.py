@@ -73,6 +73,14 @@ class IncrementalJoin:
         appended. The three delta terms are evaluated against the OLD
         stored sides (A ⋈ ΔB uses pre-append A — the ΔA ⋈ ΔB term then
         covers the cross product exactly once)."""
+        # Pin the deltas: each is read by up to 3 join terms plus the
+        # state append. A non-deterministic source (live directory
+        # scan, sampled input) re-evaluated per use could leave J
+        # inconsistent with the stored A/B — materialize once.
+        if delta_a is not None:
+            delta_a = delta_a.localCheckpoint(eager=True)
+        if delta_b is not None:
+            delta_b = delta_b.localCheckpoint(eager=True)
         terms: list[DataFrame] = []
         a_old, b_old = self._a(), self._b()
         if delta_a is not None:
@@ -134,10 +142,19 @@ class IncrementalJoinRetract:
 
     @staticmethod
     def _signed(df: DataFrame, mult: int) -> DataFrame:
+        """Sign an input changeset. An unsigned input gets ``__mult =
+        mult``. A pre-signed input (e.g. rows read back from the
+        maintained state, carrying ``+1``) keeps its magnitude but is
+        re-signed by ``mult``: a retract of a ``+k`` row must enter the
+        delta as ``-k``, never as an insert."""
         from pyspark.sql import functions as F
 
         if "__mult" in df.columns:
-            return df
+            if mult == 1:
+                return df.withColumn("__mult", F.col("__mult").cast("bigint"))
+            return df.withColumn(
+                "__mult", (F.col("__mult") * F.lit(mult)).cast("bigint")
+            )
         return df.withColumn("__mult", F.lit(mult).cast("bigint"))
 
     def _read_rel(self, name: str) -> DataFrame:
@@ -201,6 +218,12 @@ class IncrementalJoinRetract:
             db = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         if da is None and db is None:
             return
+        # Same consistency pin as IncrementalJoin.apply: each signed
+        # delta feeds up to 3 join terms plus its state append.
+        if da is not None:
+            da = da.localCheckpoint(eager=True)
+        if db is not None:
+            db = db.localCheckpoint(eager=True)
 
         a_old, b_old = self._read_rel("A"), self._read_rel("B")
         terms = []

@@ -109,7 +109,34 @@ def test_retraction_ivm_matches_full_recompute(spark, tmp_path):
     assert got == want
 
 
-def test_retraction_without_insert_raises_on_compact(spark, tmp_path):
+def test_retract_rows_read_back_from_state(spark, tmp_path):
+    """Retract inputs that ALREADY carry ``__mult`` (the natural shape:
+    rows read back from the maintained state, signed +1) must enter the
+    delta negated — treating them as inserts would double the row and
+    silently corrupt the view (compact() can't catch it because the
+    multiplicities stay positive)."""
+    from flights_data_pipeline_spark.operators.ivm import (
+        IncrementalJoinRetract,
+    )
+
+    c, o = _sides(spark)
+    ij = IncrementalJoinRetract(spark, str(tmp_path / "rivm3"), on=["c_custkey"])
+    ij.initialize(c, o)
+    key = ij.read().select("c_custkey").first()["c_custkey"]
+    before_total = ij.read().count()
+    victims = before_total - ij.read().filter(F.col("c_custkey") == key).count()
+
+    # read the live customer row back from state — it carries __mult=+1
+    live = ij._read_rel("A").filter(F.col("c_custkey") == key)
+    assert "__mult" in live.columns
+    ij.apply(retract_a=live)
+    ij.compact()
+
+    after = ij.read()
+    assert after.filter(F.col("c_custkey") == key).count() == 0
+    assert after.count() == victims
+    # and every surviving multiplicity is the original +1, not doubled
+    assert after.filter("__mult != 1").count() == 0
     from flights_data_pipeline_spark.operators.ivm import (
         IncrementalJoinRetract,
     )

@@ -250,7 +250,8 @@ def test_ahash_locality_and_near_dup_join(spark):
     }
     assert (0, planted_id) in pairs
     assert pairs[(0, planted_id)] == ham(hv[0], hv[planted_id])
-    # no unrelated pair sneaks under the verification bound
-    assert all({a, b} & {0, planted_id} for (a, b) in pairs) or True
+    # every emitted pair actually satisfies the verification bound,
+    # with the reported hamming recomputed from the hashes directly
     for (a, b), h in pairs.items():
+        assert h == ham(hv[a], hv[b])
         assert h <= 6

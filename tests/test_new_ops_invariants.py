@@ -85,13 +85,18 @@ def test_systematic_sample_guarantees(spark):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
     )
-    total = con.execute(
-        "SELECT SUM(len(regexp_split_to_array(trim(text), '\\s+')))"
-        " FROM documents"
-    ).fetchone()[0]
+    all_toks = dict(
+        con.execute(
+            "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))"
+            " FROM documents"
+        ).fetchall()
+    )
+    total = sum(all_toks.values())
     stratum = total / SYS_SAMPLE_K
     picked = {r["doc_id"] for r in rows}
-    big = {r["doc_id"] for r in rows if r["n_toks"] >= stratum}
+    # certainty guarantee over the WHOLE corpus, not just selected rows:
+    # any document spanning a full stratum must appear in the sample
+    big = {d for d, n in all_toks.items() if n >= stratum}
     assert big <= picked
 
 
