@@ -1001,3 +1001,141 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_retail",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity self-join (PPJoin-style).
+# ---------------------------------------------------------------------------
+#: Jaccard threshold as an exact rational 3/5 — every gate below is
+#: restated in INTEGER arithmetic (ceil(3n/5) = (3n+4) DIV 5,
+#: J >= 3/5  <=>  8*i >= 3*(na+nb)), so both engines agree bit-for-bit
+#: and no double ever decides membership.
+SETSIM_TAU_NUM = 3
+SETSIM_TAU_DEN = 5
+
+
+@query(
+    "setsim_prefix_join",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, shingles AS toks FROM ({_DUCK_SHINGLES})
+    ),
+    sz AS (SELECT doc_id, len(toks) AS n FROM d),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    df AS (SELECT tok, COUNT(*) AS df FROM e GROUP BY tok),
+    ranked AS (
+      SELECT e.doc_id, e.tok,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                ORDER BY df.df, e.tok) AS r
+      FROM e JOIN df USING (tok)
+    ),
+    pref AS (
+      SELECT ranked.doc_id, tok
+      FROM ranked JOIN sz USING (doc_id)
+      WHERE r <= n - ((3 * n + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.a_id, c.b_id,
+             len(list_intersect(da.toks, db.toks)) AS i,
+             sa.n AS na, sb.n AS nb
+      FROM cand c
+      JOIN d da ON c.a_id = da.doc_id
+      JOIN d db ON c.b_id = db.doc_id
+      JOIN sz sa ON c.a_id = sa.doc_id
+      JOIN sz sb ON c.b_id = sb.doc_id
+    )
+    SELECT a_id, b_id, CAST(i AS BIGINT) AS n_common,
+           i / (na + nb - i) AS jaccard
+    FROM ver
+    WHERE 8 * i >= 3 * (na + nb)
+    """,
+)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (shingle-set Jaccard >= 3/5) via
+    PPJoin-style prefix filtering — the deterministic complement to the
+    probabilistic MinHash+LSH path (``minhash_lsh_candidates``): zero
+    false negatives by construction, no banding recall curve to tune.
+    The element domain is the same 3-token shingles the MinHash path
+    uses (single tokens are non-discriminative: on a bounded-vocabulary
+    corpus every doc pair shares most of the vocabulary).
+
+    The classic prefix-filter argument (Chaudhuri et al. SSJoin /
+    Xiao et al. PPJoin, both public): sort every document's distinct
+    shingles by a GLOBAL frequency order (rarest first; ties on the
+    shingle string) and keep only the first ``p = n - ceil(tau*n) + 1``.
+    Any pair with Jaccard >= tau must share >= ceil(tau*n) elements of
+    either side, so it MUST collide on at least one prefix element —
+    candidate generation is an equi-join on prefix shingles, and
+    prefixes are dominated by rare shingles, so join groups stay tiny.
+    Verification is one exact ``array_intersect`` per candidate.
+
+    Scale posture: one shuffle for the token DF table, one window per
+    doc (partitioned by doc_id), a rare-token equi-join, and a doc-level
+    verify join — every stage is key-partitioned; nothing is quadratic
+    in the corpus, only in candidates that share rare tokens. The
+    integer restatement of both gates (see SETSIM_TAU_*) keeps the
+    result hash-identical to the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("toks")
+    )
+    sz = d.select("doc_id", F.size("toks").cast("bigint").alias("n"))
+    e = d.select("doc_id", F.explode("toks").alias("tok"))
+    df_t = e.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = e.join(df_t, "tok").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    pref = (
+        ranked.join(sz, "doc_id")
+        .filter(
+            F.col("r") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1
+        )
+        .select("doc_id", "tok")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
+    db = d.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
+    sa = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    ver = (
+        cand.join(da, "a_id")
+        .join(db, "b_id")
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint"),
+        )
+    )
+    return ver.filter(
+        8 * F.col("n_common") >= 3 * (F.col("na") + F.col("nb"))
+    ).select(
+        "a_id",
+        "b_id",
+        "n_common",
+        (
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        ).alias("jaccard"),
+    )

@@ -631,3 +631,118 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", F.col("o_orderstatus").cast("string")
     )
     return _orders_rollup(back)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleave keys: multi-dimensional clustering layout.
+# ---------------------------------------------------------------------------
+#: bits per NORMALIZED dimension for the Morton code (2 x 12 = 24-bit z).
+#: Raw key values are first min/max-scaled onto [0, 2^Z_BITS) — without
+#: that, a dimension with a narrower value range contributes only low
+#: interleave bits and the z-order degenerates to a single-column sort
+#: of the wider dimension (measured: custkey spans 8 bits at sf0.001 vs
+#: 12 for the date — the top 4 Morton bits were ALL date bits).
+Z_BITS = 12
+
+
+def _z_expr_sql(x: str, y: str) -> str:
+    """Bit-interleave SQL shared verbatim by Spark and DuckDB: plain
+    ``& >> <<`` integer ops, identical semantics in both engines."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+#: min/max normalization onto the Z_BITS budget, pure integer: exact
+#: and identical in both engines (multiply before integer-divide keeps
+#: precision). The division operator is the only spelling difference:
+#: Spark ``div``, DuckDB ``//`` — pass it via ``divop``.
+_Z_SCALE = (
+    "(({v} - {lo}) * "
+    + str((1 << Z_BITS) - 1)
+    + ") {divop} greatest({hi} - {lo}, 1)"
+)
+
+
+@query(
+    "zorder_interleave_keys",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey, o_custkey AS xv,
+             datediff('day', DATE '1992-01-01', o_orderdate) AS yv
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(xv) AS xlo, MAX(xv) AS xhi,
+             MIN(yv) AS ylo, MAX(yv) AS yhi
+      FROM raw
+    ),
+    keyed AS (
+      SELECT o_orderkey,
+             {_Z_SCALE.format(v='xv', lo='b.xlo', hi='b.xhi', divop='//')} AS xk,
+             {_Z_SCALE.format(v='yv', lo='b.ylo', hi='b.yhi', divop='//')} AS yk
+      FROM raw, b
+    )
+    SELECT o_orderkey,
+           CAST(xk AS BIGINT) AS xk, CAST(yk AS BIGINT) AS yk,
+           CAST({_z_expr_sql('xk', 'yk')} AS BIGINT) AS zvalue
+    FROM keyed
+    ORDER BY zvalue, o_orderkey
+    LIMIT 50
+    """,
+)
+def zorder_interleave_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton / Z-order clustering keys over (customer, order-date) —
+    the layout primitive behind multi-dimensional data skipping
+    (Delta/Iceberg OPTIMIZE ZORDER, public DB literature back to
+    Orenstein's 1984 Morton-curve indexing).
+
+    Both dimensions are first min/max-normalized onto the same
+    ``Z_BITS`` budget (see the constant's rationale), then their bits
+    interleave. That makes lexicographic z-order locality-preserving in
+    BOTH dimensions at once: range-partitioning a 100 TB fact table by
+    ``zvalue`` gives every file a small bounding box in (custkey,
+    orderdate) space, so min/max footer pruning works for predicates on
+    EITHER column — the thing a single-column sort fundamentally cannot
+    do (sorting by custkey leaves orderdate uniform in every file).
+    ``tests/test_physical_layout.py`` pins that property on real
+    written files; this query pins the normalize+interleave arithmetic
+    itself — pure integer ``* div & >> <<``, bit-identical cross-engine.
+    The bounds row is a 1-row broadcast (scalar aggregates), never a
+    driver collect.
+    """
+    return _zorder_keyed(spark, sf_dir).orderBy("zvalue", "o_orderkey").limit(50)
+
+
+def _zorder_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, xk, yk, zvalue) for every order — shared by the
+    registry query (top-50 pin) and the physical-layout test (writes
+    range-partitioned files and measures per-file bounding boxes)."""
+    o = t(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("xv"),
+        F.expr("datediff(o_orderdate, DATE '1992-01-01')")
+        .cast("bigint")
+        .alias("yv"),
+    )
+    b = raw.agg(
+        F.min("xv").alias("xlo"),
+        F.max("xv").alias("xhi"),
+        F.min("yv").alias("ylo"),
+        F.max("yv").alias("yhi"),
+    )
+    keyed = raw.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.expr(_Z_SCALE.format(v="xv", lo="xlo", hi="xhi", divop="div"))
+        .cast("bigint")
+        .alias("xk"),
+        F.expr(_Z_SCALE.format(v="yv", lo="ylo", hi="yhi", divop="div"))
+        .cast("bigint")
+        .alias("yk"),
+    )
+    return keyed.withColumn(
+        "zvalue", F.expr(_z_expr_sql("xk", "yk")).cast("bigint")
+    )

@@ -1376,3 +1376,110 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (iterative pair-merge learning).
+# ---------------------------------------------------------------------------
+#: merge rounds learned by bpe_train_merges — fixed for determinism
+#: (like the kmeans fits); production dial is vocab-size driven.
+BPE_ROUNDS = 6
+
+
+def _bpe_apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
+    """One BPE merge applied to a symbol array, greedy left-to-right,
+    as an in-row ``aggregate`` fold (JVM-side, no Python): scan the
+    symbols, and whenever the accumulator's last element is ``left``
+    and the incoming one is ``right``, replace the last element with
+    the merged symbol. Because the merged symbol is strictly longer
+    than ``left``, a fresh merge can never chain onto itself — this is
+    exactly the non-overlapping leftmost-first semantics of reference
+    BPE (Sennrich et al. 2016, public)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN a BPE merge table from the corpus — the training half of
+    the tokenizer (``bpe_style_token_count`` is the inference half):
+    {BPE_ROUNDS} rounds of count-all-adjacent-symbol-pairs → take the
+    argmax pair → apply the merge everywhere.
+
+    Distribution shape (the part that matters at 100 TB): the working
+    set after the first aggregation is the UNIQUE-WORD table with
+    frequencies — vocabulary-sized, not corpus-sized — so each round is
+    one explode+groupBy over the vocabulary, plus a 1-ROW driver
+    collect (the argmax pair; same k-row discipline as the kmeans
+    centroid reads). Merge application is an in-row JVM array fold —
+    no Python, no shuffle — and the vocabulary is localCheckpointed per
+    round so expression depth stays constant.
+
+    No SQL oracle (the round-N argmax depends on round-N-1's merge —
+    inherently iterative); correctness is bit-pinned against a
+    pure-Python reference BPE in ``tests/test_bpe_training.py``, both
+    the learned merges and the pair counts.
+
+    Determinism: pair counts are exact integers; argmax ties break on
+    (left, right) lexicographically.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .select("freq", "syms")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.col("syms"),
+                    F.slice(
+                        F.col("syms"),
+                        2,
+                        F.greatest(F.size("syms") - 1, F.lit(0)),
+                    ),
+                    lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                )
+            ).alias("p"),
+        ).filter(F.col("p.r").isNotNull())
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rnd, left, right, cnt))
+        words = words.withColumn(
+            "syms", _bpe_apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count bigint"
+    )

@@ -210,3 +210,85 @@ def test_corrupt_parquet_tolerance(spark, tmp_path):
         spark.read.option("ignoreCorruptFiles", "true").parquet(d).count()
     )
     assert n == o.count()
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join: ZERO false negatives vs brute force.
+# ---------------------------------------------------------------------------
+def test_setsim_prefix_join_is_exact(spark):
+    """The whole point of the prefix filter is that it's lossless:
+    the join's result set must EQUAL the brute-force all-pairs scan at
+    the same threshold (computed independently in DuckDB)."""
+    import duckdb
+
+    got = {
+        (r["a_id"], r["b_id"]): r["n_common"]
+        for r in REGISTRY["setsim_prefix_join"].fn(spark, SF).collect()
+    }
+    want = {
+        (a, b): i
+        for a, b, i in duckdb.sql(
+            f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     )) AS sh
+              FROM (SELECT doc_id,
+                           string_split(regexp_replace(lower(trim(text)),
+                                                       '\\s+', ' ', 'g'),
+                                        ' ') AS toks
+                    FROM '{SF}/documents.parquet')
+            )
+            SELECT a.doc_id, b.doc_id,
+                   len(list_intersect(a.sh, b.sh)) AS i
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE 8 * len(list_intersect(a.sh, b.sh))
+                  >= 3 * (len(a.sh) + len(b.sh))
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus does contain near-dups
+
+
+# ---------------------------------------------------------------------------
+# SCD2: versions partition each user's timeline with no gaps/overlaps.
+# ---------------------------------------------------------------------------
+def test_scd2_intervals_partition_timeline(spark):
+    rows = REGISTRY["scd2_user_state_history"].fn(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        # exactly one open (current) version, and it is the last one
+        assert [v["is_current"] for v in vs] == [False] * (len(vs) - 1) + [True]
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # seamless
+            assert prev["valid_from"] < prev["valid_to"]  # non-empty
+            assert prev["state"] != nxt["state"]  # compressed: real change
+        assert vs[-1]["valid_to"] is None
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank: mass bounds and degree consistency.
+# ---------------------------------------------------------------------------
+def test_pagerank_score_bounds(spark):
+    from flights_data_pipeline_spark.queries.olap import PR_SCALE
+
+    rows = REGISTRY["pagerank_copurchase"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    base = (PR_SCALE * 15) // 100
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # every node keeps the teleport mass; truncating DIVs mean a
+        # node can never exceed the total mass of the graph
+        assert r["score"] >= base
+        assert r["degree"] >= 1
+    # the top-20 are hubs: strictly above the teleport floor
+    assert scores[0] > base

@@ -653,3 +653,40 @@ def test_cbo_column_stats_enable_broadcast_after_filter(spark):
 
     assert "SortMergeJoin" in plan_off and "BroadcastHashJoin" not in plan_off
     assert "BroadcastHashJoin" in plan_on
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """Range-partitioning by the Morton zvalue gives every output file
+    a small bounding box in BOTH key dimensions, while a single-column
+    sort only bounds its own column — the data-skipping win z-order
+    layout exists for. Measured on real written parquet: per-file
+    (min, max) spans, exactly what footer-based min/max pruning sees."""
+    from flights_data_pipeline_spark.queries.io_functions import _zorder_keyed
+
+    keyed = _zorder_keyed(spark, sf_dir)
+
+    n_files = 16
+    zdir = str(tmp_path_factory.mktemp("zorder"))
+    xdir = str(tmp_path_factory.mktemp("xsort"))
+    keyed.repartitionByRange(n_files, "zvalue").write.mode("overwrite").parquet(zdir)
+    keyed.repartitionByRange(n_files, "xk").write.mode("overwrite").parquet(xdir)
+
+    def mean_span_fraction(path: str, col: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        lo, hi = keyed.agg(F.min(col), F.max(col)).first()
+        return sum(r["span"] for r in per_file) / len(per_file) / (hi - lo)
+
+    # single-column sort: its own column is tightly bounded, the other
+    # dimension stays ~uniform in every file (no skipping possible)
+    assert mean_span_fraction(xdir, "xk") < 0.15
+    assert mean_span_fraction(xdir, "yk") > 0.8
+    # z-order: BOTH dimensions bounded well below uniform in every file
+    zx, zy = mean_span_fraction(zdir, "xk"), mean_span_fraction(zdir, "yk")
+    assert zx < 0.6, zx
+    assert zy < 0.6, zy
