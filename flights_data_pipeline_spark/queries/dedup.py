@@ -250,19 +250,14 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash state: the {N_PERMS} signature minima AND
+def minhash_state(d: DataFrame) -> DataFrame:
+    """Per-document MinHash state from any documents-shaped DataFrame
+    (needs ``doc_id`` and ``text``): the {N_PERMS} signature minima AND
     the md5-shingle array, computed SHUFFLE-FREE as in-row array folds
-    (no shingle-level explode+groupBy), then materialized at one
-    doc-level exchange that every consumer reuses."""
-    d = t(spark, sf_dir, "documents")
-    # A small corpus arrives as one parquet split → the md5-heavy pass
-    # would run on one core. Spread by doc_id only when the scan has
-    # fewer splits than cores; a real many-split corpus skips this
-    # shuffle entirely.
-    n_cores = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < max(2, n_cores // 2):
-        d = d.repartition(n_cores, "doc_id")
+    (no shingle-level explode+groupBy). Shared by the batch queries
+    (via ``_minhash_per_doc``) and the streaming near-dup ingest
+    (``streaming/jobs.neardup_ingest_stream``), so both paths index
+    documents with bit-identical signatures."""
 
     def _slice(i: int):
         # factory, not a default-arg lambda: a default arg makes the
@@ -286,10 +281,36 @@ def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(N_PERMS)
             ],
         )
-        # doc-level rows (tiny vs the shingle-level explode this
-        # replaced); this exchange is the reuse point for downstream
-        # consumers
-        .repartition(n_cores, "doc_id")
+    )
+
+
+def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_state`` over the corpus table, materialized at one
+    doc-level exchange that every consumer reuses."""
+    d = t(spark, sf_dir, "documents")
+    # A small corpus arrives as one parquet split → the md5-heavy pass
+    # would run on one core. Spread by doc_id only when the scan has
+    # fewer splits than cores; a real many-split corpus skips this
+    # shuffle entirely.
+    n_cores = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < max(2, n_cores // 2):
+        d = d.repartition(n_cores, "doc_id")
+    # doc-level rows (tiny vs the shingle-level explode this replaced);
+    # this exchange is the reuse point for downstream consumers
+    return minhash_state(d).repartition(n_cores, "doc_id")
+
+
+def minhash_bands(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) rows from a per-doc signature table — the
+    LSH index representation (what a production ingest PERSISTS as its
+    maintained state; see ``streaming/jobs.neardup_ingest_stream``)."""
+    r = N_PERMS // N_BANDS
+    band_exprs = ", ".join(
+        f"{j}, concat({', '.join(f'sig{j * r + k}' for k in range(r))})"
+        for j in range(N_BANDS)
+    )
+    return per_doc.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, bkey)"
     )
 
 
@@ -298,14 +319,7 @@ def _lsh_candidates(per_doc: DataFrame) -> DataFrame:
     the per-doc signature table — the verification-free subtree, so
     closure/keep-list consumers never pay for the Jaccard-verify joins
     they immediately drop."""
-    r = N_PERMS // N_BANDS
-    band_exprs = ", ".join(
-        f"{j}, concat({', '.join(f'sig{j * r + k}' for k in range(r))})"
-        for j in range(N_BANDS)
-    )
-    bands = per_doc.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, bkey)"
-    )
+    bands = minhash_bands(per_doc)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1138,4 +1152,125 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
         ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup ingest: the LSH band index as maintained state.
+# ---------------------------------------------------------------------------
+def _incr_neardup_oracle() -> str:
+    r = N_PERMS // N_BANDS
+    sig_cols = ", ".join(
+        f"MIN(substr(md5(s), {4 * i + 1}, 4)) AS sig{i}" for i in range(N_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + " || ".join(f"sig{j * r + k}" for k in range(r))
+        + " AS bkey FROM sigs"
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH sh0 AS ({_DUCK_SHINGLES}),
+    sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
+    cut AS (
+      SELECT CAST(floor(MAX(doc_id) * {INCR_SPLIT_FRAC}) AS BIGINT) AS c
+      FROM sh
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sigs AS (SELECT doc_id, {sig_cols} FROM e GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT c.b_id,
+             COUNT(*) AS n_band_candidates,
+             SUM(CASE WHEN 3 * len(list_intersect(sa.shingles, sb.shingles))
+                           >= len(sa.shingles) + len(sb.shingles)
+                      THEN 1 ELSE 0 END) AS n_dup_sources
+      FROM cand c
+      JOIN sh sa ON c.a_id = sa.doc_id
+      JOIN sh sb ON c.b_id = sb.doc_id
+      JOIN cut ON TRUE
+      WHERE c.b_id >= cut.c
+      GROUP BY c.b_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(v.n_band_candidates, 0) AS BIGINT)
+             AS n_band_candidates,
+           CAST(COALESCE(v.n_dup_sources, 0) AS BIGINT) AS n_dup_sources,
+           COALESCE(v.n_dup_sources, 0) = 0 AS is_novel
+    FROM (SELECT doc_id FROM sh, cut WHERE doc_id >= cut.c) d
+    LEFT JOIN ver v ON d.doc_id = v.b_id
+    """
+
+
+@query("incremental_neardup_ingest", oracle=_incr_neardup_oracle())
+def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup classification of an incoming batch against all history
+    — the LSH twin of ``incremental_exact_dedup``: every incoming
+    document (top {1-INCR_SPLIT_FRAC:.0%} of doc_ids, standing in for
+    today's crawl) is checked for near-duplicates among OLDER documents
+    (history plus earlier docs in its own batch) via the banded MinHash
+    index, then exact-Jaccard-verified at tau = 1/2 (integer gate:
+    3*|A∩B| >= |A|+|B|).
+
+    The production reading: the band table (doc_id, band, bkey) IS the
+    maintained state — per-batch work is the incoming docs' bands
+    joined against the stored index (an equi-join touching only
+    matching band buckets, never history's text), exactly what
+    ``streaming/jobs.neardup_ingest_stream`` runs per micro-batch with
+    this query as its batch twin. Directionality falls out of the
+    a_id < b_id candidate orientation: the NEW side of a pair is always
+    ``b_id``, so "has an older near-dup source" is a filter, not a
+    second join.
+    """
+    per_doc = _minhash_per_doc(spark, sf_dir)
+    cut = per_doc.agg(
+        F.floor(F.max("doc_id") * INCR_SPLIT_FRAC).cast("bigint").alias("c")
+    )
+    cand = (
+        _lsh_candidates(per_doc)
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("b_id") >= F.col("c"))
+        .select("a_id", "b_id")
+    )
+    sha = per_doc.select(
+        F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a")
+    )
+    shb = per_doc.select(
+        F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b")
+    )
+    # same broadcast discipline as minhash_lsh_candidates: tiny id-only
+    # candidate rows broadcast; array-carrying sides join SHUFFLE_HASH
+    paired = sha.join(F.broadcast(cand), "a_id")
+    both = shb.join(paired.hint("shuffle_hash"), "b_id")
+    ver = both.select(
+        "b_id",
+        (
+            3 * F.size(F.array_intersect("hs_a", "hs_b"))
+            >= F.size("hs_a") + F.size("hs_b")
+        ).cast("int").alias("is_dup"),
+    ).groupBy("b_id").agg(
+        F.count("*").cast("bigint").alias("n_band_candidates"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_sources"),
+    )
+    incoming = per_doc.crossJoin(F.broadcast(cut)).filter(
+        F.col("doc_id") >= F.col("c")
+    ).select("doc_id")
+    return incoming.join(
+        ver, incoming.doc_id == ver.b_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_band_candidates", F.lit(0)).cast("bigint").alias(
+            "n_band_candidates"
+        ),
+        F.coalesce("n_dup_sources", F.lit(0)).cast("bigint").alias(
+            "n_dup_sources"
+        ),
+        (F.coalesce("n_dup_sources", F.lit(0)) == 0).alias("is_novel"),
     )

@@ -569,3 +569,131 @@ def dedup_ingest_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def neardup_ingest_stream(
+    stream: DataFrame,
+    state_dir: str,
+    verdict_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming NEAR-dup ingest: the micro-batch twin of
+    ``queries/dedup.incremental_neardup_ingest`` — each arriving
+    document is MinHash-signed, its LSH bands are joined against the
+    maintained band index (all history plus older docs in the same
+    batch), candidates are exact-Jaccard-verified at tau = 1/2, and a
+    per-doc verdict row lands in ``verdict_path``.
+
+    State model (the production shape): ``{state_dir}/docs`` holds the
+    per-doc MinHash state (signatures + md5-shingle array) keyed by
+    doc_id — the band index derives from it per batch via
+    ``minhash_bands``. Both the state merge and the verdict merge are
+    keyed first-wins (``merge_latest_parquet`` on doc_id), so an
+    at-least-once replay of any batch converges to the identical store
+    and identical verdicts: recomputing a replayed doc's candidates
+    against state that already contains it changes nothing, because
+    candidate orientation is strictly ``partner_id < doc_id`` (a doc
+    never pairs with its own replayed copy).
+
+    At 100 TB the band index is a bucketed table on (band, bkey) and
+    each batch's join touches only matching buckets; history text is
+    never re-read — only its signatures.
+    """
+    from ..operators.merge import merge_latest_parquet
+    from ..queries.dedup import minhash_bands, minhash_state
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        st = minhash_state(batch).localCheckpoint(eager=True)
+        if st.isEmpty():
+            return
+        try:
+            # __batch is the merge's order column, not signature state
+            hist = spark.read.parquet(f"{state_dir}/docs").drop("__batch")
+        except Exception:
+            hist = None
+        universe = st if hist is None else hist.unionByName(st)
+        # dedupe replayed copies of the same doc_id inside the universe
+        # (a crash between the two merges can replay a batch whose
+        # state already landed) — signatures are deterministic, so
+        # first-wins per doc_id is a no-op semantically
+        universe = universe.dropDuplicates(["doc_id"])
+        new_bands = minhash_bands(st).alias("b")
+        all_bands = minhash_bands(universe).alias("a")
+        cand = (
+            all_bands.join(
+                new_bands,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        sha = universe.select(
+            F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a")
+        )
+        shb = st.select(
+            F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b")
+        )
+        paired = sha.join(F.broadcast(cand), "a_id")
+        both = shb.join(paired.hint("shuffle_hash"), "b_id")
+        ver = (
+            both.select(
+                "b_id",
+                (
+                    3 * F.size(F.array_intersect("hs_a", "hs_b"))
+                    >= F.size("hs_a") + F.size("hs_b")
+                ).cast("int").alias("is_dup"),
+            )
+            .groupBy("b_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_band_candidates"),
+                F.sum("is_dup").cast("bigint").alias("n_dup_sources"),
+            )
+        )
+        verdicts = (
+            st.select("doc_id")
+            .join(ver, st.doc_id == ver.b_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_band_candidates", F.lit(0))
+                .cast("bigint")
+                .alias("n_band_candidates"),
+                F.coalesce("n_dup_sources", F.lit(0))
+                .cast("bigint")
+                .alias("n_dup_sources"),
+                (F.coalesce("n_dup_sources", F.lit(0)) == 0).alias(
+                    "is_novel"
+                ),
+                F.lit(batch_id).cast("bigint").alias("__batch"),
+            )
+        )
+        # verdict first, then state: if we crash between the two, the
+        # replay recomputes the SAME verdicts (state lacking the batch
+        # reproduces the original universe; state containing it adds
+        # only self-copies, excluded by the strict < orientation)
+        merge_latest_parquet(
+            spark,
+            verdict_path,
+            verdicts,
+            keys=["doc_id"],
+            order_cols=["__batch"],
+        )
+        merge_latest_parquet(
+            spark,
+            f"{state_dir}/docs",
+            st.withColumn("__batch", F.lit(batch_id).cast("bigint")),
+            keys=["doc_id"],
+            order_cols=["__batch"],
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

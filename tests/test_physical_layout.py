@@ -690,3 +690,21 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path_factory):
     zx, zy = mean_span_fraction(zdir, "xk"), mean_span_fraction(zdir, "yk")
     assert zx < 0.6, zx
     assert zy < 0.6, zy
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE's post-shuffle coalesce actually engages: a low-cardinality
+    aggregate over 32 configured shuffle partitions reads back through
+    AQEShuffleRead with far fewer coalesced partitions — the runtime
+    lever that keeps small-stage task counts sane when the static
+    shuffle-partition number is sized for the 100 TB stages."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+    n_out = df.rdd.getNumPartitions()
+    assert n_out < int(spark.conf.get("spark.sql.shuffle.partitions"))
