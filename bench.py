@@ -73,6 +73,12 @@ HEADLINE = [
     "mmr_diverse_topk",
     "ivf_pq_topk",
     "weighted_systematic_sample",
+    # round-6 additions
+    "setsim_prefix_join",
+    "incremental_neardup_ingest",
+    "pagerank_copurchase",
+    "scd2_user_state_history",
+    "bpe_train_merges",
 ]
 
 

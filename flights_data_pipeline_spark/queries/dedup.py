@@ -1097,8 +1097,17 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("toks")
+    docs = t(spark, sf_dir, "documents")
+    # spread the regex-heavy shingle pass across cores (a small corpus
+    # is one parquet split), then materialize the per-doc shingle state
+    # ONCE — four consumers read it (explode, sizes, both verify sides);
+    # recomputing the tokenize+zip_with pipeline per consumer measured
+    # ~4x the whole query's cost at sf0.1
+    n_cores = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < max(2, n_cores // 2):
+        docs = docs.repartition(n_cores, "doc_id")
+    d = docs.select("doc_id", _shingles().alias("toks")).localCheckpoint(
+        eager=True
     )
     sz = d.select("doc_id", F.size("toks").cast("bigint").alias("n"))
     e = d.select("doc_id", F.explode("toks").alias("tok"))
@@ -1114,15 +1123,32 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("r") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1
         )
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "r", "n")
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # PPJoin's two sound prunes, applied per prefix match BEFORE the
+    # distinct — they only drop pairs that provably cannot reach
+    # J >= 3/5, so the verified result (and the oracle) are unchanged:
+    # * length filter: J <= min/max, so 5*min(na,nb) >= 3*max(na,nb);
+    # * positional filter: all common elements sort at-or-after the
+    #   minimal prefix match, so overlap <= 1 + min(na-ra, nb-rb),
+    #   which must reach alpha = ceil((3/8)(na+nb)) (tau/(1+tau)=3/8).
+    # Measured at sf0.1: candidate pairs drop 299,519 -> 68,725 (this
+    # synthetic corpus is dense just under the threshold — shingle DFs
+    # are high, so prefixes stay common); query 7.1 s -> 3.5 s
+    # together with the materialized shingle state.
+    na, nb = F.col("a.n"), F.col("b.n")
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.least(na, nb) >= 3 * F.greatest(na, nb))
+            & (
+                8 * (1 + F.least(na - F.col("a.r"), nb - F.col("b.r")))
+                >= 3 * (na + nb)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
