@@ -281,3 +281,122 @@ def corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_parts"),
         corr.alias("corr_size_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier group sizes before data release.
+# ---------------------------------------------------------------------------
+#: minimum group size a quasi-identifier combination must reach.
+K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS event_date,
+             CAST(floor(value / 10.0) AS BIGINT) AS value_band,
+             user_id
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, event_date, value_band,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT event_type, event_date, value_band, n_rows, n_users,
+           n_users < {K_ANON} AS violates_k
+    FROM g
+    WHERE n_users < {K_ANON}
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, public): every combination of
+    quasi-identifiers (event type, event date, coarse value band) must
+    cover at least {K_ANON} distinct users, or releasing the grouped
+    data re-identifies individuals. Returns the VIOLATING groups — the
+    rows a release gate would block or generalize further.
+
+    The privacy complement to ``pii_redaction`` (which scrubs direct
+    identifiers; this audits indirect ones). One shuffle: group by the
+    quasi-identifier tuple with an exact distinct-user count (the
+    distinct is per-group, so the expand stays bounded by group size).
+    The value band uses ``floor`` (exact in both engines — STATUS rule
+    14: never a raw double→int cast across engines).
+    """
+    ev = t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("event_date"),
+            F.floor(F.col("value") / 10.0).cast("bigint").alias("value_band"),
+            "user_id",
+        )
+        .groupBy("event_type", "event_date", "value_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    return g.filter(F.col("n_users") < K_ANON).withColumn(
+        "violates_k", F.col("n_users") < K_ANON
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution: the fraud/corruption smoke test.
+# ---------------------------------------------------------------------------
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) / (SELECT COUNT(*) FROM d) AS observed_freq
+    FROM d GROUP BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals — the
+    Benford's-law data-quality probe (public since Newcomb 1881):
+    naturally-occurring monetary amounts concentrate on low leading
+    digits, and a load whose digit histogram shifts abruptly is
+    corrupt (unit mix-up, truncation, synthetic padding) before any
+    row-level check can say why.
+
+    Digit extraction routes through ``floor(price * 100)`` — an
+    explicit floor because the column is physically DOUBLE and a raw
+    double→bigint cast ROUNDS in DuckDB but TRUNCATES in Spark (STATUS
+    rule 14); floor is exact and identical in both. The frequency is
+    one int/int IEEE division. Two narrow aggregates, one broadcast
+    scalar.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    total = d.agg(F.count("*").alias("tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") / F.col("tot")).alias("observed_freq"),
+        )
+    )

@@ -1483,3 +1483,46 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint"
     )
+
+
+@query("bpe_apply_learned")
+def bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the merge table ``bpe_train_merges`` LEARNS to the corpus
+    and report the resulting per-document token counts — the
+    train→encode round trip of a real tokenizer pipeline (chars per
+    word shrink monotonically as each merge lands; the compression
+    ratio is the signal tokenizer teams actually track).
+
+    Encoding is pure in-row JVM work: split to words, split words to
+    chars, fold each learned merge through ``_bpe_apply_merge`` in
+    learned order (BPE applies merges by RANK, so the fold order is the
+    training order — Sennrich et al. 2016). The merge table arrives as
+    {BPE_ROUNDS} Python strings from the training query's 1-row-per-
+    round driver collects; no corpus data crosses the driver. No SQL
+    oracle (the chained fold is not SQL-expressible); bit-pinned
+    against the pure-Python reference encoder in
+    ``tests/test_bpe_training.py``.
+    """
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("round").collect()
+    ]
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("ws"),
+    )
+    per_word = words.select(
+        "doc_id", F.explode("ws").alias("word")
+    ).withColumn("syms", F.split(F.col("word"), ""))
+    for left, right in merges:
+        per_word = per_word.withColumn(
+            "syms", _bpe_apply_merge(F.col("syms"), left, right)
+        )
+    return per_word.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.size("syms")).cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+    )

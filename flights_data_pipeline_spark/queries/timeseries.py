@@ -738,3 +738,90 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against the SCD2 history (time-travel enrichment).
+# ---------------------------------------------------------------------------
+@query(
+    "point_in_time_state_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+    ),
+    changed AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM ev
+      ) WHERE prev IS NULL OR prev <> event_type
+    ),
+    scd AS (
+      SELECT user_id,
+             event_type AS state,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version
+      FROM changed
+    )
+    SELECT s.state, s.version = 1 AS in_first_version,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN scd s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    GROUP BY s.state, s.version = 1
+    """,
+)
+def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every event joined to the SCD2 state
+    version that was LIVE at its timestamp — the lookup the history
+    dimension (``scd2_user_state_history``) exists to serve (a.k.a.
+    time-travel join / temporal join; the feature-store
+    "as-of-the-label-time" pattern that prevents training-data
+    leakage from future attribute values).
+
+    Interval containment ``valid_from <= ts < valid_to`` plans as an
+    equi-join on ``user_id`` with the interval predicate as a join
+    filter — correct at scale because a user's version count is
+    change-log-compressed (bounded), so per-key fan-out stays small;
+    the half-open intervals partition each user's timeline (pinned by
+    ``tests/test_new_ops_invariants.py``), so every event matches
+    EXACTLY one version — asserted here by construction: the output
+    event total equals the events table row count.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    scd = changed.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    joined = e.join(
+        scd,
+        (e.user_id == scd.s_user)
+        & (e.ts >= scd.valid_from)
+        & (scd.valid_to.isNull() | (e.ts < scd.valid_to)),
+    )
+    return joined.groupBy(
+        "state", (F.col("version") == 1).alias("in_first_version")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -95,3 +95,39 @@ def test_bpe_apply_merge_kernel_edges(spark):
             .first()["m"]
         )
         assert got == want, (i, got, want)
+
+
+def test_bpe_apply_learned_matches_reference_encoder(spark):
+    """The encode half: per-doc BPE token counts after applying the
+    learned merges equal the pure-Python reference encoder's, for
+    every document."""
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    texts = [r[1] for r in rows]
+    merges, _ = _reference_bpe(texts, BPE_ROUNDS)
+
+    def encode_count(text: str) -> tuple[int, int, int]:
+        words = re.split(r"\s+", text.strip().lower())
+        n_toks = 0
+        for w in words:
+            s = list(w)
+            for _, left, right, _ in merges:
+                ns: list[str] = []
+                for x in s:
+                    if ns and ns[-1] == left and x == right:
+                        ns[-1] = left + right
+                    else:
+                        ns.append(x)
+                s = ns
+            n_toks += len(s)
+        return len(words), n_toks, sum(len(w) for w in words)
+
+    want = {doc_id: encode_count(text) for doc_id, text in rows}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"])
+        for r in REGISTRY["bpe_apply_learned"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # compression sanity: merges strictly reduce token counts vs chars
+    assert sum(v[1] for v in got.values()) < sum(v[2] for v in got.values())
