@@ -697,3 +697,131 @@ def neardup_ingest_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def scd2_ingest_stream(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming SCD Type-2 maintenance: keep the history dimension
+    (``queries/timeseries.scd2_user_state_history``'s shape) current
+    from a live change-event stream — per micro-batch, each user's new
+    events extend their version chain in place: same-state events are
+    dropped (change-log compression), a state change closes the open
+    version (fills ``valid_to``) and opens a new one with the next
+    version number.
+
+    Replay safety is a WATERMARK GUARD, not dedup bookkeeping: a batch
+    event is applied only if its ``(ts, event_id)`` is strictly beyond
+    the user's open-version ``valid_from`` — on an at-least-once replay
+    every already-applied event sorts at-or-before the (now advanced)
+    open version and is dropped, so the store converges (tested). The
+    same guard enforces the ordered-feed contract append-mode SCD2
+    requires (STATUS rule 17): a true late event older than the open
+    version cannot be spliced into a closed interval and is skipped —
+    production handles those by periodic batch rebuild of affected
+    users, exactly like every warehouse SCD2 loader.
+
+    Merge shape: one keyed upsert per batch on ``(user_id, version)``
+    where the latest batch wins (closing rewrites the open row, replays
+    rewrite identical rows). At 100 TB both the open-version read and
+    the merge are key-partitioned on user_id; the open-version set is
+    one row per entity — dimension-sized, not event-sized.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..operators.merge import merge_latest_parquet
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        ev = batch.select("user_id", "event_id", "ts", "event_type")
+        try:
+            hist = spark.read.parquet(target_path)
+            open_v = (
+                hist.filter(F.col("valid_to").isNull())
+                .select(
+                    F.col("user_id").alias("o_user"),
+                    F.col("state").alias("o_state"),
+                    F.col("valid_from").alias("o_from"),
+                    F.col("o_event_id").alias("o_eid"),
+                    F.col("version").alias("o_version"),
+                )
+            )
+        except Exception:
+            open_v = None
+        if open_v is not None:
+            ev = ev.join(open_v, ev.user_id == open_v.o_user, "left")
+            # watermark guard: strictly beyond the open version's
+            # (valid_from, event_id) — replayed events sort at-or-
+            # before and drop out
+            ev = ev.filter(
+                F.col("o_from").isNull()
+                | (F.col("ts") > F.col("o_from"))
+                | ((F.col("ts") == F.col("o_from")) & (F.col("event_id") > F.col("o_eid")))
+            )
+        else:
+            ev = (
+                ev.withColumn("o_state", F.lit(None).cast("string"))
+                .withColumn("o_from", F.lit(None).cast("timestamp"))
+                .withColumn("o_eid", F.lit(None).cast("bigint"))
+                .withColumn("o_version", F.lit(None).cast("bigint"))
+            )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        # change-log compression seeded by the OPEN version's state
+        changed = (
+            ev.withColumn(
+                "prev",
+                F.coalesce(F.lag("event_type").over(w), F.col("o_state")),
+            )
+            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        )
+        if changed.isEmpty():
+            return
+        new_rows = changed.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("event_id").alias("o_event_id"),
+            (
+                F.coalesce(F.col("o_version"), F.lit(0))
+                + F.row_number().over(w)
+            ).cast("bigint").alias("version"),
+            F.lit(batch_id).cast("bigint").alias("__upd"),
+        )
+        out = new_rows
+        if open_v is not None:
+            # close each touched user's open version at the first new
+            # valid_from
+            firsts = new_rows.groupBy("user_id").agg(
+                F.min(F.struct("valid_from", "version")).alias("f")
+            )
+            closed = (
+                open_v.join(
+                    firsts, open_v.o_user == firsts.user_id
+                ).select(
+                    "user_id",
+                    F.col("o_state").alias("state"),
+                    F.col("o_from").alias("valid_from"),
+                    F.col("f.valid_from").alias("valid_to"),
+                    F.col("o_eid").alias("o_event_id"),
+                    F.col("o_version").alias("version"),
+                    F.lit(batch_id).cast("bigint").alias("__upd"),
+                )
+            )
+            out = new_rows.unionByName(closed)
+        merge_latest_parquet(
+            spark,
+            target_path,
+            out,
+            keys=["user_id", "version"],
+            order_cols=["__upd"],
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
