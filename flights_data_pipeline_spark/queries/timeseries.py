@@ -825,3 +825,86 @@ def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over daily series (integer, window-only).
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(x) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS d
+      FROM daily GROUP BY event_type
+    ),
+    scaled AS (
+      SELECT daily.event_type, day, x,
+             SUM(daily.x * tot.d - tot.t)
+               OVER (PARTITION BY daily.event_type ORDER BY day) AS p,
+             tot.t, tot.d
+      FROM daily JOIN tot ON daily.event_type = tot.event_type
+    ),
+    cusum AS (
+      SELECT event_type, day, x, t, d,
+             p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                                       ORDER BY day)) AS s
+      FROM scaled
+    )
+    SELECT event_type, day, x, CAST(s AS BIGINT) AS cusum_scaled,
+           2 * s > t AS alarm
+    FROM cusum
+    WHERE 2 * s > t
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint alarms over the daily event-count series per
+    event type (Page 1954, public): flag the days where the one-sided
+    cumulative sum of deviations-above-mean exceeds the threshold —
+    the standard sequential drift detector a pipeline runs on its own
+    volume telemetry.
+
+    Two exactness restatements make it cross-engine bit-exact:
+
+    * the recurrence ``S_t = max(0, S_{t-1} + (x_t - mean))`` is
+      closed-form ``S_t = P_t - min(0, min_{j<=t} P_j)`` with ``P`` the
+      running sum of deviations — two plain window functions, no
+      iterative fold;
+    * the fractional mean ``T/D`` never materializes: everything is
+      scaled by ``D`` (deviation = ``x*D - T``, threshold = ``3*T``
+      i.e. 3x the mean daily count) — pure bigint arithmetic.
+
+    Scale posture: one shuffle to daily counts, one broadcastable
+    per-series total row, windows partitioned by series key. Alarm days
+    only are returned (the incident list, not the full trace).
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("t_sum"),
+        F.count("*").cast("bigint").alias("d_cnt"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    scaled = daily.join(tot, "event_type").withColumn(
+        "p",
+        F.sum(F.col("x") * F.col("d_cnt") - F.col("t_sum")).over(w),
+    )
+    cusum = scaled.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(w))
+    )
+    return cusum.filter(2 * F.col("s") > F.col("t_sum")).select(
+        "event_type",
+        "day",
+        "x",
+        F.col("s").cast("bigint").alias("cusum_scaled"),
+        (2 * F.col("s") > F.col("t_sum")).alias("alarm"),
+    )

@@ -292,3 +292,39 @@ def test_pagerank_score_bounds(spark):
         assert r["degree"] >= 1
     # the top-20 are hubs: strictly above the teleport floor
     assert scores[0] > base
+
+
+# ---------------------------------------------------------------------------
+# CUSUM: the window closed form equals the textbook recurrence.
+# ---------------------------------------------------------------------------
+def test_cusum_closed_form_equals_recurrence(spark):
+    """S_t = max(0, S_{t-1} + dev_t) computed naively in Python must
+    equal the query's window restatement P_t - min(0, min P_j), alarm
+    set and scaled values both."""
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[tuple]] = {}
+    for et, day, x in daily:
+        series.setdefault(et, []).append((day, x))
+    want = {}
+    for et, rows in series.items():
+        t_sum = sum(x for _, x in rows)
+        d_cnt = len(rows)
+        s = 0
+        for day, x in rows:
+            s = max(0, s + (x * d_cnt - t_sum))
+            if 2 * s > t_sum:
+                want[(et, day)] = s
+    got = {
+        (r["event_type"], r["day"]): r["cusum_scaled"]
+        for r in REGISTRY["cusum_changepoint"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) > 0
