@@ -28,9 +28,14 @@ def curated(spark, tmp_path_factory):
 
 def test_all_stage_outputs_materialized(spark, curated):
     out, _ = curated
+    # contamination may legitimately be empty on a clean corpus; every
+    # other stage must carry rows (flags/verdicts cover every doc, the
+    # corpus keeps some, the report always has its funnel rows)
+    may_be_empty = {"contamination"}
     for name in cp.CURATION_ORDER:
         df = spark.read.parquet(f"{out}/{name}")
-        assert df.count() >= 0, name
+        n = df.count()
+        assert n >= 0 if name in may_be_empty else n > 0, (name, n)
 
 
 def test_final_corpus_is_conjunction_of_stage_verdicts(spark, curated):
