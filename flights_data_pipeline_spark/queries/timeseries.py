@@ -908,3 +908,91 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("bigint").alias("cusum_scaled"),
         (2 * F.col("s") > F.col("t_sum")).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over daily series (median of pairwise slopes).
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.x - a.x) / CAST(datediff('day', a.day, b.day) AS DOUBLE)
+               AS slope,
+             a.day AS d1, b.day AS d2
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           slope AS sen_slope,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM ranked
+    WHERE rn = (n + 1) // 2
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Theil 1950 / Sen 1968, public) of each
+    event type's daily-volume trend: the MEDIAN of all pairwise slopes
+    — robust to ~29% outliers where least squares is wrecked by one bad
+    day. Completes the robust-monitoring family (MAD dispersion, CUSUM
+    changepoints, Theil-Sen trend).
+
+    Exactness: every slope is one IEEE division of exact integers
+    (count delta / day delta), identical in both engines; the median is
+    an exact order statistic — ROW_NUMBER at rank ``(n+1) DIV 2`` with
+    a total (slope, d1, d2) tiebreak, never an interpolating
+    percentile (engines interpolate differently).
+
+    Scale honesty: pairwise slopes are O(D²) in the number of DAYS per
+    series — bounded and tiny (a decade is ~3.7k days → 6.6M pairs per
+    series, one shuffle), never O(rows²). The equi-join on the series
+    key keeps pair generation partition-local per series.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.x") - F.col("a.x"))
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+    )
+    w = W.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wc = W.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("slope").alias("sen_slope"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+    )

@@ -328,3 +328,58 @@ def test_cusum_closed_form_equals_recurrence(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen: recovers the true slope exactly under gross outliers.
+# ---------------------------------------------------------------------------
+def test_theil_sen_robust_to_outliers(spark):
+    """A clean slope-2 line with 17% of points corrupted by +1000
+    spikes: the majority of pairwise slopes are exactly 2.0, so the
+    MEDIAN is exactly 2.0 (least squares would be pulled far off).
+    Runs the same median-of-pairwise-slopes construction the registry
+    query uses, on a controlled series."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for d in range(30):
+        x = 2 * d + 5
+        if d % 7 == 3:  # days 3,10,17,24 — gross spikes
+            x += 1000
+        rows.append(("s", base + dt.timedelta(days=d), x))
+    daily = spark.createDataFrame(rows, "event_type string, day date, x bigint")
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.x") - F.col("a.x"))
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+    )
+    w = W.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wc = W.partitionBy("event_type")
+    med = (
+        slopes.select(
+            "slope",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .first()
+    )
+    assert med["slope"] == 2.0
+    # and the mean of slopes (the non-robust estimate) is pulled well
+    # off the true slope (up- and down-going spike pairs partially
+    # cancel, but the residual bias is still ~2x the slope itself)
+    mean_slope = slopes.agg(F.avg("slope")).first()[0]
+    assert abs(mean_slope - 2.0) > 1
