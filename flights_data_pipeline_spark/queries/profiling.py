@@ -400,3 +400,206 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") / F.col("tot")).alias("observed_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift statistic between two sources (all-integer).
+# ---------------------------------------------------------------------------
+@query(
+    "ks_drift_statistic",
+    oracle="""
+    WITH lens AS (
+      SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM lens
+    ),
+    cdf AS (
+      SELECT n_chars,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_chars) AS c1,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_chars) AS c2
+      FROM lens
+    ),
+    stepped AS (
+      SELECT n_chars, MAX(c1) AS c1, MAX(c2) AS c2
+      FROM cdf GROUP BY n_chars
+    )
+    SELECT CAST(MAX(abs(c1 * tot.n2 - c2 * tot.n1)) AS BIGINT) AS d_scaled,
+           tot.n1, tot.n2,
+           MAX(abs(c1 * tot.n2 - c2 * tot.n1)) / CAST(tot.n1 * tot.n2 AS DOUBLE)
+             AS ks_d
+    FROM stepped, tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between two sources'
+    document-length distributions — the standard distribution-drift
+    alarm a corpus pipeline runs when a new crawl slice arrives
+    (`did src1's length profile shift vs src0?`).
+
+    All-integer restatement: D = max |F1 - F2| over the merged support,
+    and with counts c1, c2 at each step, |c1/n1 - c2/n2| maximizes
+    exactly where |c1*n2 - c2*n1| does — so the argmax and the scaled
+    statistic are pure bigint arithmetic; only the final reported
+    ``ks_d`` is one IEEE division. Per-value step heights come from a
+    running-count window over the union (one sort), then a per-value
+    MAX collapses intra-value ordering ambiguity — the empirical CDF
+    is right-continuous, so each distinct value carries its inclusive
+    cumulative counts. One window sort + one aggregate; at 100 TB this
+    runs per (column, slice-pair) on aggregated value counts, not raw
+    rows.
+    """
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    ).select("source", "n_chars")
+    from pyspark.sql.window import Window as W
+
+    tot = d.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    w = W.orderBy("n_chars")
+    cdf = d.select(
+        "n_chars",
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .over(w)
+        .alias("c1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .over(w)
+        .alias("c2"),
+    )
+    stepped = cdf.groupBy("n_chars").agg(
+        F.max("c1").alias("c1"), F.max("c2").alias("c2")
+    )
+    return (
+        stepped.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("d_scaled")
+        )
+        .select(
+            "d_scaled",
+            "n1",
+            "n2",
+            (
+                F.col("d_scaled") / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test statistic, integer-scaled ranks.
+# ---------------------------------------------------------------------------
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM s
+    ),
+    per_val AS (
+      SELECT value,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM s GROUP BY value
+    ),
+    ranked AS (
+      SELECT value, cnt, c1,
+             COALESCE(SUM(cnt) OVER (ORDER BY value
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS below
+      FROM per_val
+    )
+    SELECT CAST(SUM(c1 * (2 * below + cnt + 1)) - tot.n1 * (tot.n1 + 1)
+                AS BIGINT) AS u1_scaled,
+           tot.n1, tot.n2,
+           (SUM(c1 * (2 * below + cnt + 1)) - tot.n1 * (tot.n1 + 1))
+             / CAST(2 * tot.n1 * tot.n2 AS DOUBLE) AS auc
+    FROM ranked, tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) statistic comparing the
+    ``value`` distributions of click vs view events — the
+    nonparametric two-sample test an experimentation pipeline runs
+    when value distributions are skewed and a t-test's mean is
+    meaningless. The normalized ``auc`` IS P(click value > view value)
+    (plus half the ties) — the probabilistic-superiority effect size.
+
+    Integer-scaled ranks make it cross-engine exact: with ``below``
+    values strictly smaller and ``cnt`` tied at a value, the average
+    rank doubled is ``2*below + cnt + 1`` — integer — so
+    ``U1_scaled = 2*R1 - n1(n1+1)`` is pure bigint arithmetic; only
+    the final ``auc`` is one IEEE division. One groupBy to per-value
+    counts, one running-count window over the value support, one
+    aggregate — rank computation never materializes per-row ranks.
+    """
+    from pyspark.sql.window import Window as W
+
+    s = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_type", "value")
+    tot = s.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    per_val = s.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            (
+                F.sum(
+                    F.col("c1") * (2 * F.col("below") + F.col("cnt") + 1)
+                )
+                - F.col("n1") * (F.col("n1") + 1)
+            )
+            .cast("bigint")
+            .alias("u1_scaled")
+        )
+        .select(
+            "u1_scaled",
+            "n1",
+            "n2",
+            (
+                F.col("u1_scaled")
+                / (2 * F.col("n1") * F.col("n2")).cast("double")
+            ).alias("auc"),
+        )
+    )

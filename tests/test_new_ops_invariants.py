@@ -383,3 +383,55 @@ def test_theil_sen_robust_to_outliers(spark):
     # cancel, but the residual bias is still ~2x the slope itself)
     mean_slope = slopes.agg(F.avg("slope")).first()[0]
     assert abs(mean_slope - 2.0) > 1
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney: U equals the brute-force pair count (wins + half-ties).
+# ---------------------------------------------------------------------------
+def test_mann_whitney_u_equals_pair_count(spark):
+    import duckdb
+
+    vals = duckdb.sql(
+        f"""SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE event_type IN ('click','view')"""
+    ).fetchall()
+    clicks = sorted(v for et, v in vals if et == "click")
+    views = sorted(v for et, v in vals if et == "view")
+    import bisect
+
+    wins = ties = 0
+    for c in clicks:
+        wins += bisect.bisect_left(views, c)
+        ties += bisect.bisect_right(views, c) - bisect.bisect_left(views, c)
+    row = REGISTRY["mann_whitney_u"].fn(spark, SF).first()
+    assert row["n1"] == len(clicks) and row["n2"] == len(views)
+    # U1 = wins + ties/2, scaled by 2 to stay integer
+    assert row["u1_scaled"] == 2 * wins + ties
+
+
+# ---------------------------------------------------------------------------
+# KS: the scaled max-gap equals the brute-force CDF comparison.
+# ---------------------------------------------------------------------------
+def test_ks_statistic_equals_bruteforce(spark):
+    import duckdb
+
+    vals = duckdb.sql(
+        f"""SELECT source, n_chars FROM '{SF}/documents.parquet'
+            WHERE source IN ('src0','src1')"""
+    ).fetchall()
+    s1 = sorted(v for s, v in vals if s == "src0")
+    s2 = sorted(v for s, v in vals if s == "src1")
+    import bisect
+
+    support = sorted(set(s1) | set(s2))
+    want = max(
+        abs(
+            bisect.bisect_right(s1, v) * len(s2)
+            - bisect.bisect_right(s2, v) * len(s1)
+        )
+        for v in support
+    )
+    row = REGISTRY["ks_drift_statistic"].fn(spark, SF).first()
+    assert row["n1"] == len(s1) and row["n2"] == len(s2)
+    assert row["d_scaled"] == want
+    assert row["ks_d"] == want / (len(s1) * len(s2))
