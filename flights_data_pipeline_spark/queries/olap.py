@@ -1491,3 +1491,143 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "part_key")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend per nation (all-integer).
+# ---------------------------------------------------------------------------
+@query(
+    "gini_spend_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+               AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY cents, c_custkey) AS i
+      FROM spend
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           (2.0 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents))
+             / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)) AS gini
+    FROM ranked JOIN nation n ON ranked.nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the inequality/
+    concentration metric (is revenue spread across customers or owned
+    by a few whales?) that feeds pricing and risk dashboards.
+
+    Exact by construction: spend is summed in integer CENTS (decimal
+    cast, never float addition), the rank-weighted identity
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` uses a
+    ROW_NUMBER total order (tie order cannot change the sum — equal
+    values swap invariantly), and the single final division is IEEE.
+    One shuffle to per-customer spend, one window per nation, one
+    aggregate.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), "c_custkey"
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") * 100).cast("decimal(18,0)")
+            ).cast("bigint").alias("cents")
+        )
+    )
+    w = W.partitionBy("nationkey").orderBy("cents", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.join(n, ranked.nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            (
+                (
+                    2.0 * F.sum(F.col("i") * F.col("cents"))
+                    - (F.count("*") + 1) * F.sum("cents")
+                )
+                / (F.count("*") * F.sum("cents").cast("double"))
+            ).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-a between nation-level metrics (pure pair counting).
+# ---------------------------------------------------------------------------
+@query(
+    "kendall_tau_nations",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.n_cust - b.n_cust) * (a.n_orders - b.n_orders) > 0
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.n_cust - b.n_cust) * (a.n_orders - b.n_orders) < 0
+                  THEN 1 ELSE 0 END AS disc
+      FROM m a JOIN m b ON a.nationkey < b.nationkey
+    )
+    SELECT CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (SUM(conc) - SUM(disc)) / CAST(COUNT(*) AS DOUBLE) AS tau_a
+    FROM pairs
+    """,
+)
+def kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a rank correlation between two nation-level metrics
+    (customer count vs order count) — the robust association measure
+    that never touches a mean or a variance: pure CONCORDANT-vs-
+    DISCORDANT pair counting, so every intermediate is an exact
+    integer and the single division at the end is IEEE.
+
+    Scale honesty: pairs are O(groups²) over AGGREGATED rows (25
+    nations → 300 pairs), never over raw rows — the correct way to run
+    rank correlation at 100 TB is always aggregate-then-correlate.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    m = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("n_cust"),
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    prod = (F.col("a.n_cust") - F.col("b.n_cust")) * (
+        F.col("a.n_orders") - F.col("b.n_orders")
+    )
+    pairs = a.join(b, F.col("a.nationkey") < F.col("b.nationkey")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+    )
+    return pairs.agg(
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (
+            (F.sum("conc") - F.sum("disc")) / F.count("*").cast("double")
+        ).alias("tau_a"),
+    )
