@@ -1631,3 +1631,199 @@ def kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("conc") - F.sum("disc")) / F.count("*").cast("double")
         ).alias("tau_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance over the co-purchase graph (unrolled 3 rounds).
+# ---------------------------------------------------------------------------
+@query(
+    "bfs_hop_distance",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    d0 AS (SELECT MIN(l_partkey) AS part FROM lineitem),
+    d1 AS (
+      SELECT DISTINCT e.dst AS part
+      FROM edges e JOIN d0 ON e.src = d0.part
+      WHERE e.dst NOT IN (SELECT part FROM d0)
+    ),
+    d2 AS (
+      SELECT DISTINCT e.dst AS part
+      FROM edges e JOIN d1 ON e.src = d1.part
+      WHERE e.dst NOT IN (SELECT part FROM d0)
+        AND e.dst NOT IN (SELECT part FROM d1)
+    ),
+    d3 AS (
+      SELECT DISTINCT e.dst AS part
+      FROM edges e JOIN d2 ON e.src = d2.part
+      WHERE e.dst NOT IN (SELECT part FROM d0)
+        AND e.dst NOT IN (SELECT part FROM d1)
+        AND e.dst NOT IN (SELECT part FROM d2)
+    ),
+    dist AS (
+      SELECT part, 0 AS hop FROM d0
+      UNION ALL SELECT part, 1 FROM d1
+      UNION ALL SELECT part, 2 FROM d2
+      UNION ALL SELECT part, 3 FROM d3
+    )
+    SELECT CAST(hop AS INT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(part) AS BIGINT) AS min_part,
+           CAST(MAX(part) AS BIGINT) AS max_part,
+           CAST(SUM(part) AS BIGINT) AS sum_part
+    FROM dist GROUP BY hop
+    """,
+)
+def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from a seed part over the
+    co-purchase graph ("parts bought in the same order"), unrolled to
+    3 rounds — the reachability kernel under recommendation radius,
+    blast-radius analysis, and "customers also bought" expansion.
+
+    Each BFS round is the distributed frontier-expansion idiom: join
+    the frontier against the edge list on the source key, dedupe, then
+    LEFT ANTI against the visited set — no driver-side frontier
+    materialization, no recursion (Spark has none; the round count is
+    the unrolled depth, the same contract as the oracle's chained
+    CTEs). The seed is the minimum part key (deterministic, no RNG).
+    Output is the per-hop profile (count + min/max/sum of members) —
+    the membership fingerprint without a |V|-row result.
+
+    Scale posture: edges shuffle once on the basket key to be born
+    (bounded ~21× by TPC-H's ≤7-item baskets, the same dial as
+    ``copurchase_part_pairs``); each round is one hash join on src +
+    one anti join on part. Frontiers grow toward |V|, never beyond —
+    at 100 TB, partition edges by src so every round reuses the same
+    partitioning (zero re-shuffle per round after the first).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seed = li.agg(F.min("l_partkey").alias("part"))
+    visited = seed.withColumn("hop", F.lit(0))
+    frontier = seed
+    levels = [visited]
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(
+                frontier.select(F.col("part").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("part"))
+            .distinct()
+            .join(visited.select("part"), "part", "left_anti")
+        )
+        lvl = frontier.withColumn("hop", F.lit(hop))
+        levels.append(lvl)
+        visited = visited.unionByName(lvl)
+    dist = levels[0]
+    for lvl in levels[1:]:
+        dist = dist.unionByName(lvl)
+    return dist.groupBy(F.col("hop").cast("int").alias("hop")).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.min("part").cast("bigint").alias("min_part"),
+        F.max("part").cast("bigint").alias("max_part"),
+        F.sum("part").cast("bigint").alias("sum_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of purchased brands per nation (exact rational).
+# ---------------------------------------------------------------------------
+@query(
+    "simpson_brand_diversity",
+    oracle="""
+    WITH purchases AS (
+      SELECT n.n_name, p.p_brand
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    counts AS (
+      SELECT n_name, p_brand, CAST(COUNT(*) AS BIGINT) AS c
+      FROM purchases GROUP BY n_name, p_brand
+    )
+    SELECT n_name,
+           CAST(SUM(c) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS same_pairs,
+           CAST(SUM(c) * (SUM(c) - 1) AS BIGINT) AS all_pairs,
+           CAST(SUM(c) * (SUM(c) - 1) - SUM(c * (c - 1)) AS DOUBLE)
+             / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE) AS simpson_diversity
+    FROM counts
+    GROUP BY n_name
+    HAVING SUM(c) >= 2
+    """,
+)
+def simpson_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index (Simpson 1949, public) of part brands
+    purchased per nation: the probability that two distinct purchases
+    drawn from a nation's basket are DIFFERENT brands — the
+    concentration-vs-breadth dial next to ``gini_spend_concentration``
+    (Gini measures inequality of spend, Simpson measures mix purity;
+    a curation pipeline runs the same statistic on domain mix per
+    shard).
+
+    Exactness: the unbiased finite-population form ``1 − Σc(c−1) /
+    (N(N−1))`` is a ratio of exact bigint pair counts; both engines
+    compute the identical integers and then ONE IEEE division. The raw
+    pair counts are emitted alongside so consumers can aggregate
+    further without touching floats (diversities do not average;
+    pair counts do).
+
+    Scale posture: a star join (two broadcastable dims, nation and
+    part's brand projection), one shuffle to (nation, brand) counts,
+    one to nation — sufficient-statistics all the way down.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part")
+    purchases = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(p.select("p_partkey", "p_brand"), li.l_partkey == p.p_partkey)
+        .select("n_name", "p_brand")
+    )
+    counts = purchases.groupBy("n_name", "p_brand").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    agg = counts.groupBy("n_name").agg(
+        F.sum("c").cast("bigint").alias("n_items"),
+        F.count("*").cast("bigint").alias("n_brands"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("same_pairs"),
+    )
+    all_pairs = (F.col("n_items") * (F.col("n_items") - 1)).cast("bigint")
+    return agg.filter(F.col("n_items") >= 2).select(
+        "n_name",
+        "n_items",
+        "n_brands",
+        "same_pairs",
+        all_pairs.alias("all_pairs"),
+        (
+            (all_pairs - F.col("same_pairs")).cast("double")
+            / all_pairs.cast("double")
+        ).alias("simpson_diversity"),
+    )

@@ -996,3 +996,189 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope").alias("sen_slope"),
         F.col("n").cast("bigint").alias("n_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend over daily series (exact normal-equation arithmetic).
+# ---------------------------------------------------------------------------
+@query(
+    "ols_trend_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    origin AS (
+      SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1
+    ),
+    xy AS (
+      SELECT d.event_type,
+             CAST(datediff('day', o.day0, d.day) AS BIGINT) AS x,
+             d.y
+      FROM daily d JOIN origin o ON d.event_type = o.event_type
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+    FROM sums
+    WHERE n >= 2
+    """,
+)
+def ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend (slope + intercept) of each event type's
+    daily volume — the parametric sibling of ``theil_sen_trend``; a
+    monitoring layer reports both (OLS = efficient under clean data,
+    Theil-Sen = robust) and alerts when they diverge, which is itself
+    an outlier signal.
+
+    Exactness: the normal equations are evaluated entirely in bigint
+    (x is the day offset from the series' own first day, y the daily
+    count; ``n·Σxy − Σx·Σy`` and ``n·Σx² − (Σx)²`` are exact integer
+    sums), then slope and intercept are each ONE IEEE division of the
+    same two bigints in both engines — bit-identical quotients. The
+    exact numerator/denominator are also emitted so a consumer can
+    compare trends without any float at all.
+
+    Scale posture: one shuffle to daily counts, one tiny per-series
+    origin join (broadcastable), one partial-aggregated groupBy — the
+    classic sufficient-statistics pattern: 100 TB of raw events
+    reduce to five bigints per series before any math happens.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    origin = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    xy = daily.join(F.broadcast(origin), "event_type").select(
+        "event_type",
+        F.datediff("day", "day0").cast("bigint").alias("x"),
+        "y",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return sums.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+        (inum.cast("double") / den.cast("double")).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation at lags 1..7 (Pearson r over aligned day pairs).
+# ---------------------------------------------------------------------------
+@query(
+    "autocorr_daily_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT CAST(unnest([1,2,3,4,5,6,7]) AS BIGINT) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+    ),
+    sums AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+    FROM sums
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def autocorr_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each event type's daily volume at
+    lags 1–7 days: Pearson r between the series and itself shifted by
+    L days, over exactly the day pairs where BOTH observations exist
+    (a gap day contributes no pair — never an imputed zero). The
+    weekly lag-7 spike vs a flat tail is the standard seasonality
+    fingerprint a forecasting pipeline checks before model choice.
+
+    Exactness: all five sufficient statistics are exact bigint sums;
+    the quotient is one double division by one double sqrt of a double
+    product — every step an IEEE-correctly-rounded op on identical
+    operands in both engines, so the floats hash-match. Degenerate
+    series (constant within the overlap → zero variance) are filtered
+    on the EXACT integer variance, not a float epsilon.
+
+    Scale posture: the 7 lags come from one broadcast 7-row literal;
+    alignment is an equi-join on the precomputed target day (hash
+    join, no inequality scan); everything after is partial-aggregated
+    sufficient statistics — the same 100 TB→bigints funnel as
+    ``ols_trend_daily``.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    aug = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "x",
+        "lag",
+        F.date_add("day", F.col("lag").cast("int")).alias("tday"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("event_type"),
+        F.col("day").alias("tday"),
+        F.col("x").alias("y"),
+    )
+    pairs = aug.join(b, ["event_type", "tday"])
+    sums = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.filter(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0)
+    ).select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))).alias(
+            "acf"
+        ),
+    )
