@@ -1001,6 +1001,38 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # OLS trend over daily series (exact normal-equation arithmetic).
 # ---------------------------------------------------------------------------
+def ols_from_daily(daily: DataFrame) -> DataFrame:
+    """OLS slope/intercept from a (event_type, day, y) daily table —
+    the exact normal-equation math shared by the batch query below and
+    the streaming sufficient-statistics job
+    (``streaming/jobs.ols_stats_stream``), so both paths produce
+    bit-identical trends from the same day-level rollup."""
+    origin = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    xy = daily.join(F.broadcast(origin), "event_type").select(
+        "event_type",
+        F.datediff("day", "day0").cast("bigint").alias("x"),
+        "y",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return sums.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+        (inum.cast("double") / den.cast("double")).alias("intercept"),
+    )
+
+
 @query(
     "ols_trend_daily",
     oracle="""
@@ -1062,30 +1094,7 @@ def ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count("*").cast("bigint").alias("y"))
     )
-    origin = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
-    xy = daily.join(F.broadcast(origin), "event_type").select(
-        "event_type",
-        F.datediff("day", "day0").cast("bigint").alias("x"),
-        "y",
-    )
-    sums = xy.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
-    return sums.filter(F.col("n") >= 2).select(
-        "event_type",
-        F.col("n").alias("n_days"),
-        num.cast("bigint").alias("slope_num"),
-        den.cast("bigint").alias("slope_den"),
-        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
-        (inum.cast("double") / den.cast("double")).alias("intercept"),
-    )
+    return ols_from_daily(daily)
 
 
 # ---------------------------------------------------------------------------

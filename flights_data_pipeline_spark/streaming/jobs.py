@@ -825,3 +825,71 @@ def scd2_ingest_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def ols_stats_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of the day-level rollup behind the OLS
+    trend (``queries/timeseries.ols_trend_daily``): each micro-batch's
+    events collapse to (event_type, day, cnt) rows tagged with the
+    batch id, merged latest-wins on (event_type, day, __batch).
+
+    Why the batch id is part of the KEY and not a bookkeeping column:
+    a day's events may be split across micro-batches, so day counts are
+    additive across batches — but a plain additive merge double-counts
+    under foreachBatch's at-least-once replay. Keying each batch's
+    contribution separately makes the merge replay-IDEMPOTENT (a
+    replayed batch recomputes the identical rows and latest-wins
+    rewrites them in place) while the snapshot reader sums the
+    per-batch contributions back to true day counts.
+
+    This is the sufficient-statistics posture at 100 TB: state is
+    day-level (|series| × |days| × |batches-touching-the-day| rows of
+    four small columns), NEVER event-level; the trend itself is
+    recomputed from state in milliseconds by ``ols_trend_from_state``
+    via the exact math the batch query uses (``ols_from_daily``), so
+    streamed and batch trends are bit-identical on the same events.
+    Returns the started ``StreamingQuery``.
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        from ..operators.merge import merge_latest_parquet
+
+        daily = (
+            batch.groupBy(
+                "event_type", F.col("ts").cast("date").alias("day")
+            )
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .withColumn("__batch", F.lit(batch_id).cast("bigint"))
+        )
+        merge_latest_parquet(
+            batch.sparkSession,
+            state_path,
+            daily,
+            keys=["event_type", "day", "__batch"],
+            order_cols=["cnt"],
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def ols_trend_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Recover the OLS trend from the streamed day-level state: sum the
+    per-batch contributions back to day counts, then run the exact
+    shared normal-equation math — on the same events this equals the
+    batch ``ols_trend_daily`` bit-for-bit."""
+    from ..queries.timeseries import ols_from_daily
+
+    st = spark.read.parquet(state_path)
+    daily = st.groupBy("event_type", "day").agg(
+        F.sum("cnt").cast("bigint").alias("y")
+    )
+    return ols_from_daily(daily)
