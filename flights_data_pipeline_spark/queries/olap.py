@@ -1827,3 +1827,228 @@ def simpson_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / all_pairs.cast("double")
         ).alias("simpson_diversity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: confidence + lift over co-purchase pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_baskets AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM items
+    ),
+    item_sup AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM items GROUP BY l_partkey
+    ),
+    pair_sup AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS sup_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top_pairs AS (
+      SELECT part_a, part_b, sup_ab,
+             row_number() OVER (ORDER BY sup_ab DESC, part_a, part_b) AS rn
+      FROM pair_sup
+    ),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, sup_ab, rn
+      FROM top_pairs WHERE rn <= 20
+      UNION ALL
+      SELECT part_b, part_a, sup_ab, rn FROM top_pairs WHERE rn <= 20
+    )
+    SELECT r.antecedent, r.consequent, r.sup_ab AS pair_support,
+           sa.sup AS antecedent_support, sc.sup AS consequent_support,
+           CAST(r.sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS confidence,
+           CAST(r.sup_ab * nb.nb AS DOUBLE)
+             / CAST(sa.sup * sc.sup AS DOUBLE) AS lift
+    FROM rules r
+    JOIN item_sup sa ON r.antecedent = sa.l_partkey
+    JOIN item_sup sc ON r.consequent = sc.l_partkey
+    CROSS JOIN n_baskets nb
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the top-20 co-purchase pairs: confidence
+    ``P(B|A) = sup(A,B)/sup(A)`` and lift ``sup(A,B)·N /
+    (sup(A)·sup(B))`` in both rule directions — the scoring half of
+    A-priori that turns ``copurchase_part_pairs``'s raw supports into
+    "buyers of A are k× likelier than baseline to also buy B".
+
+    Exactness: all three supports and the basket total are exact
+    bigint counts; confidence and lift are each ONE IEEE division of
+    exact integer products — identical in both engines. Rule rows are
+    emitted for BOTH orientations of each undirected pair (confidence
+    is directional even when support is not).
+
+    Scale posture: identical pair-generation dial as
+    ``copurchase_part_pairs`` (Σ basket_size², baskets ≤ 7 items);
+    the item-support and basket-count sides are one groupBy each and
+    join back onto 40 rule rows — broadcast-sized by construction.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("nb")
+    )
+    item_sup = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("sup")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_sup = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("sup_ab"))
+    )
+    top = (
+        pair_sup.orderBy(F.col("sup_ab").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+    rules = top.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "sup_ab",
+    ).unionByName(
+        top.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "sup_ab",
+        )
+    )
+    sa = item_sup.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("sup").alias("antecedent_support"),
+    )
+    sc = item_sup.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("sup").alias("consequent_support"),
+    )
+    return (
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup_ab").alias("pair_support"),
+            "antecedent_support",
+            "consequent_support",
+            (
+                F.col("sup_ab").cast("double")
+                / F.col("antecedent_support").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("sup_ab") * F.col("nb")).cast("double")
+                / (
+                    F.col("antecedent_support") * F.col("consequent_support")
+                ).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quintile bands.
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(o_orderdate) AS d1 FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(datediff('day', MAX(o_orderdate),
+                           (SELECT d1 FROM anchor)) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    banded AS (
+      SELECT o_custkey,
+             CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+                  AS INT) AS r_band,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                  AS INT) AS f_band,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                  AS INT) AS m_band,
+             monetary
+      FROM per_cust
+    )
+    SELECT r_band, f_band, m_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_value
+    FROM banded
+    GROUP BY r_band, f_band, m_band
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-value grid: per-customer quintile bands on days since
+    last order, order count, and lifetime spend, rolled up to segment
+    cells with population and value — band (1,1,1) is "bought
+    recently, buys often, spends big".
+
+    Band semantics: NTILE(5) under a TOTAL order (metric + custkey
+    tiebreak) so both engines assign identical bands; recency ranks
+    ascending (fresher = band 1), frequency and monetary descending
+    (bigger = band 1). Money stays DECIMAL through the per-customer
+    and segment sums and casts to double only at the output surface.
+
+    Scale posture: per-customer metrics are one groupBy over orders
+    (customer-grain — 5 orders of magnitude smaller than lineitem);
+    the three global NTILEs share the single-partition-sort caveat
+    documented on ``ntile_decile_stats`` — acceptable because the
+    input is the CUSTOMER table, not the fact table, and the
+    production variant band-cuts on pre-aggregated quantile bounds.
+    """
+    o = t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("d1"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("d1"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .alias("monetary"),
+        )
+    )
+    banded = per_cust.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .cast("int")
+        .alias("r_band"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("int")
+        .alias("f_band"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .cast("int")
+        .alias("m_band"),
+        "monetary",
+    )
+    return banded.groupBy("r_band", "f_band", "m_band").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_value"),
+    )

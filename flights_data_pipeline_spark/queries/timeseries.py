@@ -1191,3 +1191,150 @@ def autocorr_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate).
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    out_deg AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS out_total
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n AS n_transitions,
+           d.out_total,
+           CAST(t.n AS DOUBLE) / CAST(d.out_total AS DOUBLE) AS prob
+    FROM trans t JOIN out_deg d ON t.from_type = d.from_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (from_type → to_type) pair, the transition
+    count and the maximum-likelihood probability ``n / out_degree`` —
+    the model behind next-action prediction, funnel-leak detection,
+    and bot fingerprinting (a scripted user's matrix is near-
+    deterministic; a human's is diffuse).
+
+    Ordering is a TOTAL per-user order (ts + event_id tiebreak — two
+    events in the same microsecond otherwise make LEAD nondeterministic
+    across engines). Counts are exact bigints; each probability is one
+    IEEE division of the same two bigints in both engines.
+
+    Scale posture: one window pass partitioned by user (the natural
+    key — sequences never cross users, so partitions are independent),
+    then a groupBy on the pair — output is |event_types|² rows, tiny
+    at any corpus scale. The same shape runs incrementally by keeping
+    each user's LAST event as state and counting transitions per
+    arriving batch.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    out_deg = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("out_total")
+    )
+    return trans.join(out_deg, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "out_total",
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("out_total").cast("double")
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile (exact rational seasonal index).
+# ---------------------------------------------------------------------------
+@query(
+    "dow_seasonality_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    by_dow AS (
+      SELECT event_type,
+             CAST(dayofweek(day) + 1 AS INT) AS dow,
+             CAST(SUM(x) AS BIGINT) AS dow_events,
+             CAST(COUNT(*) AS BIGINT) AS dow_days
+      FROM daily GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type,
+             CAST(SUM(dow_events) AS BIGINT) AS all_events,
+             CAST(SUM(dow_days) AS BIGINT) AS all_days
+      FROM by_dow GROUP BY event_type
+    )
+    SELECT b.event_type, b.dow, b.dow_events, b.dow_days,
+           CAST(b.dow_events * t.all_days AS DOUBLE)
+             / CAST(b.dow_days * t.all_events AS DOUBLE) AS seasonal_index
+    FROM by_dow b JOIN totals t ON b.event_type = t.event_type
+    """,
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean daily volume on
+    each weekday divided by the overall mean daily volume — index > 1
+    marks the hot weekdays. The decomposition sibling of
+    ``autocorr_daily_lags`` (the lag-7 ACF *detects* weekly
+    seasonality; this profile *shapes* it), and the correction factor
+    a forecasting or anomaly layer divides out first.
+
+    Means are over OBSERVED days only (a day absent from the rollup is
+    unknown, not zero — same missing-day stance as the ACF). The index
+    is the ratio of two fractions restated as one IEEE division of two
+    exact bigint PRODUCTS: ``(dow_events·all_days) /
+    (dow_days·all_events)`` — no intermediate float. Weekday numbering
+    pins Spark's ``dayofweek`` (1 = Sunday); the oracle maps DuckDB's
+    0-based ``dayofweek`` onto the same scale.
+
+    Scale posture: one shuffle to daily counts, one to (series, dow) —
+    7 rows per series out; sufficient statistics all the way.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    by_dow = daily.groupBy(
+        "event_type", F.dayofweek("day").cast("int").alias("dow")
+    ).agg(
+        F.sum("x").cast("bigint").alias("dow_events"),
+        F.count("*").cast("bigint").alias("dow_days"),
+    )
+    totals = by_dow.groupBy("event_type").agg(
+        F.sum("dow_events").cast("bigint").alias("all_events"),
+        F.sum("dow_days").cast("bigint").alias("all_days"),
+    )
+    return by_dow.join(totals, "event_type").select(
+        "event_type",
+        "dow",
+        "dow_events",
+        "dow_days",
+        (
+            (F.col("dow_events") * F.col("all_days")).cast("double")
+            / (F.col("dow_days") * F.col("all_events")).cast("double")
+        ).alias("seasonal_index"),
+    )
