@@ -1338,3 +1338,170 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("dow_days") * F.col("all_events")).cast("double")
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time distribution (exact order-statistic summary).
+# ---------------------------------------------------------------------------
+@query(
+    "interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+      FROM seq WHERE gap_us IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap_us) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM gaps
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2
+                         THEN gap_us END) AS BIGINT) AS median_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10
+                         THEN gap_us END) AS BIGINT) AS p90_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: the gaps between
+    a user's CONSECUTIVE events of the same type, summarized as exact
+    order statistics (min / median / p90 / max, in microseconds) — the
+    telemetry a rate-limit, bot-detection, or capacity layer reads
+    (a p90 gap collapsing toward the min is a burst signature).
+
+    Exactness: gaps are bigint microsecond differences; every quantile
+    is an exact RANK pick — row_number at ``(n+1) DIV 2`` and
+    ``ceil(0.9n) = (9n+9) DIV 10`` under a total (gap, rank) order —
+    never an interpolating percentile (engines interpolate
+    differently). NULL first-events drop out before ranking.
+
+    Scale posture: one window pass partitioned by (user, type) — the
+    sequence key, so partitions are independent and skew-free — then
+    one rank window per event type over the gap table (gaps ≈ events,
+    one shuffle on the 5-value type key; at real cardinalities the
+    rank window keys on (type, day) to bound partitions).
+    """
+    ev = t(spark, sf_dir, "events")
+    ws = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(ws)
+            ).cast("bigint").alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wr = W.partitionBy("event_type").orderBy("gap_us")
+    wn = W.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us")
+            )
+        ).cast("bigint").alias("median_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_us")
+            )
+        ).cast("bigint").alias("p90_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete churn hazard by tenure day (Kaplan-Meier risk sets).
+# ---------------------------------------------------------------------------
+@query(
+    "user_churn_hazard",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(datediff('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))) AS BIGINT) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    exits AS (
+      SELECT last_day AS tenure_day, CAST(COUNT(*) AS BIGINT) AS d
+      FROM span GROUP BY last_day
+    ),
+    risk AS (
+      SELECT tenure_day, d,
+             CAST(SUM(d) OVER (ORDER BY tenure_day DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_at_risk
+      FROM exits
+    )
+    SELECT tenure_day, d AS n_exits, n_at_risk,
+           CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+    FROM risk
+    """,
+)
+def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete churn hazard by tenure day — the Kaplan-Meier building
+    block (Kaplan & Meier 1958, public): for each tenure day t, the
+    share of still-active users whose LAST activity fell on day t of
+    their lifetime: ``hazard(t) = exits(t) / at_risk(t)`` with
+    ``at_risk(t) = Σ_{s≥t} exits(s)`` (everyone who survived to t).
+    A hazard spike at t=13 is the "day-13 cliff" a retention team
+    hunts for.
+
+    Exactness: tenure is exact integer day arithmetic per user; the
+    risk set is a reversed cumulative sum over the ~|days| exit rows
+    (exact bigint); each hazard is one IEEE division of the same two
+    bigints in both engines. The survival CURVE (the cumulative
+    product) is deliberately NOT emitted — float products are
+    evaluation-order-sensitive across engines; consumers fold the
+    hazard rows client-side in tenure order.
+
+    Scale posture: one groupBy to user spans (user-grain), one to exit
+    counts (day-grain — tiny), one single-partition window over ~|days|
+    rows. The 100 TB cost is the first groupBy, which any retention
+    metric pays.
+    """
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).cast("bigint").alias("last_day")
+    )
+    exits = span.groupBy(F.col("last_day").alias("tenure_day")).agg(
+        F.count("*").cast("bigint").alias("n_exits")
+    )
+    w = (
+        W.orderBy(F.col("tenure_day").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = exits.withColumn(
+        "n_at_risk", F.sum("n_exits").over(w).cast("bigint")
+    )
+    return risk.select(
+        "tenure_day",
+        "n_exits",
+        "n_at_risk",
+        (
+            F.col("n_exits").cast("double") / F.col("n_at_risk").cast("double")
+        ).alias("hazard"),
+    )
