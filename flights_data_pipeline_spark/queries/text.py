@@ -1563,3 +1563,173 @@ def bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars_word").cast("bigint").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic quality filters (Raffel et al. 2020, public).
+# ---------------------------------------------------------------------------
+@query(
+    "c4_quality_filters",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+               AS n_word_chars,
+             CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+               AS n_terminals,
+             regexp_matches(text, '[.!?]"?\s*$') AS ends_terminal,
+             NOT contains(text, '{') AS no_brace,
+             NOT contains(lower(text), 'lorem ipsum') AS no_lorem
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_terminals, ends_terminal,
+           n_terminals >= 3 AS has_3_sentences,
+           no_brace, no_lorem,
+           n_words >= 5 AND n_words <= 100000 AS word_count_ok,
+           3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+             AS mean_word_len_ok,
+           ends_terminal AND n_terminals >= 3 AND no_brace AND no_lorem
+             AND n_words >= 5 AND n_words <= 100000
+             AND 3 * n_words <= n_word_chars
+             AND n_word_chars <= 10 * n_words AS passes_c4
+    FROM feats
+    """,
+)
+def c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 heuristic filter bank (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning" §2.2, public): per-document booleans
+    for the rules the C4 cleaning pass applies — ends in terminal
+    punctuation, ≥3 sentences, no curly brace (code tell), no
+    "lorem ipsum", word count in range, mean word length in [3,10] —
+    plus the conjunction. Sits beside ``text_quality`` (ratio scores)
+    and ``repetition_quality`` (Gopher rules) as the third public
+    filter family a curation pipeline composes.
+
+    Exactness: every feature is an exact integer count (regexp counts,
+    char counts) or a substring test; the mean-word-length band is the
+    integer cross-multiplication ``3·words ≤ chars ≤ 10·words`` — no
+    float ever materializes. On this synthetic corpus the punctuation
+    rules fail everywhere (the generator emits no sentence marks) —
+    the point is the FILTER semantics, pinned cross-engine.
+
+    Scale posture: embarrassingly parallel per-document row work,
+    whole-stage codegen, no shuffle at all.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_words = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    n_word_chars = F.length(
+        F.regexp_replace(F.col("text"), r"\s", "")
+    ).cast("bigint")
+    n_terminals = F.regexp_count(F.col("text"), F.lit(r"[.!?]")).cast(
+        "bigint"
+    )
+    ends_terminal = F.col("text").rlike(r'[.!?]"?\s*$')
+    no_brace = ~F.col("text").contains("{")
+    no_lorem = ~F.lower(F.col("text")).contains("lorem ipsum")
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_terminals.alias("n_terminals"),
+        ends_terminal.alias("ends_terminal"),
+        no_brace.alias("no_brace"),
+        no_lorem.alias("no_lorem"),
+    )
+    word_count_ok = (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
+    mean_len_ok = (3 * F.col("n_words") <= F.col("n_word_chars")) & (
+        F.col("n_word_chars") <= 10 * F.col("n_words")
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_terminals",
+        "ends_terminal",
+        (F.col("n_terminals") >= 3).alias("has_3_sentences"),
+        "no_brace",
+        "no_lorem",
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        (
+            F.col("ends_terminal")
+            & (F.col("n_terminals") >= 3)
+            & F.col("no_brace")
+            & F.col("no_lorem")
+            & word_count_ok
+            & mean_len_ok
+        ).alias("passes_c4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease (vowel-group syllable proxy).
+# ---------------------------------------------------------------------------
+@query(
+    "flesch_reading_ease",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE) * (n_words / CAST(n_sentences AS DOUBLE))
+             - CAST(84.6 AS DOUBLE) * (n_syllables / CAST(n_words AS DOUBLE))
+             AS flesch_score
+    FROM feats
+    WHERE n_words > 0
+    """,
+)
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (Flesch 1948, public) per document, with the
+    standard regex syllable proxy (maximal vowel-group runs — the
+    deterministic stand-in for dictionary syllabification every
+    SQL-side readability probe uses). Readability joins length/ratio/
+    repetition/C4 as a quality-scoring column a curation mix can gate
+    or stratify on.
+
+    Exactness discipline for a FLOAT formula: the three counts are
+    exact bigints; the score is the identical expression tree in both
+    engines — two IEEE divisions, two multiplications by double
+    literals (the oracle CASTs its literals to DOUBLE because DuckDB
+    types bare decimal literals as DECIMAL, whose arithmetic would
+    diverge from Spark's double), three subtractions left-to-right.
+    Same operands, same ops, same order → identical bits.
+    Sentence count clamps to ≥1 (this corpus has no terminal
+    punctuation; the clamp is the standard guard, not a fudge).
+
+    Scale posture: pure per-row codegen, no shuffle.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_words = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    n_sentences = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+    )
+    n_syllables = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"[aeiouy]+")
+    ).cast("bigint")
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words") / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syllables") / F.col("n_words").cast("double"))
+        ).alias("flesch_score"),
+    )
