@@ -2052,3 +2052,126 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("monetary").cast("double").alias("segment_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient per node (exact rational).
+# ---------------------------------------------------------------------------
+@query(
+    "clustering_coefficient",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM sym GROUP BY u
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.n_tri, 0) AS n_triangles,
+           CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+             AS clustering_coeff
+    FROM deg d LEFT JOIN tri_per_node t ON d.node = t.node
+    WHERE d.degree >= 2
+    """,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998, public) per
+    node of the co-purchase graph: ``2·triangles(v) /
+    (deg(v)·(deg(v)−1))`` — what share of a part's co-purchase
+    neighbors are THEMSELVES co-purchased. Completes the graph-metric
+    family (degree → PageRank → triangles → components → BFS →
+    clustering): the per-node density dial that separates "hub by
+    accident" (low coeff) from "bundle" (high coeff).
+
+    Triangle attribution reuses ``copurchase_triangles``'s oriented
+    a<b<c enumeration — each triangle found once, then credited to all
+    three corners via a 3-way unpivot (never a second enumeration per
+    corner). Degree comes from the symmetrized edge list. The
+    coefficient is exact-bigint cross-multiplication down to ONE IEEE
+    division; nodes of degree < 2 are excluded (the statistic is
+    undefined, not zero, there).
+
+    Scale posture: same support-≥2 edge prune and equi-join triangle
+    plan as the census query; the per-node credit is a union of three
+    tiny projections of the triangle set, one groupBy. At 100 TB the
+    degree-orientation refinement applies unchanged.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    tri_per_node = corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            (
+                (2 * F.coalesce("n_tri", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
