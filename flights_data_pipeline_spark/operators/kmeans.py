@@ -133,6 +133,7 @@ def _maxmin_init(vecs: DataFrame, k: int) -> DataFrame:
             )
         )
         far = (
+            # scale-ok: cdf is broadcast at creation (<= k sampled centroid rows)
             vecs.crossJoin(cdf)
             .select("id", "vec", _sq_l2(F.col("vec"), F.col("centroid")).alias("d2"))
             .groupBy("id")
@@ -183,6 +184,7 @@ def _maxmin_init_sampled(vecs: DataFrame, k: int, sample_size: int) -> DataFrame
         .orderBy("h", "id")
         .limit(sample_size)
         .select("id", "vec")
+        # scale-ok: bounded by limit(sample_size) — init sample, not the corpus
         .collect()
     )
     if len(sample) < k:

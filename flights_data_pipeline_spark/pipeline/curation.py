@@ -192,5 +192,6 @@ def run_curation(
 
         _with_retries(f"curation:{name}", step, retries, on_failure)
 
+    # scale-ok: stage-count report rows (one per curation stage), never docs
     report = spark.read.parquet(f"{out_dir}/curation_report").collect()
     return {r["stage"]: r["docs"] for r in report}

@@ -1471,6 +1471,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "l", "r")
             .limit(1)
+            # scale-ok: 1-row argmax pair per BPE round (k-row discipline)
             .collect()
         )
         if not top:
@@ -1500,6 +1501,7 @@ def _learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     if key not in _LEARNED_MERGES:
         _LEARNED_MERGES[key] = [
             (r["left"], r["right"])
+            # scale-ok: BPE_ROUNDS merge rows — the trained artifact, not data
             for r in bpe_train_merges(spark, sf_dir).orderBy("round").collect()
         ]
     return _LEARNED_MERGES[key]
