@@ -79,6 +79,12 @@ HEADLINE = [
     "pagerank_copurchase",
     "scd2_user_state_history",
     "bpe_train_merges",
+    # round-6 additions, second batch
+    "association_rules",
+    "autocorr_daily_lags",
+    "clustering_coefficient",
+    "c4_quality_filters",
+    "interarrival_stats",
 ]
 
 
