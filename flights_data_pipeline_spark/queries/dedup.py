@@ -1300,3 +1300,112 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.coalesce("n_dup_sources", F.lit(0)) == 0).alias("is_novel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (quote/boilerplate inclusion).
+# ---------------------------------------------------------------------------
+@query(
+    "containment_dedup",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM e
+      ) WHERE df <= {NGRAM_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    oriented AS (
+      SELECT p.a_id AS contained_id, p.b_id AS container_id,
+             p.n_common, sa.n AS n_contained
+      FROM pairs p
+      JOIN sizes sa ON p.a_id = sa.doc_id
+      WHERE 2 * p.n_common >= sa.n
+      UNION ALL
+      SELECT p.b_id, p.a_id, p.n_common, sb.n
+      FROM pairs p
+      JOIN sizes sb ON p.b_id = sb.doc_id
+      WHERE 2 * p.n_common >= sb.n
+    )
+    SELECT contained_id, container_id, n_common, n_contained,
+           CAST(n_common AS DOUBLE) / CAST(n_contained AS DOUBLE)
+             AS containment
+    FROM oriented
+    """,
+)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``|A∩B| / |A|`` ≥ 1/2 flags "A is mostly inside B" — the
+    quote-inclusion / boilerplate-wrapper / excerpt case that
+    symmetric Jaccard structurally misses (a 100-shingle doc quoted
+    inside a 10,000-shingle page has Jaccard ≈ 0.01 but containment
+    1.0). Broder's containment sketch (1997, public) is the classic
+    framing; a crawl dedup runs BOTH verdicts.
+
+    Each unordered pair is tested in both orientations and emitted
+    per passing DIRECTION (containment is asymmetric; both rows can
+    fire for true twins). The gate is the exact integer
+    cross-multiplication ``2·common ≥ |A|``; the float containment is
+    one IEEE division emitted for consumers.
+
+    Scale honesty: candidate generation shares ``ngram_jaccard_topk``'s
+    DF-capped shingle self-join — pairs sharing only boilerplate
+    (high-DF) shingles are not candidates, which is the right bias for
+    CONTAINMENT too (a contained doc shares its rare shingles with its
+    container). At 100 TB the same kernel runs per LSH/prefix block,
+    never corpus-wide.
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n")
+    )
+    df_s = e.groupBy("s").agg(F.count("*").alias("df"))
+    kept = e.join(df_s.filter(F.col("df") <= NGRAM_DF_CAP), "s").select(
+        "doc_id", "s"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    both = pairs.join(sa, "a_id").join(sb, "b_id")
+    fwd = both.filter(2 * F.col("n_common") >= F.col("na")).select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        "n_common",
+        F.col("na").alias("n_contained"),
+    )
+    rev = both.filter(2 * F.col("n_common") >= F.col("nb")).select(
+        F.col("b_id").alias("contained_id"),
+        F.col("a_id").alias("container_id"),
+        "n_common",
+        F.col("nb").alias("n_contained"),
+    )
+    return fwd.unionByName(rev).select(
+        "contained_id",
+        "container_id",
+        "n_common",
+        "n_contained",
+        (
+            F.col("n_common").cast("double")
+            / F.col("n_contained").cast("double")
+        ).alias("containment"),
+    )

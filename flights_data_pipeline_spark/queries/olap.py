@@ -2335,3 +2335,93 @@ def business_days_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bdays").cast("double") / F.count("*").cast("double")
         ).alias("mean_bdays"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue change contribution by segment.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_change_contribution",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT segment, month, revenue,
+             revenue - lag(revenue) OVER (PARTITION BY segment
+                                          ORDER BY month) AS delta
+      FROM monthly
+    ),
+    with_total AS (
+      SELECT segment, month, revenue, delta,
+             SUM(delta) OVER (PARTITION BY month) AS total_delta
+      FROM deltas WHERE delta IS NOT NULL
+    )
+    SELECT segment, month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(delta AS DOUBLE) AS mom_delta,
+           CAST(total_delta AS DOUBLE) AS total_mom_delta,
+           CASE WHEN total_delta <> 0
+                THEN CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE)
+           END AS contribution_share
+    FROM with_total
+    """,
+)
+def revenue_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue-change CONTRIBUTION by market segment:
+    each segment's MoM delta and its share of the total MoM delta —
+    the "what drove the change" decomposition every revenue review
+    starts from (a +2% month hiding one segment +10% and another −8%
+    is the case this query exists to expose).
+
+    Exactness: revenue stays DECIMAL through the monthly sums, the
+    LAG delta, and the per-month total; shares are one IEEE division
+    of the same two decimals-cast-double, NULL (not 0/0) on flat
+    months. LAG partitions by segment and orders by month — TPC-H
+    order dates populate every month, so lag-1 is the prior calendar
+    month in both engines.
+
+    Scale posture: one shuffle to (segment, month) — the star join's
+    customer side broadcasts after pruning to two columns — then
+    window passes over segment-month grain (|segments|·|months| rows,
+    tiny forever).
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    monthly = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("revenue")
+        )
+    )
+    ws = W.partitionBy("segment").orderBy("month")
+    deltas = monthly.withColumn(
+        "delta", F.col("revenue") - F.lag("revenue").over(ws)
+    ).filter(F.col("delta").isNotNull())
+    wm = W.partitionBy("month")
+    with_total = deltas.withColumn(
+        "total_delta", F.sum("delta").over(wm)
+    )
+    return with_total.select(
+        "segment",
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("delta").cast("double").alias("mom_delta"),
+        F.col("total_delta").cast("double").alias("total_mom_delta"),
+        F.when(
+            F.col("total_delta") != 0,
+            F.col("delta").cast("double") / F.col("total_delta").cast("double"),
+        ).alias("contribution_share"),
+    )

@@ -2128,3 +2128,129 @@ def label_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca.join(cb, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", "n_a", "n_b", dot.alias("dot_sums"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (sign) quantization + Hamming top-k with exact-cosine rerank.
+# ---------------------------------------------------------------------------
+def _duck_pack(col: str, lo: int) -> str:
+    """Pack dims [lo, lo+31] (1-based, inclusive) of a list into one
+    BIGINT of sign bits — the DuckDB twin of ``_pack32``."""
+    return (
+        f"CAST(list_sum(list_transform(({col})[{lo}:{lo + 31}], "
+        f"(x, i) -> CASE WHEN x > 0 THEN CAST(2**(i-1) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+def _pack32(col: Column, lo: int) -> Column:
+    """Sign-bit-pack 32 dims starting at 1-based position ``lo`` into a
+    bigint: bit (i-1) set iff dim value > 0. Powers come from an exact
+    double pow (2^i is float-exact for i ≤ 52), summed as bigints —
+    disjoint bits, so addition == bitwise OR, and the 32-dim half stays
+    far from signed overflow."""
+    powers = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: F.pow(F.lit(2.0), i).cast("bigint"),
+    )
+    sel = F.zip_with(
+        F.slice(col, lo, 32),
+        powers,
+        lambda x, p: F.when(x > F.lit(0.0), p).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return F.aggregate(
+        sel, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+
+
+@query(
+    "binary_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+      SELECT vec_id, embedding,
+             {_duck_pack('embedding', 1)} AS b_lo,
+             {_duck_pack('embedding', 33)} AS b_hi
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM packed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.b_lo, e.b_lo))
+                  + bit_count(xor(q.b_hi, e.b_hi)) AS BIGINT) AS hamming,
+             {_duck_dot('q.embedding', 'e.embedding')}
+               / (sqrt({_duck_dot('q.embedding', 'q.embedding')})
+                  * sqrt({_duck_dot('e.embedding', 'e.embedding')}))
+               AS cosine
+      FROM q CROSS JOIN packed e
+      WHERE e.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, rank, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) embedding quantization with Hamming-distance
+    top-{TOP_K} and exact-cosine rerank column — the 32× compression
+    rung below int8 (``embedding_int8_quant``) and PQ (``pq_encode``):
+    64 float dims become TWO bigints, distance becomes two XOR+popcount
+    ops, and the exact cosine of each retrieved pair is emitted so the
+    caller sees precisely what the 1-bit approximation cost.
+
+    Exactness: packing is exact integer arithmetic (2^i powers are
+    float-exact, disjoint bits make the sum an OR); Hamming is
+    XOR+bit_count on identical bigints in both engines; ranking orders
+    on (hamming, neighbor_id) — a total integer order, no float in the
+    ranking path. The cosine column reuses the strict-left-fold dot
+    twins every ANN query here uses.
+
+    Scale posture: the candidate side carries 16 BYTES per vector
+    (vs 256 for the floats) — the representation that keeps a
+    billion-vector first pass in memory; the query side broadcasts;
+    one narrow scan, per-query top-k. At production recall targets the
+    Hamming pass over-fetches (k' ≈ 4k) and the float rerank runs only
+    on the shortlist — exactly the shape shown here.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        "embedding",
+        _pack32(F.col("embedding"), 1).alias("b_lo"),
+        _pack32(F.col("embedding"), 33).alias("b_hi"),
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("b_lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("b_hi")))
+            ).cast("bigint").alias("hamming"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "rank", "cosine")
+    )

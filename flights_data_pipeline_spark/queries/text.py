@@ -1735,3 +1735,109 @@ def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_syllables") / F.col("n_words").cast("double"))
         ).alias("flesch_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law measurement, one pass).
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_growth_curve",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),
+                                         '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             SUM(d.n_toks) OVER (ORDER BY d.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             SUM(COALESCE(f.n_new, 0))
+               OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum_vocab,
+             row_number() OVER (ORDER BY d.doc_id) AS rn,
+             COUNT(*) OVER () AS n_docs
+      FROM doc_tokens d
+      LEFT JOIN (
+        SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY first_doc
+      ) f ON d.doc_id = f.first_doc
+    )
+    SELECT CAST((10 * rn) / n_docs AS INT) AS decile,
+           CAST(MAX(cum_tokens) AS BIGINT) AS cum_tokens,
+           CAST(MAX(cum_vocab) AS BIGINT) AS cum_vocab
+    FROM per_doc
+    WHERE (10 * rn) % n_docs = 0
+    GROUP BY (10 * rn) / n_docs
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law measurement, public):
+    cumulative distinct-token count vs cumulative token count at each
+    corpus decile, reading the corpus in doc_id order. A flattening
+    curve says the crawl is exhausting its domain (diminishing novel
+    content — the signal that triggers source rotation); a linear one
+    says the corpus is still young.
+
+    The one-pass trick is the point: instead of K prefix scans with K
+    ``COUNT(DISTINCT)``s (the naive shape — K full shuffles of the
+    token stream), each token maps to its FIRST-occurrence doc
+    (one groupBy), and the running vocabulary size is the cumulative
+    sum of first-occurrence counts by doc — vocabulary at ANY prefix
+    from one aggregation, exactly (not a sketch). Checkpoint rows land
+    exactly where rank·10/n is integral, so engines agree on cut
+    placement by integer arithmetic.
+
+    Scale posture: two token-grain shuffles total (first-occurrence
+    groupBy, per-doc counts), then doc-grain windows. The
+    single-partition global window runs over DOC-grain rows (and at
+    real scale over per-shard subtotals).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_toks")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    per_doc = (
+        doc_tokens.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+            F.row_number().over(W.orderBy("doc_id")).alias("rn"),
+            F.count("*").over(wall).alias("n_docs"),
+        )
+    )
+    return (
+        per_doc.filter((10 * F.col("rn")) % F.col("n_docs") == 0)
+        .groupBy(
+            ((10 * F.col("rn")) / F.col("n_docs"))
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(
+            F.max("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.max("cum_vocab").cast("bigint").alias("cum_vocab"),
+        )
+    )
