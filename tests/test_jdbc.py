@@ -134,3 +134,44 @@ def test_jdbc_half_open_window_catches_subsecond_tail(spark, tmp_path):
         ).collect()
     )
     assert nxt == ["next_day"]
+
+
+def test_jdbc_federated_join_broadcasts_dim(spark, tmp_path):
+    """Federated plan: a parquet fact joined to a JDBC-served dim in
+    ONE DataFrame plan — result equals the pure-parquet join, and the
+    JDBC side (a tiny dim) is BROADCAST, so the fact never shuffles
+    for it. This is the lakehouse enrichment shape: facts on object
+    store, reference data in an operational database.
+    """
+    from .conftest import SF_DIR
+
+    db = f"{tmp_path}/dim.duckdb"
+    con = duckdb.connect(db)
+    con.execute(
+        f"CREATE TABLE nation AS "
+        f"SELECT * FROM '{SF_DIR}/nation.parquet'"
+    )
+    con.close()
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    dim = jdbc_scan(spark, JdbcConfig(url=f"jdbc:duckdb:{db}", table="nation", driver=DRIVER))
+    fed = (
+        cust.join(
+            F.broadcast(dim), cust.c_nationkey == dim.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+    got = {r["n_name"]: r["n_customers"] for r in fed.collect()}
+
+    pq_dim = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    want = {
+        r["n_name"]: r["n_customers"]
+        for r in cust.join(pq_dim, cust.c_nationkey == pq_dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) == cust.count()
+    plan = fed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "JDBCRelation" in plan
