@@ -2425,3 +2425,140 @@ def revenue_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delta").cast("double") / F.col("total_delta").cast("double"),
         ).alias("contribution_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year customer revenue growth (TPC-DS Q74 family).
+# ---------------------------------------------------------------------------
+@query(
+    "yoy_customer_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT c.o_custkey, c.yr, c.revenue,
+             p.revenue AS prev_revenue
+      FROM yearly c JOIN yearly p
+        ON c.o_custkey = p.o_custkey AND c.yr = p.yr + 1
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_customers_with_history,
+           CAST(SUM(CASE WHEN 10 * revenue > 11 * prev_revenue
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_growers,
+           CAST(SUM(CASE WHEN 10 * revenue < 9 * prev_revenue
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shrinkers,
+           CAST(SUM(revenue - prev_revenue) AS DOUBLE) AS total_yoy_delta
+    FROM paired GROUP BY yr
+    """,
+)
+def yoy_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer revenue dynamics (the TPC-DS Q74
+    shape): per year, how many customers with a prior-year history
+    grew >10%, how many shrank >10%, and the aggregate YoY delta —
+    the churn-vs-expansion report behind net revenue retention.
+
+    The YoY pairing is a SELF-JOIN on (customer, year = prev_year+1),
+    not LAG: a customer who skips a year must compare against nothing,
+    which the equi-join encodes structurally (LAG over years would
+    silently compare 1995 to 1993). Growth gates are DECIMAL
+    cross-multiplications (``10·rev > 11·prev``) — no float ratio, so
+    the banding is exact in both engines; the only double is the
+    output-surface delta sum.
+
+    Scale posture: one shuffle to (customer, year) — customer-grain —
+    then a self-join on the same key (co-partitioned, no extra
+    exchange) and a year-grain rollup.
+    """
+    o = t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("revenue"))
+    cur = yearly.alias("c")
+    prev = yearly.alias("p")
+    paired = cur.join(
+        prev,
+        (F.col("c.o_custkey") == F.col("p.o_custkey"))
+        & (F.col("c.yr") == F.col("p.yr") + 1),
+    ).select(
+        F.col("c.yr").alias("yr"),
+        F.col("c.revenue").alias("revenue"),
+        F.col("p.revenue").alias("prev_revenue"),
+    )
+    return paired.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_customers_with_history"),
+        F.sum(
+            F.when(
+                10 * F.col("revenue") > 11 * F.col("prev_revenue"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_growers"),
+        F.sum(
+            F.when(
+                10 * F.col("revenue") < 9 * F.col("prev_revenue"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_shrinkers"),
+        F.sum(F.col("revenue") - F.col("prev_revenue"))
+        .cast("double")
+        .alias("total_yoy_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Business-timezone daily rollup (DST-correct day boundaries).
+# ---------------------------------------------------------------------------
+@query(
+    "timezone_daily_rollup",
+    oracle="""
+    WITH shifted AS (
+      SELECT CAST(timezone('America/New_York',
+                           timezone('UTC', ts)) AS DATE) AS ny_day,
+             CAST(ts AS DATE) AS utc_day,
+             event_type
+      FROM events
+    )
+    SELECT ny_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ny_day <> utc_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_day_shifted,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM shifted GROUP BY ny_day
+    """,
+)
+def timezone_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event rollup on BUSINESS-timezone day boundaries
+    (America/New_York) with a count of events whose UTC day differs —
+    the day-boundary discipline every "daily revenue" number silently
+    depends on: a UTC-day rollup splits a US business day across two
+    rows, and the gap between UTC-day and local-day totals is exactly
+    the `n_day_shifted` column (here: every event between 00:00 and
+    05:00 UTC).
+
+    Semantics pin: the event timestamps are stored as UTC instants
+    (the session pins ``spark.sql.session.timeZone=UTC``);
+    ``from_utc_timestamp(ts, zone)`` and DuckDB's two-step
+    ``timezone(zone, timezone('UTC', ts))`` both produce the IANA
+    wall-clock time — tzdata rules, DST included — so the day cuts
+    agree exactly. January data pins the EST offset; the expression is
+    the same one that handles the March DST jump.
+
+    Scale posture: per-row timezone math in codegen, one shuffle to
+    the day grain.
+    """
+    ev = t(spark, sf_dir, "events")
+    shifted = ev.select(
+        F.from_utc_timestamp("ts", "America/New_York")
+        .cast("date")
+        .alias("ny_day"),
+        F.col("ts").cast("date").alias("utc_day"),
+        "event_type",
+    )
+    return shifted.groupBy("ny_day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("ny_day") != F.col("utc_day"), 1).otherwise(0)
+        ).cast("bigint").alias("n_day_shifted"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
