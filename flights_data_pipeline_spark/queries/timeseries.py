@@ -1505,3 +1505,205 @@ def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exits").cast("double") / F.col("n_at_risk").cast("double")
         ).alias("hazard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# View→purchase conversion latency (exact rank-pick quartiles).
+# ---------------------------------------------------------------------------
+@query(
+    "conversion_latency_quartiles",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             CAST(epoch_us(MIN(e.ts)) - epoch_us(f.first_view) AS BIGINT)
+               AS latency_us
+      FROM firsts f
+      JOIN events e
+        ON e.user_id = f.user_id
+       AND e.event_type = 'purchase' AND e.ts >= f.first_view
+      WHERE f.first_view IS NOT NULL
+      GROUP BY f.user_id, f.first_view
+    ),
+    ranked AS (
+      SELECT latency_us,
+             row_number() OVER (ORDER BY latency_us, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN latency_us END)
+                AS BIGINT) AS p25_us,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN latency_us END)
+                AS BIGINT) AS median_us,
+           CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN latency_us END)
+                AS BIGINT) AS p75_us
+    FROM ranked
+    """,
+)
+def conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from a user's FIRST view to their FIRST subsequent
+    purchase, summarized as exact rank-pick quartiles — the
+    time-to-convert distribution behind funnel SLAs (``user_funnel``
+    counts who converts; this measures how long conversion takes).
+
+    Semantics: the purchase must be AT OR AFTER the first view (a
+    purchase that precedes any view is not a conversion of it); users
+    without both events drop out structurally. Quartiles are exact
+    order statistics at ceil(n/4), ceil(n/2)=(n+1) DIV 2 (lower
+    median), ceil(3n/4) under a total (latency, user) order — no
+    interpolation, so both engines pick the identical row.
+
+    Scale posture: one user-grain conditional aggregate, one
+    filtered equi-join back to purchases on the user key, one
+    user-grain min — then a global rank over |converters| rows
+    (user-grain; at real scale the rank keys on a coarse latency
+    bucket first, the standard two-pass exact quantile).
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    ).filter(F.col("first_view").isNotNull())
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.col("first_view"))
+            ).cast("bigint").alias("latency_us")
+        )
+    )
+    wr = W.orderBy("latency_us", "user_id")
+    wn = W.partitionBy()
+    ranked = conv.select(
+        "latency_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converters"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("latency_us"))
+        ).cast("bigint").alias("p25_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("latency_us"))
+        ).cast("bigint").alias("median_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("latency_us")
+            )
+        ).cast("bigint").alias("p75_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Position-based multi-touch attribution (exact integer credits).
+# ---------------------------------------------------------------------------
+@query(
+    "position_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS conv_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.conv_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY p.conv_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.conv_id) AS n_touch
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts < p.conv_ts
+       AND e.ts >= p.conv_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN n_touch = 1 THEN CAST(1000000 AS BIGINT)
+               WHEN pos = 1 THEN CAST(400000 AS BIGINT)
+               WHEN pos = n_touch THEN CAST(400000 AS BIGINT)
+               ELSE CAST(200000 // (n_touch - 2) AS BIGINT)
+                    + CASE WHEN pos = 2
+                           THEN CAST(200000 % (n_touch - 2) AS BIGINT)
+                           ELSE 0 END
+             END AS credit_ppm
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+    FROM credited GROUP BY event_type
+    """,
+)
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    each purchase distributes credit over the user's view/click
+    touches in the prior 7 days — 40% to the first touch, 40% to the
+    last, 20% split across the middles — rolled up per touch type.
+    The marketing-mix sibling of ``range_join_attribution`` (which is
+    last-touch).
+
+    The exactness trick is INTEGER credit: each conversion carries
+    exactly 1,000,000 ppm; middles get ``200000 DIV (m)`` each with
+    the division remainder assigned to the EARLIEST middle (largest-
+    remainder discipline, same as ``token_budget_apportionment``) — so
+    per-conversion credit sums to exactly 1e6 and the rollup is exact
+    bigint addition, never an order-sensitive float sum. Single-touch
+    conversions carry the full million.
+
+    Scale posture: the touch join is an equi-join on user_id with a
+    time-band predicate (band pushes into the join filter; at real
+    cardinalities it buckets by day like ``range_join_attribution``);
+    windows partition by conversion — naturally bounded partitions.
+    """
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch_ev = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    touches = purchases.join(touch_ev, "user_id").filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wp = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    wn = W.partitionBy("conv_id")
+    positioned = touches.select(
+        "event_type",
+        F.row_number().over(wp).alias("pos"),
+        F.count("*").over(wn).alias("n_touch"),
+    )
+    mid = F.col("n_touch") - 2
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1000000).cast("bigint"))
+        .when(F.col("pos") == 1, F.lit(400000).cast("bigint"))
+        .when(F.col("pos") == F.col("n_touch"), F.lit(400000).cast("bigint"))
+        .otherwise(
+            F.expr("200000 div (n_touch - 2)").cast("bigint")
+            + F.when(
+                F.col("pos") == 2,
+                (F.lit(200000) % mid).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    )
+    return (
+        positioned.select("event_type", credit.alias("credit_ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm"),
+        )
+    )
