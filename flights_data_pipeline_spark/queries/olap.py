@@ -2562,3 +2562,77 @@ def timezone_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_day_shifted"),
         F.countDistinct("event_type").cast("bigint").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-itemsets (the A-priori level after pairs).
+# ---------------------------------------------------------------------------
+@query(
+    "frequent_triples",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    triples AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             c.l_partkey AS part_c,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      JOIN items c ON b.l_orderkey = c.l_orderkey
+                  AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT part_a, part_b, part_c, support, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY support DESC,
+                                   part_a, part_b, part_c) AS rn
+      FROM triples
+    ) WHERE rn <= 10
+    """,
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 part TRIPLES most often bought in one order — the
+    A-priori level above ``copurchase_part_pairs`` (pairs → triples is
+    where bundle detection starts paying: two-item co-occurrence is
+    often just popularity; three-way co-occurrence is intent).
+
+    Plan: the ordered three-way self-join on the basket key with
+    ``a < b < c`` (each unordered triple exactly once, no /6
+    correction); ranking on exact integer support with a full
+    lexicographic tiebreak. Scale honesty: triple generation is
+    Σ C(basket,3) — bounded 35× per ≤7-item TPC-H basket; real retail
+    runs this only over items surviving the pair-support threshold
+    (A-priori's antimonotonicity), which this query's contract admits
+    as a pre-filter without changing semantics.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    w = W.orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+    return (
+        triples.orderBy(
+            F.col("support").desc(), "part_a", "part_b", "part_c"
+        )
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -603,3 +603,118 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over the numeric measures (exact sums).
+# ---------------------------------------------------------------------------
+#: (column, cent-scale) pairs — money/ rate decimals scale to exact
+#: integers so every sufficient statistic is a bigint.
+_CORR_COLS = [
+    ("l_quantity", 1),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    # decimal-first discipline (STATUS rule 14): the doubles hold
+    # 2-dp values, so DECIMAL(18,2) is exact and the ×scale lands on
+    # an integral decimal — no round(double) anywhere
+    scaled = ", ".join(
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * {s} AS BIGINT) AS {c}"
+        for c, s in _CORR_COLS
+    )
+    pairs = []
+    names = [c for c, _ in _CORR_COLS]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pairs.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM({a} * {b}) - SUM({a}) * SUM({b}) AS DOUBLE)
+             / (sqrt(CAST(COUNT(*) * SUM({a} * {a})
+                          - SUM({a}) * SUM({a}) AS DOUBLE))
+                * sqrt(CAST(COUNT(*) * SUM({b} * {b})
+                            - SUM({b}) * SUM({b}) AS DOUBLE))) AS pearson_r
+    FROM scaled""")
+    body = " UNION ALL ".join(pairs)
+    return f"WITH scaled AS (SELECT {scaled} FROM lineitem) {body}"
+
+
+@query("lineitem_corr_matrix", oracle=_corr_matrix_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    measures (quantity, price, discount, tax) — the screening pass a
+    feature-engineering or DQ layer runs to catch collinear columns
+    and broken generators (a discount column suddenly correlating
+    with quantity is a pipeline bug, not a market insight).
+
+    Exactness: decimals scale to exact integer cents up front, so all
+    five sufficient statistics per pair are exact bigint sums computed
+    in ONE scan (every pair shares the same aggregate pass — Spark
+    plans a single Aggregate over 14 sums, not 6 scans; the oracle's
+    UNION-of-scans is the semantic definition); each correlation is
+    the identical two-sqrt expression on identical bigints.
+
+    Scale posture: one scan, one 1-row aggregate; the matrix assembly
+    is driver-free row literals joined from the single aggregate row
+    via an unpivot — no data movement at all beyond the partial-agg
+    tree.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        *[
+            (F.col(c).cast("decimal(18,2)") * s).cast("bigint").alias(c)
+            for c, s in _CORR_COLS
+        ]
+    )
+    names = [c for c, _ in _CORR_COLS]
+    # sums live in DECIMAL(38,0): n·Σ(price²) tops 10²¹ at sf0.1 —
+    # past bigint, which wraps silently with ANSI off (measured: NaN
+    # correlations). DuckDB promotes the same sums to HUGEINT; both
+    # engines then cast the identical exact integer to double.
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in names:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(dec)).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(dec)).alias(f"sp_{a}_{b}")
+            )
+    one = scaled.agg(*aggs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(
+                f"s_{b}"
+            )
+            va = F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(
+                f"s_{a}"
+            )
+            vb = F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(
+                f"s_{b}"
+            )
+            rows.append(
+                one.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n"),
+                    (
+                        num.cast("double")
+                        / (
+                            F.sqrt(va.cast("double"))
+                            * F.sqrt(vb.cast("double"))
+                        )
+                    ).alias("pearson_r"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1841,3 +1841,87 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_vocab").cast("bigint").alias("cum_vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality scorecard (the curation ops dashboard row).
+# ---------------------------------------------------------------------------
+@query(
+    "source_quality_scorecard",
+    oracle=r"""
+    WITH feats AS (
+      SELECT source, lang, n_chars,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+               AS n_word_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(CASE WHEN 3 * n_words <= n_word_chars
+                          AND n_word_chars <= 10 * n_words
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+           CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_words
+    FROM feats GROUP BY source
+    """,
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: volume, language spread, exact-
+    duplicate rate (via content fingerprint), mean-word-length pass
+    share, and mean document length — the one-row-per-source dashboard
+    a crawl operator reads before deciding which feeds to throttle
+    (the composition layer over ``exact_dedup`` / ``c4_quality_filters``
+    signals, aggregated to the operational grain).
+
+    Exactness: counts, distincts, and the integer mean-word-length
+    band are exact; the two rates are IEEE divisions of exact bigints.
+
+    Scale posture: per-row feature extraction in codegen, ONE shuffle
+    to the source grain; the distinct-fingerprint count rides the same
+    aggregate (Spark plans the multi-distinct via Expand — no second
+    scan).
+    """
+    d = t(spark, sf_dir, "documents")
+    feats = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias(
+            "n_words"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        .cast("bigint")
+        .alias("n_word_chars"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum(
+            F.when(
+                (3 * F.col("n_words") <= F.col("n_word_chars"))
+                & (F.col("n_word_chars") <= 10 * F.col("n_words")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_len_ok"),
+        (
+            (F.count("*") - F.countDistinct("fp")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("exact_dup_rate"),
+        (
+            F.sum("n_words").cast("double") / F.count("*").cast("double")
+        ).alias("mean_words"),
+    )
