@@ -1630,6 +1630,7 @@ def conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CASE
                WHEN n_touch = 1 THEN CAST(1000000 AS BIGINT)
+               WHEN n_touch = 2 THEN CAST(500000 AS BIGINT)
                WHEN pos = 1 THEN CAST(400000 AS BIGINT)
                WHEN pos = n_touch THEN CAST(400000 AS BIGINT)
                ELSE CAST(200000 // (n_touch - 2) AS BIGINT)
@@ -1658,8 +1659,11 @@ def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the division remainder assigned to the EARLIEST middle (largest-
     remainder discipline, same as ``token_budget_apportionment``) — so
     per-conversion credit sums to exactly 1e6 and the rollup is exact
-    bigint addition, never an order-sensitive float sum. Single-touch
-    conversions carry the full million.
+    bigint addition, never an order-sensitive float sum. Degenerate
+    paths keep conservation: one touch carries the full million, two
+    touches split 50/50 (no middles exist for the 20% — the standard
+    U-shape convention). ``tests/test_new_ops_invariants.py`` pins
+    conservation against an independent DuckDB conversion count.
 
     Scale posture: the touch join is an equi-join on user_id with a
     time-band predicate (band pushes into the join filter; at real
@@ -1689,6 +1693,7 @@ def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = F.col("n_touch") - 2
     credit = (
         F.when(F.col("n_touch") == 1, F.lit(1000000).cast("bigint"))
+        .when(F.col("n_touch") == 2, F.lit(500000).cast("bigint"))
         .when(F.col("pos") == 1, F.lit(400000).cast("bigint"))
         .when(F.col("pos") == F.col("n_touch"), F.lit(400000).cast("bigint"))
         .otherwise(

@@ -435,3 +435,29 @@ def test_ks_statistic_equals_bruteforce(spark):
     assert row["n1"] == len(s1) and row["n2"] == len(s2)
     assert row["d_scaled"] == want
     assert row["ks_d"] == want / (len(s1) * len(s2))
+
+
+def test_position_attribution_conserves_credit(spark):
+    """Every attributed conversion carries EXACTLY 1e6 ppm: the summed
+    credit across touch types equals 1,000,000 x the number of
+    purchases that have at least one view/click touch in their 7-day
+    lookback (the largest-remainder middle split must never leak or
+    double-count a ppm)."""
+    import duckdb
+
+    rows = REGISTRY["position_attribution"].fn(spark, SF).collect()
+    total_ppm = sum(r["credit_ppm"] for r in rows)
+    n_attributed = duckdb.sql(
+        f"""
+        WITH p AS (SELECT user_id, event_id, ts FROM '{SF}/events.parquet'
+                   WHERE event_type = 'purchase')
+        SELECT COUNT(*) FROM p
+        WHERE EXISTS (
+          SELECT 1 FROM '{SF}/events.parquet' e
+          WHERE e.user_id = p.user_id
+            AND e.event_type IN ('view', 'click')
+            AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 7 DAY
+        )
+        """
+    ).fetchone()[0]
+    assert total_ppm == 1_000_000 * n_attributed
