@@ -2636,3 +2636,160 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 concentration (exact cumulative-share cutoff).
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_revenue_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             SUM(cents) OVER () AS total_cents,
+             COUNT(*) OVER () AS n_customers
+      FROM spend
+    ),
+    hit AS (
+      SELECT rn, n_customers, cum_cents, total_cents,
+             row_number() OVER (ORDER BY rn) AS pick
+      FROM ranked WHERE 5 * cum_cents >= 4 * total_cents
+    )
+    SELECT CAST(rn AS BIGINT) AS top_customers_for_80pct,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(rn AS DOUBLE) / CAST(n_customers AS DOUBLE)
+             AS customer_share,
+           CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             AS revenue_share_at_cut
+    FROM hit WHERE pick = 1
+    """,
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto cut: the smallest top-spender set covering ≥80% of
+    revenue — "is this an 80/20 business or an 80/50 one" in one row.
+    The cut-point sibling of ``gini_spend_concentration`` (Gini
+    summarizes the whole curve; this names the actionable prefix).
+
+    Exactness: spend is exact integer cents; the running total is a
+    window cumsum under a TOTAL (spend desc, custkey) order; the cut
+    is the first rank where ``5·cum ≥ 4·total`` — an exact integer
+    cross-multiplication, so both engines pick the identical row. The
+    two shares are output-surface IEEE divisions.
+
+    Scale posture: customer-grain aggregate, then one global ordered
+    window over customer-grain rows (the same single-partition caveat
+    as ``ntile_decile_stats``; production banding pre-aggregates into
+    spend buckets first). Returns ONE row.
+    """
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        (F.sum(_dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    wo = W.orderBy(F.col("cents").desc(), "o_custkey")
+    wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    ranked = spend.select(
+        F.row_number().over(wo).alias("rn"),
+        F.sum("cents").over(wc).alias("cum_cents"),
+        F.sum("cents").over(wall).alias("total_cents"),
+        F.count("*").over(wall).alias("n_customers"),
+    ).filter(5 * F.col("cum_cents") >= 4 * F.col("total_cents"))
+    return (
+        ranked.withColumn("pick", F.row_number().over(W.orderBy("rn")))
+        .filter(F.col("pick") == 1)
+        .select(
+            F.col("rn").cast("bigint").alias("top_customers_for_80pct"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            (
+                F.col("rn").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("customer_share"),
+            (
+                F.col("cum_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("revenue_share_at_cut"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase degree distribution.
+# ---------------------------------------------------------------------------
+@query(
+    "degree_distribution",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)
+      GROUP BY u
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS node_share
+    FROM deg GROUP BY degree
+    """,
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many parts
+    have k co-purchase partners — the first diagnostic read on ANY
+    graph the engine builds (a heavy tail here is why the skew-salted
+    join and the degree-orientation triangle refinement exist; this
+    query MEASURES the tail those mitigations are sized against).
+
+    Exactness: degrees and node counts are exact integers; the share
+    is one IEEE division against the window total. Scale posture: the
+    same basket-bounded pair generation as the rest of the graph
+    family, one groupBy to node degree, one to the distribution —
+    output is |distinct degrees| rows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .select("u", "v")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    wall = W.partitionBy()
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    ).select(
+        "degree",
+        "n_nodes",
+        (
+            F.col("n_nodes").cast("double")
+            / F.sum("n_nodes").over(wall).cast("double")
+        ).alias("node_share"),
+    )
