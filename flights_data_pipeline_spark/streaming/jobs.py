@@ -893,3 +893,156 @@ def ols_trend_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("y")
     )
     return ols_from_daily(daily)
+
+
+def transition_stats_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of the Markov transition matrix
+    (``queries/timeseries.event_transition_matrix``): each micro-batch
+    stores (a) its IN-batch transition counts keyed
+    (__batch, from, to) and (b) one boundary FRAGMENT per (batch,
+    user) — the user's first and last event of the batch.
+
+    Replay-idempotence by construction: BOTH stores are pure functions
+    of their own batch (no cross-batch read at write time), so an
+    at-least-once replay recomputes byte-identical rows and the
+    latest-wins merge rewrites them in place. The cross-batch
+    "junction" transitions (last event of one fragment → first event
+    of the user's next fragment) are derived at READ time by
+    ``transition_matrix_from_state`` — deferring the only
+    state-dependent computation to the read path is what makes the
+    write path idempotent.
+
+    Contract: the ordered-feed discipline of ``scd2_ingest_stream`` —
+    batches partition the stream in event-time order per user, so a
+    user's fragments do not interleave. Returns the started query.
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        from pyspark.sql.window import Window as W
+
+        from ..operators.merge import merge_latest_parquet
+
+        spark = batch.sparkSession
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = batch.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        ).filter(F.col("to_type").isNotNull())
+        trans = (
+            seq.groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .withColumn("__batch", F.lit(batch_id).cast("bigint"))
+        )
+        merge_latest_parquet(
+            spark,
+            f"{state_path}/trans",
+            trans,
+            keys=["__batch", "from_type", "to_type"],
+            order_cols=["cnt"],
+        )
+        wn = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        marked = batch.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.row_number().over(w).alias("rn_f"),
+            F.row_number().over(wn).alias("rn_l"),
+        )
+        frags = (
+            marked.filter((F.col("rn_f") == 1) | (F.col("rn_l") == 1))
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("rn_f") == 1,
+                        F.struct("ts", "event_id", "event_type"),
+                    )
+                ).alias("first"),
+                F.max(
+                    F.when(
+                        F.col("rn_l") == 1,
+                        F.struct("ts", "event_id", "event_type"),
+                    )
+                ).alias("last"),
+            )
+            .select(
+                "user_id",
+                F.col("first.ts").alias("first_ts"),
+                F.col("first.event_id").alias("first_id"),
+                F.col("first.event_type").alias("first_type"),
+                F.col("last.ts").alias("last_ts"),
+                F.col("last.event_id").alias("last_id"),
+                F.col("last.event_type").alias("last_type"),
+            )
+            .withColumn("__batch", F.lit(batch_id).cast("bigint"))
+        )
+        merge_latest_parquet(
+            spark,
+            f"{state_path}/frags",
+            frags,
+            keys=["__batch", "user_id"],
+            order_cols=["last_ts"],
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def transition_matrix_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Recover the full transition matrix from the streamed state:
+    in-batch counts summed across batches, plus the junction
+    transitions between each user's consecutive fragments (ordered by
+    fragment event time, NOT batch id — numbering is incidental,
+    event time is the contract). On an ordered feed this equals the
+    batch ``event_transition_matrix`` bit-for-bit."""
+    from pyspark.sql.window import Window as W
+
+    inb = (
+        spark.read.parquet(f"{state_path}/trans")
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    frags = spark.read.parquet(f"{state_path}/frags")
+    wf = W.partitionBy("user_id").orderBy("first_ts", "first_id")
+    junct = (
+        frags.select(
+            "user_id",
+            F.col("last_type").alias("from_type"),
+            F.lead("first_type").over(wf).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    trans = (
+        inb.unionByName(junct)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("cnt").cast("bigint").alias("n_transitions"))
+    )
+    out_deg = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("out_total")
+    )
+    return trans.join(out_deg, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "out_total",
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("out_total").cast("double")
+        ).alias("prob"),
+    )
