@@ -76,7 +76,9 @@ def cached(
     target = os.path.join(cache_dir, key)
     if os.path.exists(os.path.join(target, "_SUCCESS")):
         return spark.read.parquet(target)
-    staged = target + "__staged"
+    # per-process staging path: two drivers racing on the same key must
+    # not overwrite each other's half-written staging dir
+    staged = f"{target}__staged_{os.getpid()}"
     df.write.mode("overwrite").parquet(staged)
     if os.path.exists(target):  # lost a race: another writer landed
         import shutil
