@@ -1712,3 +1712,176 @@ def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit_ppm").cast("bigint").alias("credit_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-baseline evaluation (MASE-style, exact integer error sums).
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_baseline_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT c.event_type,
+             abs(c.x - n1.x) AS e1,
+             abs(c.x - n7.x) AS e7
+      FROM daily c
+      JOIN daily n1 ON n1.event_type = c.event_type
+                   AND n1.day = c.day - INTERVAL 1 DAY
+      JOIN daily n7 ON n7.event_type = c.event_type
+                   AND n7.day = c.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(e1) AS BIGINT) AS naive1_abs_err,
+           CAST(SUM(e7) AS BIGINT) AS naive7_abs_err,
+           CAST(SUM(e7) AS DOUBLE) / CAST(SUM(e1) AS DOUBLE)
+             AS mase_seasonal_vs_naive,
+           SUM(e7) < SUM(e1) AS seasonal_wins
+    FROM joined
+    GROUP BY event_type
+    HAVING SUM(e1) > 0
+    """,
+)
+def forecast_baseline_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style forecast-baseline evaluation (Hyndman & Koehler
+    2006, public): for each series, the total absolute error of the
+    SEASONAL-naive forecast (x̂_t = x_{t−7}) against the plain naive
+    (x̂_t = x_{t−1}), over exactly the days where both baselines have
+    an observation. A ratio < 1 says weekly seasonality carries real
+    signal — the go/no-go gate before fitting anything fancier, and
+    the denominator convention MASE uses for scale-free comparison.
+
+    Exactness: both error totals are sums of absolute integer
+    differences (exact bigints); the ratio is one IEEE division, and
+    the winner flag compares the INTEGERS, not the float. Alignment is
+    two equi-joins on precomputed lag days — same missing-day stance
+    as ``autocorr_daily_lags`` (a gap contributes no row, never an
+    imputed zero).
+
+    Scale posture: one shuffle to daily counts, two self-equi-joins on
+    the series key at day grain, one rollup — sufficient statistics.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    c = daily.alias("c")
+    n1 = daily.select(
+        "event_type",
+        F.date_add("day", 1).alias("day"),
+        F.col("x").alias("x1"),
+    ).alias("n1")
+    n7 = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("x").alias("x7"),
+    ).alias("n7")
+    joined = (
+        c.join(n1, ["event_type", "day"])
+        .join(n7, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.abs(F.col("x") - F.col("x1")).alias("e1"),
+            F.abs(F.col("x") - F.col("x7")).alias("e7"),
+        )
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("e1").cast("bigint").alias("naive1_abs_err"),
+            F.sum("e7").cast("bigint").alias("naive7_abs_err"),
+        )
+        .filter(F.col("naive1_abs_err") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            "naive1_abs_err",
+            "naive7_abs_err",
+            (
+                F.col("naive7_abs_err").cast("double")
+                / F.col("naive1_abs_err").cast("double")
+            ).alias("mase_seasonal_vs_naive"),
+            (F.col("naive7_abs_err") < F.col("naive1_abs_err")).alias(
+                "seasonal_wins"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (DAU / WAU / stickiness).
+# ---------------------------------------------------------------------------
+@query(
+    "wau_rolling",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM active),
+    wau AS (
+      SELECT d.day,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+      FROM days d
+      JOIN active a
+        ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM active GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, rolling 7-day WAU, and the DAU/WAU stickiness ratio per
+    day — the product-health triple every growth dashboard leads with
+    (sliding-window COUNT DISTINCT is NOT a window function: distinct
+    users across 7 days ≠ sum of daily distincts, so the window trick
+    that works for sums cannot work here).
+
+    The exact construction: dedupe to (user, day) once (day-grain,
+    orders of magnitude smaller than events), then a banded self-join
+    day×active within the 7-day window and a COUNT DISTINCT per
+    anchor day. The 7× fan-out happens at DAY grain — the blowup the
+    naive event-grain version would pay is exactly what the early
+    dedup avoids. At larger windows/cardinalities the production
+    variant switches to HLL sketch unions (``hll_sketch_rollup``);
+    this query is the exact twin that calibrates that sketch.
+
+    Exactness: counts are exact; stickiness is one IEEE division.
+    """
+    ev = t(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = active.select("day").distinct()
+    a = active.select(F.col("user_id"), F.col("day").alias("aday"))
+    wau = (
+        days.join(
+            a,
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = active.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
