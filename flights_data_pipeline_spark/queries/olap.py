@@ -2793,3 +2793,99 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_nodes").over(wall).cast("double")
         ).alias("node_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across groups (exact integer rank mapping).
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_normalize_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY c.c_custkey, n.n_name
+    ),
+    ranked AS (
+      SELECT c_custkey, n_name, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents, c_custkey) AS r,
+             COUNT(*) OVER (PARTITION BY n_name) AS ng,
+             COUNT(*) OVER () AS n_total
+      FROM spend
+    ),
+    gq AS (
+      SELECT cents AS g_cents,
+             row_number() OVER (ORDER BY cents, c_custkey) AS g_rank
+      FROM spend
+    )
+    SELECT rk.c_custkey, rk.n_name,
+           CAST(rk.cents AS BIGINT) AS spend_cents,
+           CAST(rk.r AS BIGINT) AS within_rank,
+           CAST((rk.r * rk.n_total + rk.ng - 1) // rk.ng AS BIGINT)
+             AS target_rank,
+           CAST(g.g_cents AS BIGINT) AS normalized_cents
+    FROM ranked rk
+    JOIN gq g
+      ON g.g_rank = (rk.r * rk.n_total + rk.ng - 1) // rk.ng
+    """,
+)
+def quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of customer spend ACROSS nations: each
+    customer's spend is replaced by the value at the same quantile of
+    the GLOBAL spend distribution — after it, every nation has an
+    identical spend distribution, which is how cross-cohort features
+    are made comparable before modeling (the microarray-normalization
+    technique, Bolstad et al. 2003, public — the same trick tabular
+    feature pipelines use).
+
+    Exactness: the quantile map is pure integer arithmetic — within-
+    nation rank r of n_g maps to global rank ``ceil(r·N / n_g)`` (an
+    exact DIV), and the normalized value is the global order statistic
+    AT that rank, fetched by an equi-join on the rank — no
+    interpolation, no float until nothing (all columns integral).
+
+    Scale posture: customer-grain windows (per-nation partitions plus
+    one global rank — the documented ``ntile_decile_stats``
+    single-partition caveat at customer grain); the rank join is an
+    integer equi-join.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "n_name")
+        .agg((F.sum(_dec("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    )
+    wg = W.partitionBy("n_name").orderBy("cents", "c_custkey")
+    wng = W.partitionBy("n_name")
+    wall = W.partitionBy()
+    ranked = spend.select(
+        "c_custkey",
+        "n_name",
+        "cents",
+        F.row_number().over(wg).alias("r"),
+        F.count("*").over(wng).alias("ng"),
+        F.count("*").over(wall).alias("n_total"),
+    )
+    glob = spend.select(
+        F.col("cents").alias("g_cents"),
+        F.row_number().over(W.orderBy("cents", "c_custkey")).alias("g_rank"),
+    )
+    target = F.expr("(r * n_total + ng - 1) div ng")
+    return ranked.withColumn("target_rank", target.cast("bigint")).join(
+        glob, F.col("target_rank") == F.col("g_rank")
+    ).select(
+        "c_custkey",
+        "n_name",
+        F.col("cents").alias("spend_cents"),
+        F.col("r").cast("bigint").alias("within_rank"),
+        "target_rank",
+        F.col("g_cents").cast("bigint").alias("normalized_cents"),
+    )

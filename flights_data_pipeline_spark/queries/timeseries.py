@@ -1885,3 +1885,91 @@ def wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between two event series.
+# ---------------------------------------------------------------------------
+@query(
+    "crosscorr_click_purchase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    clicks AS (SELECT day, x FROM daily WHERE event_type = 'click'),
+    buys AS (SELECT day, x AS y FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(unnest([-3,-2,-1,0,1,2,3]) AS BIGINT) AS lag),
+    pairs AS (
+      SELECT l.lag, c.x, b.y
+      FROM clicks c CROSS JOIN lags l
+      JOIN buys b ON b.day = c.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+    ),
+    sums AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS xcorr
+    FROM sums
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def crosscorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily click volume and daily purchase
+    volume at lags −3..+3: the lead-lag probe — if the peak sits at a
+    POSITIVE lag, clicks lead purchases by that many days (the
+    campaign-to-conversion delay); at zero, they co-move; the
+    asymmetry of the profile is the causality-direction hint
+    ``autocorr_daily_lags`` cannot give (it correlates a series with
+    itself).
+
+    Exactness: identical discipline to the ACF — five exact bigint
+    sufficient statistics per lag over exactly the aligned day pairs,
+    one double quotient with IEEE sqrt, degenerate lags filtered on
+    exact integer variances.
+
+    Scale posture: the two series are day-grain projections of one
+    daily rollup; 7 lags broadcast; alignment is an equi-join on the
+    precomputed target day.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select("day", "x")
+    buys = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("tday"), F.col("x").alias("y")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("bigint").alias("lag"))
+    aug = clicks.crossJoin(F.broadcast(lags)).select(
+        "x",
+        "lag",
+        F.date_add("day", F.col("lag").cast("int")).alias("tday"),
+    )
+    pairs = aug.join(buys, "tday")
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0)).select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")))
+        .alias("xcorr"),
+    )
