@@ -85,6 +85,8 @@ HEADLINE = [
     "clustering_coefficient",
     "c4_quality_filters",
     "interarrival_stats",
+    "binary_hamming_topk",
+    "wau_rolling",
 ]
 
 
