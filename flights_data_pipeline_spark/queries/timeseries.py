@@ -1973,3 +1973,72 @@ def crosscorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")))
         .alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event-type trigram paths (2nd-order sequence context).
+# ---------------------------------------------------------------------------
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    ),
+    tri AS (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n,
+           CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS INT)
+             AS rank,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+    FROM tri
+    QUALIFY rank <= 15
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 length-3 event-type paths across user journeys — the
+    2nd-order sequence context the transition MATRIX flattens away
+    (``view→click→purchase`` vs ``view→click→error`` have the same
+    pairwise edges but opposite meanings; path mining is how funnels
+    are DISCOVERED rather than declared).
+
+    Ordering is the same total per-user (ts, event_id) order as
+    ``event_transition_matrix``; two LEADs build the trigram in one
+    window pass (no self-joins). Counts exact; share is one IEEE
+    division against the window total; ranking on (count desc, path)
+    is a total order.
+
+    Scale posture: one window pass on the user key, one trigram
+    groupBy — output bounded by |types|³.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wall = W.partitionBy()
+    wr = W.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return (
+        tri.select(
+            "e1",
+            "e2",
+            "e3",
+            "n",
+            F.row_number().over(wr).cast("int").alias("rank"),
+            (F.col("n").cast("double") / F.sum("n").over(wall).cast("double"))
+            .alias("share"),
+        )
+        .filter(F.col("rank") <= 15)
+    )

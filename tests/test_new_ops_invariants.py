@@ -461,3 +461,88 @@ def test_position_attribution_conserves_credit(spark):
         """
     ).fetchone()[0]
     assert total_ppm == 1_000_000 * n_attributed
+
+
+def _bdays_closed_form(days_since_monday_epoch: int) -> int:
+    """The Monday-epoch closed form under test (business_days_delay)."""
+    return 5 * (days_since_monday_epoch // 7) + min(
+        days_since_monday_epoch % 7, 5
+    )
+
+
+@given(d1=st.integers(0, 40_000), span=st.integers(0, 5_000))
+@settings(max_examples=200, deadline=None)
+def test_business_day_closed_form_matches_weekday_loop(d1, span):
+    """f(d2) - f(d1) equals literally counting Mon-Fri days in
+    [d1, d2) with a weekday loop (day 0 = a Monday), for any pair —
+    including negative-modulo-free ranges spanning decades."""
+    d2 = d1 + span
+    want = sum(1 for d in range(d1, d2) if d % 7 < 5)
+    got = _bdays_closed_form(d2) - _bdays_closed_form(d1)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 1000), st.integers(1, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_lower_weighted_median_rule_properties(rows):
+    """The 'first value in sort order with 2*cumw >= total' rule
+    (weighted_median_price) picks a TRUE weighted median: strictly
+    cheaper rows carry < half the total weight, and the picked value
+    plus everything cheaper carries >= half."""
+    rows = sorted(rows)
+    total = sum(w for _, w in rows)
+    cum = 0
+    picked = None
+    for v, w in rows:
+        cum += w
+        if 2 * cum >= total:
+            picked = v
+            break
+    assert picked is not None
+    below = sum(w for v, w in rows if v < picked)
+    at_or_below = sum(w for v, w in rows if v <= picked)
+    assert 2 * below < total or (
+        # ties: an equal value may sit before the picked row
+        any(v == picked for v, _ in rows)
+    )
+    assert 2 * at_or_below >= total
+
+
+def test_weighted_median_query_matches_bruteforce(spark):
+    """The Spark query equals an independent Python brute force over
+    the same parquet (the oracle pins Spark<->DuckDB; this pins the
+    METHOD against a from-scratch restatement)."""
+    import duckdb
+    from decimal import Decimal
+
+    rows = duckdb.sql(
+        f"""SELECT l_returnflag,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   l_orderkey, l_linenumber
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    by_flag: dict = {}
+    for flag, price, w, ok, ln in rows:
+        by_flag.setdefault(flag, []).append((price, ok, ln, w))
+    want = {}
+    for flag, items in by_flag.items():
+        items.sort()
+        total = sum(w for *_, w in items)
+        cum = 0
+        for price, _, _, w in items:
+            cum += w
+            if 2 * cum >= total:
+                want[flag] = (total, float(price))
+                break
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["weighted_median"])
+        for r in REGISTRY["weighted_median_price"].fn(spark, SF).collect()
+    }
+    assert got == want
