@@ -1706,6 +1706,13 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.alias("a")
     b = items.alias("b")
+    # materialize edges ONCE: the unrolled composition otherwise
+    # re-derives the pair join inside every level (measured: 45
+    # lineitem scans in the lazy plan tree; 4.7 → 3.3 s warm at sf0.1
+    # with just this cut). Frontiers stay lazy — at depth 3 their
+    # recompute is cheaper than eager checkpoints (measured both);
+    # deeper unrolls should checkpoint per round like
+    # operators/graph.connected_components
     edges = (
         a.join(
             b,
@@ -1717,6 +1724,7 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     seed = li.agg(F.min("l_partkey").alias("part"))
     visited = seed.withColumn("hop", F.lit(0))
