@@ -2897,3 +2897,83 @@ def quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rank",
         F.col("g_cents").cast("bigint").alias("normalized_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration (exact integer squares).
+# ---------------------------------------------------------------------------
+@query(
+    "hhi_market_concentration",
+    oracle="""
+    WITH supplier_sales AS (
+      SELECT r.r_name, s.s_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, s.s_suppkey
+    )
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(cents) AS BIGINT) AS market_cents,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+             / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+             AS hhi,
+           (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+             / CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+             AS effective_n_suppliers
+    FROM supplier_sales
+    GROUP BY r_name
+    """,
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier concentration per region
+    (Σ market-shareᵢ², the antitrust standard) plus its reciprocal,
+    the "effective number of suppliers" — completes the concentration
+    family: Gini (inequality of the whole curve), Simpson (mix
+    purity), Pareto (the actionable prefix), HHI (the regulator's
+    number; 0.25+ = highly concentrated).
+
+    Exactness: supplier sales are exact integer cents; ``Σ cᵢ²`` runs
+    in DECIMAL(38,0) on Spark and HUGEINT on DuckDB (the same
+    rule-28 overflow discipline as ``lineitem_corr_matrix`` — cents²
+    passes 2^63 immediately); HHI is one double division of two exact
+    integers (the denominator is the double PRODUCT of two exact
+    casts, identical in both engines).
+
+    Scale posture: star join with broadcastable dims, one shuffle to
+    (region, supplier) — supplier-grain — one to region.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    sales = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "s_suppkey")
+        .agg(
+            (F.sum(_dec("l_extendedprice")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    sq = (F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq")
+    agg = sales.select("r_name", "cents", sq).groupBy("r_name").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("market_cents"),
+        F.sum("sq").alias("sum_sq"),
+    )
+    tot_d = F.col("market_cents").cast("double")
+    return agg.select(
+        "r_name",
+        "n_suppliers",
+        "market_cents",
+        (F.col("sum_sq").cast("double") / (tot_d * tot_d)).alias("hhi"),
+        ((tot_d * tot_d) / F.col("sum_sq").cast("double")).alias(
+            "effective_n_suppliers"
+        ),
+    )
