@@ -2977,3 +2977,105 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_n_suppliers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-point peeling).
+# ---------------------------------------------------------------------------
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-≥2 co-purchase edge list (u < v), the shared graph the
+    triangle/clustering/BFS/PageRank queries build — materialized once
+    for the iterative peel."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+
+def kcore_members(edges: DataFrame, k: int) -> DataFrame:
+    """The k-core of an undirected (u < v) edge list: the maximal
+    subgraph where every node has degree ≥ k, by iterative peeling —
+    drop all nodes of within-subgraph degree < k, recompute, repeat to
+    the fixed point (Seidman 1983, public). Peeling converges in at
+    most |V| rounds; each round is one degree aggregate + one semi
+    join, with the surviving edge list localCheckpointed so plan depth
+    stays constant (the ``connected_components`` discipline).
+
+    Returns the distinct member nodes. The fixed point is unique, so
+    the result is deterministic regardless of peel order.
+    """
+    cur = edges
+    while True:
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count("*").alias("d")
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("u")), "u", "semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "semi")
+            .localCheckpoint(eager=True)
+        )
+        # convergence probe: one scalar per round, the same k-row
+        # driver-read discipline as the kmeans fit
+        # scale-ok: 1-row count, convergence check of the peel loop
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt
+        if n_nxt == n_cur or n_nxt == 0:
+            break
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+
+@query("kcore_summary")
+def kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core summary of the co-purchase graph for k = 2..4: core
+    size, surviving edges, and the minimum within-core degree (≥ k by
+    the invariant) — the standard cohesion ladder (the k-core is where
+    dense-community mining starts, and the "degeneracy ordering" it
+    induces is the classic triangle-enumeration speedup).
+
+    Rows-only gate entry: iterative peeling to a fixed point has no
+    single-statement SQL twin. Cross-engine verification runs in
+    pytest instead (``tests/test_kcore.py``): membership and
+    MAXIMALITY are both pinned against a brute-force DuckDB peel —
+    every member has ≥ k in-core neighbors, and no non-member could
+    join the fixed point.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    out = None
+    for k in (2, 3, 4):
+        members = kcore_members(edges, k)
+        m_u = members.select(F.col("node").alias("u"))
+        m_v = members.select(F.col("node").alias("v"))
+        core_edges = edges.join(m_u, "u", "semi").join(m_v, "v", "semi")
+        sym = core_edges.unionByName(
+            core_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        row = deg.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count("*").cast("bigint").alias("n_core_nodes"),
+            (F.sum("d") / 2).cast("bigint").alias("n_core_edges"),
+            F.min("d").cast("bigint").alias("min_core_degree"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
