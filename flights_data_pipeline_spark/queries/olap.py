@@ -3005,19 +3005,20 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kcore_members(edges: DataFrame, k: int) -> DataFrame:
-    """The k-core of an undirected (u < v) edge list: the maximal
-    subgraph where every node has degree ≥ k, by iterative peeling —
-    drop all nodes of within-subgraph degree < k, recompute, repeat to
-    the fixed point (Seidman 1983, public). Peeling converges in at
-    most |V| rounds; each round is one degree aggregate + one semi
-    join, with the surviving edge list localCheckpointed so plan depth
-    stays constant (the ``connected_components`` discipline).
-
-    Returns the distinct member nodes. The fixed point is unique, so
-    the result is deterministic regardless of peel order.
+def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
+    """The k-core of an undirected (u < v) edge list as its surviving
+    EDGE list: the maximal subgraph where every node has degree ≥ k,
+    by iterative peeling — drop all nodes of within-subgraph degree
+    < k, recompute, repeat to the fixed point (Seidman 1983, public).
+    Peeling converges in at most |V| rounds; each round is one degree
+    aggregate + one semi join, with the surviving edge list
+    localCheckpointed so plan depth stays constant (the
+    ``connected_components`` discipline). The fixed point is unique,
+    so the result is deterministic regardless of peel order.
     """
     cur = edges
+    # scale-ok: 1-row count per round, the peel loop's convergence probe
+    n_cur = cur.count()
     while True:
         sym = cur.unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -3031,13 +3032,18 @@ def kcore_members(edges: DataFrame, k: int) -> DataFrame:
             .join(keep.select(F.col("node").alias("v")), "v", "semi")
             .localCheckpoint(eager=True)
         )
-        # convergence probe: one scalar per round, the same k-row
-        # driver-read discipline as the kmeans fit
         # scale-ok: 1-row count, convergence check of the peel loop
-        n_cur, n_nxt = cur.count(), nxt.count()
-        cur = nxt
-        if n_nxt == n_cur or n_nxt == 0:
+        n_nxt = nxt.count()
+        done = n_nxt == n_cur or n_nxt == 0
+        cur, n_cur = nxt, n_nxt
+        if done:
             break
+    return cur
+
+
+def kcore_members(edges: DataFrame, k: int) -> DataFrame:
+    """Distinct member nodes of the k-core (see ``kcore_edges``)."""
+    cur = kcore_edges(edges, k)
     return (
         cur.select(F.col("u").alias("node"))
         .unionByName(cur.select(F.col("v").alias("node")))
@@ -3060,15 +3066,14 @@ def kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     every member has ≥ k in-core neighbors, and no non-member could
     join the fixed point.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # chained peel: core(k+1) ⊆ core(k), so each level starts from the
+    # previous level's surviving edges instead of the full graph
+    cur = _copurchase_edges(spark, sf_dir)
     out = None
     for k in (2, 3, 4):
-        members = kcore_members(edges, k)
-        m_u = members.select(F.col("node").alias("u"))
-        m_v = members.select(F.col("node").alias("v"))
-        core_edges = edges.join(m_u, "u", "semi").join(m_v, "v", "semi")
-        sym = core_edges.unionByName(
-            core_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        cur = kcore_edges(cur, k)
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         deg = sym.groupBy("u").agg(F.count("*").alias("d"))
         row = deg.agg(
