@@ -3084,3 +3084,83 @@ def kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue split: new vs existing customers.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_new_vs_existing",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+               AS first_month
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             f.first_month,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS revenue
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT month,
+           CAST(SUM(CASE WHEN month = first_month THEN revenue
+                         ELSE 0 END) AS DOUBLE) AS new_customer_revenue,
+           CAST(SUM(CASE WHEN month > first_month THEN revenue
+                         ELSE 0 END) AS DOUBLE) AS existing_customer_revenue,
+           CAST(SUM(CASE WHEN month = first_month THEN revenue
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(revenue) AS DOUBLE) AS new_revenue_share
+    FROM monthly GROUP BY month
+    """,
+)
+def revenue_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split by NEW (first-purchase month) vs EXISTING
+    customers — the acquisition-vs-retention decomposition under every
+    net-revenue-retention narrative, and the revenue twin of
+    ``new_vs_returning_daily`` (that one counts heads, this one counts
+    money; they diverge exactly when new customers spend differently).
+
+    Money stays DECIMAL through the per-(month, cohort-month) rollup
+    and the conditional sums; the classification ``month vs
+    first_month`` is exact date arithmetic; the share is one IEEE
+    division at the output surface.
+
+    Scale posture: customer-grain first-month aggregate
+    (broadcastable), one shuffle to (month, first_month) — bounded by
+    months² — then a month-grain rollup.
+    """
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias(
+            "first_month"
+        )
+    )
+    monthly = (
+        o.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            "first_month",
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("revenue")
+        )
+    )
+    new_rev = F.sum(
+        F.when(F.col("month") == F.col("first_month"), F.col("revenue"))
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+    old_rev = F.sum(
+        F.when(F.col("month") > F.col("first_month"), F.col("revenue"))
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+    return monthly.groupBy("month").agg(
+        new_rev.cast("double").alias("new_customer_revenue"),
+        old_rev.cast("double").alias("existing_customer_revenue"),
+        (new_rev.cast("double") / F.sum("revenue").cast("double")).alias(
+            "new_revenue_share"
+        ),
+    )

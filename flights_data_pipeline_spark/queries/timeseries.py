@@ -2042,3 +2042,138 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 15)
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day.
+# ---------------------------------------------------------------------------
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, f.first_day
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS new_share
+    FROM active GROUP BY day
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever activity today)
+    vs RETURNING — the growth-accounting companion to ``wau_rolling``
+    (DAU growth driven by acquisition reads completely differently
+    from DAU growth driven by resurrection, and this split is how you
+    tell).
+
+    One user-grain first-day aggregate (broadcastable), one distinct
+    (user, day) pass, one day-grain rollup; new/returning are exact
+    integer classifications against the first day, the share one IEEE
+    division.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    active = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .join(F.broadcast(firsts), "user_id")
+    )
+    return active.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).cast("bigint").alias("new_users"),
+        F.sum(
+            F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+        ).cast("bigint").alias("returning_users"),
+        (
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("new_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dwell-time analytics (time-in-state from the version history).
+# ---------------------------------------------------------------------------
+@query(
+    "state_dwell_times",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+    ),
+    changed AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM ev
+      ) WHERE prev IS NULL OR prev <> event_type
+    ),
+    hist AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changed
+    )
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_closed_versions,
+           CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT)
+             AS total_dwell_us,
+           CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_dwell_us
+    FROM hist WHERE valid_to IS NOT NULL
+    GROUP BY state
+    """,
+)
+def state_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state analytics over the SCD2 version history: for each
+    state, how many CLOSED versions exist and how long users dwell in
+    it before transitioning — the question an SCD2 dimension exists to
+    answer (the history build is ``scd2_user_state_history``; this is
+    its canonical consumer, and the reason ``valid_from``/``valid_to``
+    are stored as half-open intervals: dwell = exact microsecond
+    difference, no off-by-one).
+
+    Open (current) versions are excluded — their dwell is censored,
+    not observed; averaging them in would bias every state short (the
+    same censoring discipline as ``user_churn_hazard``).
+
+    Exactness: dwell totals are exact bigint microsecond sums; the
+    mean is one IEEE division. One window pass per user partition,
+    one state-grain rollup.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    hist = changed.select(
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).filter(F.col("valid_to").isNotNull())
+    dwell = F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    return hist.groupBy("state").agg(
+        F.count("*").cast("bigint").alias("n_closed_versions"),
+        F.sum(dwell).cast("bigint").alias("total_dwell_us"),
+        (F.sum(dwell).cast("double") / F.count("*").cast("double")).alias(
+            "mean_dwell_us"
+        ),
+    )
