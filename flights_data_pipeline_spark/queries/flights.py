@@ -1,15 +1,23 @@
-"""Flights star-schema pipeline exposed as driver-checkable queries.
+"""Flights star-schema pipeline exposed as DRIVER-HASH-CHECKABLE queries.
 
-The end-to-end reference-parity pipeline (fixtures → extract → CSV
-landing → staging upsert → dims/facts; SURVEY.md §7.1 M3) runs on
-generated flights-domain data, not the driver's TPC-H-ish tables, so
-these queries carry no DuckDB oracle (the driver records a rows-only
-check). The *real* oracle coverage lives in
-``tests/test_flights_pipeline.py``: every dim/fact hash-matches a
-DuckDB twin there, plus idempotency / skip-on-empty / property tests.
+The end-to-end reference-parity pipeline (staging source → extract →
+CSV landing → day-window staging upsert → dims/facts; SURVEY.md §7.1
+M3, reference ``dags/flights_data_pipeline.py``) runs here on staging
+tables DERIVED from the driver's own parquet (``pipeline/derive.py``):
+a pure, cross-engine-exact function of ``orders``/``customer``/
+``lineitem``/``nation``/``part``. That makes every query below a REAL
+DuckDB-oracle query — the oracle recomputes the derivation analytically
+(WITH-chain over the driver's views) and applies the same transform
+semantics, while the Spark side earns its answer by physically running
+the whole pipeline (CSV round-trip, partition-overwrite upserts,
+transform DAG). A hash match therefore certifies the entire spine, not
+just the final SELECT.
 
-The pipeline materializes once per process into a temp warehouse and
-each query reads the resulting parquet.
+The pipeline materializes once per (process, sf_dir) into a temp
+warehouse — the first flights query sampled in a session pays the
+multi-second build; the rest read parquet. Fixture-based pipeline
+coverage (idempotency, skip-on-empty, blind spot) stays in
+``tests/test_flights_pipeline.py``.
 """
 
 from __future__ import annotations
@@ -22,67 +30,148 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline import fixtures
+from ..pipeline import derive
 from ..pipeline.runner import run_pipeline
+from ..pipeline.transforms import ORACLES
 from .registry import query
 
-_WAREHOUSE: str | None = None
+_WAREHOUSES: dict[str, str] = {}
 
 
-def _warehouse(spark: SparkSession) -> str:
-    """Run the full pipeline once per process; return the warehouse dir."""
-    global _WAREHOUSE
-    if _WAREHOUSE is None or not os.path.isdir(_WAREHOUSE):
-        base = tempfile.mkdtemp(prefix="fdp_flights_")
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-        dirs = {k: f"{base}/{k}" for k in ("source", "landing", "staging", "warehouse")}
-        fixtures.write_source(spark, dirs["source"], seed=42, n_bookings=400)
-        run_pipeline(
-            spark,
-            dirs["source"],
-            dirs["landing"],
-            dirs["staging"],
-            dirs["warehouse"],
-            [d.isoformat() for d in fixtures.DAYS],
-        )
-        _WAREHOUSE = dirs["warehouse"]
-    return _WAREHOUSE
+def _warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Derive staging from ``sf_dir``, run the full pipeline once per
+    (process, sf_dir); return the warehouse dir."""
+    wh = _WAREHOUSES.get(sf_dir)
+    if wh is not None and os.path.isdir(wh):
+        return wh
+    base = tempfile.mkdtemp(prefix="fdp_flights_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    dirs = {k: f"{base}/{k}" for k in ("source", "landing", "staging", "warehouse")}
+    for table, df in derive.derive_staging(spark, sf_dir).items():
+        df.write.mode("overwrite").parquet(f"{dirs['source']}/{table}")
+    run_pipeline(
+        spark,
+        dirs["source"],
+        dirs["landing"],
+        dirs["staging"],
+        dirs["warehouse"],
+        derive.DERIVE_DAYS,
+    )
+    _WAREHOUSES[sf_dir] = dirs["warehouse"]
+    return dirs["warehouse"]
 
 
-@query("flights_seat_occupancy_daily")
+@query(
+    "flights_seat_occupancy_daily",
+    oracle=derive.oracle_with(ORACLES["fct_seat_occupied_daily"]),
+)
 def flights_seat_occupancy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The minimum end-to-end slice (SURVEY.md §7.2): daily seat
-    occupancy through the whole extract→stage→transform pipeline."""
-    wh = _warehouse(spark)
+    occupancy through the whole extract→stage→transform pipeline
+    (J4 left join + A1-A3 over flights/boarding_passes/seats)."""
+    wh = _warehouse(spark, sf_dir)
     return spark.read.parquet(f"{wh}/fct_seat_occupied_daily")
 
 
-@query("flights_booking_ticket_rollup")
+@query(
+    "flights_booking_ticket_rollup",
+    oracle=derive.oracle_with(
+        f"""
+        WITH fbt AS ({ORACLES["fct_booking_ticket"]})
+        SELECT book_ref,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(amount) AS DOUBLE) AS segments_amount,
+               CAST(booking_total_amount AS DOUBLE) AS booking_total,
+               SUM(amount) = booking_total_amount AS reconciles
+        FROM fbt
+        GROUP BY book_ref, booking_total_amount
+        """
+    ),
+)
 def flights_booking_ticket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Booking-grain rollup of the segment fact (A4 decimal sums):
-    reconciles SUM(amount) per booking against the booking total."""
-    wh = _warehouse(spark)
+    reconciles SUM(amount) per booking against the booking total
+    (exact in the DECIMAL domain; doubles only in the output)."""
+    wh = _warehouse(spark, sf_dir)
     f = spark.read.parquet(f"{wh}/fct_booking_ticket")
     return (
         f.groupBy("book_ref", "booking_total_amount")
         .agg(
             F.count("*").cast("bigint").alias("n_segments"),
-            F.sum("amount").cast("decimal(18,2)").alias("segments_amount"),
+            F.sum("amount").alias("seg_dec"),
         )
         .select(
             "book_ref",
             "n_segments",
-            "segments_amount",
-            "booking_total_amount",
-            (F.col("segments_amount") == F.col("booking_total_amount")).alias(
-                "reconciles"
-            ),
+            F.col("seg_dec").cast("double").alias("segments_amount"),
+            F.col("booking_total_amount").cast("double").alias("booking_total"),
+            (F.col("seg_dec") == F.col("booking_total_amount")).alias("reconciles"),
         )
     )
 
 
-@query("flights_passenger_dim")
+@query("flights_passenger_dim", oracle=derive.oracle_with(ORACLES["dim_passenger"]))
 def flights_passenger_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dim_passenger: P5 dedup + F2 null-safe JSON extraction output."""
-    wh = _warehouse(spark)
+    """dim_passenger: P5 dedup (latest ticket per passenger) + F2
+    null-safe JSON contact extraction, through the pipeline."""
+    wh = _warehouse(spark, sf_dir)
     return spark.read.parquet(f"{wh}/dim_passenger")
+
+
+@query(
+    "flights_activity_delays",
+    oracle=derive.oracle_with(ORACLES["fct_flight_activity"]),
+)
+def flights_activity_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fct_flight_activity end-to-end: F5/F6 delay + date-key math with
+    NULL actuals for unflown statuses, exact integer-second arithmetic."""
+    wh = _warehouse(spark, sf_dir)
+    return spark.read.parquet(f"{wh}/fct_flight_activity")
+
+
+@query(
+    "flights_boarding_fact",
+    oracle=derive.oracle_with(
+        f"""
+        WITH fbp AS ({ORACLES["fct_boarding_pass"]})
+        SELECT boarding_pass_sk, ticket_no, flight_id, boarding_no,
+               seat_no, passenger_sk, flight_no, flight_date_key,
+               paid_fare, seat_class,
+               CAST(amount AS DOUBLE) AS amount_dbl
+        FROM fbp
+        """
+    ),
+)
+def flights_boarding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fct_boarding_pass end-to-end: the 5-way composite-key join
+    (J2/J3) — boarding passes ⋈ segments ⋈ tickets ⋈ flights ⋈ seats."""
+    wh = _warehouse(spark, sf_dir)
+    f = spark.read.parquet(f"{wh}/fct_boarding_pass")
+    return f.select(
+        *[c for c in f.columns if c != "amount"],
+        F.col("amount").cast("double").alias("amount_dbl"),
+    )
+
+
+@query("flights_dim_seat", oracle=derive.oracle_with(ORACLES["dim_seat"]))
+def flights_dim_seat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_seat end-to-end: the derived cabin grid (two-level row/letter
+    generation) surviving the CSV landing + upsert round trip."""
+    wh = _warehouse(spark, sf_dir)
+    return spark.read.parquet(f"{wh}/dim_seat")
+
+
+@query("flights_dim_airport", oracle=derive.oracle_with(ORACLES["dim_airport"]))
+def flights_dim_airport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_airport end-to-end: struct coordinates round-trip CSV as
+    JSON (S3/S4) and flatten to lon/lat; JSON name/city extraction."""
+    wh = _warehouse(spark, sf_dir)
+    return spark.read.parquet(f"{wh}/dim_airport")
+
+
+@query("flights_dim_aircrafts", oracle=derive.oracle_with(ORACLES["dim_aircrafts"]))
+def flights_dim_aircrafts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_aircrafts end-to-end: F2 JSON model extraction over the
+    aircraft dim derived from the driver's nation table."""
+    wh = _warehouse(spark, sf_dir)
+    return spark.read.parquet(f"{wh}/dim_aircrafts")

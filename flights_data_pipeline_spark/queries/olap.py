@@ -1151,12 +1151,49 @@ def cumulative_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Market-basket co-occurrence (co-purchased part pairs).
 # ---------------------------------------------------------------------------
-@query(
-    "copurchase_part_pairs",
-    oracle="""
-    WITH items AS (
+#: max DISTINCT items per basket admitted to the pair/triple self-joins.
+#: Same pattern as ``dedup.NGRAM_DF_CAP``: the quadratic (cubic for
+#: triples) stage is bounded per basket at C(cap,2) / C(cap,3), so one
+#: hot basket with 10^5 items can no longer spawn a 10^10-pair stage at
+#: 100 TB. On TPC-H-ish data (baskets ≤ 7 items) the cap admits every
+#: basket, so results are unchanged; on real retail data dropping
+#: pathological baskets (batch imports, bot carts) is standard market-
+#: basket hygiene — an oversized basket carries no per-pair signal.
+BASKET_CAP = 64
+
+#: shared CTE pair: ``items`` = (basket, item) with oversized baskets
+#: dropped — splice into co-purchase oracles (engine-neutral SQL).
+_BASKET_ITEMS_SQL = f"""items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= {BASKET_CAP}
+    )"""
+
+
+def _basket_items(li: DataFrame) -> DataFrame:
+    """Distinct (basket, item) pairs with baskets over ``BASKET_CAP``
+    items removed — the bounded input every co-purchase self-join
+    starts from. One windowed count over the already-shuffled distinct
+    output; no extra join."""
+    items = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    return (
+        items.withColumn(
+            "bsz", F.count("*").over(W.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("bsz") <= BASKET_CAP)
+        .drop("bsz")
+    )
+
+
+@query(
+    "copurchase_part_pairs",
+    oracle=f"""
+    WITH {_BASKET_ITEMS_SQL},
     pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM items a JOIN items b
@@ -1186,7 +1223,7 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 ranks on exact integer support with a total tiebreak.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a = items.alias("a")
     b = items.alias("b")
     pairs = a.join(
@@ -1268,8 +1305,15 @@ def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "copurchase_triangles",
     oracle="""
-    WITH items AS (
+    WITH items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= 64
     ),
     e AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -1311,7 +1355,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sqrt(|E|)) without changing this query's contract.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a, b = items.alias("a"), items.alias("b")
     e = (
         a.join(
@@ -1379,8 +1423,15 @@ def _pr_oracle() -> str:
         )
         prev = f"s{i}"
     return f"""
-    WITH items AS (
+    WITH items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= 64
     ),
     pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -1434,7 +1485,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence test on total score movement.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a, b = items.alias("a"), items.alias("b")
     und = (
         a.join(
@@ -1639,8 +1690,15 @@ def kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bfs_hop_distance",
     oracle="""
-    WITH items AS (
+    WITH items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= 64
     ),
     edges AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1703,7 +1761,7 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (zero re-shuffle per round after the first).
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a = items.alias("a")
     b = items.alias("b")
     # materialize edges ONCE: the unrolled composition otherwise
@@ -1843,8 +1901,15 @@ def simpson_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "association_rules",
     oracle="""
-    WITH items AS (
+    WITH items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= 64
     ),
     n_baskets AS (
       SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM items
@@ -1901,7 +1966,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back onto 40 rule rows — broadcast-sized by construction.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     n_baskets = items.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("nb")
     )
@@ -2068,8 +2133,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "clustering_coefficient",
     oracle="""
-    WITH items AS (
+    WITH items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= 64
     ),
     e AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -2130,7 +2202,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-orientation refinement applies unchanged.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a, b = items.alias("a"), items.alias("b")
     e = (
         a.join(
@@ -2578,8 +2650,15 @@ def timezone_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "frequent_triples",
     oracle="""
-    WITH items AS (
+    WITH items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= 64
     ),
     triples AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -2616,7 +2695,7 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a pre-filter without changing semantics.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
     triples = (
         a.join(
@@ -2735,8 +2814,15 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "degree_distribution",
     oracle="""
-    WITH items AS (
+    WITH items_all AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_all
+      ) WHERE bsz <= 64
     ),
     e AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -2770,7 +2856,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is |distinct degrees| rows.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a, b = items.alias("a"), items.alias("b")
     e = (
         a.join(
@@ -2987,7 +3073,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle/clustering/BFS/PageRank queries build — materialized once
     for the iterative peel."""
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _basket_items(li)
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(
