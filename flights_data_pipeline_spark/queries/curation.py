@@ -1342,7 +1342,13 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Compression-ratio quality (zlib) — the low-information-content gate.
 # ---------------------------------------------------------------------------
-@query("compression_ratio_quality")  # rows-only: no zlib in the oracle engine
+def _compression_pinned_oracle() -> str:
+    from .pinned_oracles import compression_oracle
+
+    return compression_oracle()
+
+
+@query("compression_ratio_quality", oracle=_compression_pinned_oracle)
 def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio — the CCNet/RedPajama-style
     low-information gate: machine-generated boilerplate and repeated
@@ -1351,11 +1357,12 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristics (``repetition_quality``) miss, and an abnormally HIGH
     ratio flags random noise.
 
-    Rows-only gate entry (DuckDB has no zlib), with the compensating
-    pin in ``tests/test_new_ops_invariants.py``: the whole sf0.001
-    corpus is re-compressed with CPython's zlib directly and compared
-    byte-count-for-byte-count — zlib level 6 is deterministic for a
-    given input, so the pin is exact, not statistical.
+    DuckDB has no zlib, so the oracle is a PINNED-VALUES table
+    (``pinned_oracles``): the corpus is re-compressed with CPython's
+    zlib at oracle-build time (level 6 is deterministic per input, so
+    the pin is exact), keyed by a corpus fingerprint that fails loudly
+    on regeneration. The compensating direct pin stays in
+    ``tests/test_new_ops_invariants.py``.
 
     Engine posture: this is the LEGITIMATE Python-UDF case — a
     C-library computation with no JVM expression equivalent — done the

@@ -3137,7 +3137,67 @@ def kcore_members(edges: DataFrame, k: int) -> DataFrame:
     )
 
 
-@query("kcore_summary")
+#: unrolled peel rounds per k level in the kcore ORACLE (measured
+#: fixed points at sf0.01: 4/11/5 rounds for k=2/3/4 — 16 leaves
+#: headroom; a regenerated corpus needing more trips the error()
+#: convergence assert LOUDLY instead of silently mismatching).
+KCORE_UNROLL_ROUNDS = 16
+
+
+def _kcore_oracle() -> str:
+    """The iterative peel unrolled to a bounded CTE chain (the
+    ``_pr_oracle`` trick): each round recomputes degrees and keeps
+    edges whose BOTH endpoints have degree ≥ k; k levels chain
+    (core(k+1) ⊆ core(k)). Every CTE is MATERIALIZED — DuckDB inlines
+    plain CTEs per reference, which makes a 48-round chain exponential.
+    The summary row self-asserts convergence: a surviving min degree
+    < k means the unroll ran out of rounds and raises via error()."""
+    ctes = [f"""{_BASKET_ITEMS_SQL},
+    g0 AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+      ) WHERE n_orders >= {PR_MIN_SUPPORT}
+    )"""]
+    # the shared _BASKET_ITEMS_SQL CTEs must also materialize (they are
+    # referenced through the whole chain) — patch the keyword in.
+    ctes[0] = ctes[0].replace("items_all AS (", "items_all AS MATERIALIZED (").replace(
+        "items AS (", "items AS MATERIALIZED ("
+    )
+    cur = "g0"
+    summaries = []
+    for k in (2, 3, 4):
+        for r in range(1, KCORE_UNROLL_ROUNDS + 1):
+            d, nxt = f"d{k}_{r}", f"g{k}_{r}"
+            ctes.append(f"""{d} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM {cur} UNION ALL SELECT v FROM {cur}
+      ) GROUP BY node
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT c.u, c.v FROM {cur} c
+      JOIN {d} a ON c.u = a.node AND a.d >= {k}
+      JOIN {d} b ON c.v = b.node AND b.d >= {k}
+    )""")
+            cur = nxt
+        ctes.append(f"""dfin{k} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM {cur} UNION ALL SELECT v FROM {cur}
+      ) GROUP BY node
+    )""")
+        summaries.append(f"""SELECT CAST({k} AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           CAST(SUM(d) / 2 AS BIGINT) AS n_core_edges,
+           CAST(CASE WHEN COUNT(*) = 0 OR MIN(d) >= {k} THEN MIN(d)
+                ELSE error('kcore unroll not converged at k={k}')
+                END AS BIGINT) AS min_core_degree
+    FROM dfin{k}""")
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(summaries)
+
+
+@query("kcore_summary", oracle=_kcore_oracle())
 def kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core summary of the co-purchase graph for k = 2..4: core
     size, surviving edges, and the minimum within-core degree (≥ k by
@@ -3145,10 +3205,11 @@ def kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense-community mining starts, and the "degeneracy ordering" it
     induces is the classic triangle-enumeration speedup).
 
-    Rows-only gate entry: iterative peeling to a fixed point has no
-    single-statement SQL twin. Cross-engine verification runs in
-    pytest instead (``tests/test_kcore.py``): membership and
-    MAXIMALITY are both pinned against a brute-force DuckDB peel —
+    The oracle is the peel UNROLLED to ``KCORE_UNROLL_ROUNDS`` SQL
+    rounds per level with a loud convergence assert (``_kcore_oracle``)
+    — formerly rows-only; the Spark side keeps the true fixed-point
+    loop. Membership and MAXIMALITY are additionally pinned in pytest
+    (``tests/test_kcore.py``) against a brute-force DuckDB peel —
     every member has ≥ k in-core neighbors, and no non-member could
     join the fixed point.
     """

@@ -27,14 +27,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Query:
     name: str
     fn: QueryFn
-    oracle: str | None
+    #: DuckDB oracle SQL; a zero-arg callable is resolved LAZILY (and
+    #: once) at ``oracle_sql_map()`` time — for oracles that embed
+    #: pinned values computed from the corpus (``pinned_oracles``),
+    #: so module import stays free of I/O.
+    oracle: str | Callable[[], str] | None
     doc: str
+
+    def oracle_text(self) -> str | None:
+        if callable(self.oracle):
+            self.oracle = self.oracle()
+        return self.oracle
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``name`` with an optional DuckDB oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -124,8 +135,9 @@ def queries_map() -> dict[str, QueryFn]:
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {
-        name: REGISTRY[name].oracle
-        for name in _driver_sample_order()
-        if REGISTRY[name].oracle is not None
-    }
+    out: dict[str, str] = {}
+    for name in _driver_sample_order():
+        text = REGISTRY[name].oracle_text()
+        if text is not None:
+            out[name] = text
+    return out

@@ -1410,7 +1410,13 @@ def _bpe_apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
     )
 
 
-@query("bpe_train_merges")
+def _bpe_train_pinned_oracle() -> str:
+    from .pinned_oracles import bpe_train_oracle
+
+    return bpe_train_oracle()
+
+
+@query("bpe_train_merges", oracle=_bpe_train_pinned_oracle)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARN a BPE merge table from the corpus — the training half of
     the tokenizer (``bpe_style_token_count`` is the inference half):
@@ -1426,10 +1432,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python, no shuffle — and the vocabulary is localCheckpointed per
     round so expression depth stays constant.
 
-    No SQL oracle (the round-N argmax depends on round-N-1's merge —
-    inherently iterative); correctness is bit-pinned against a
-    pure-Python reference BPE in ``tests/test_bpe_training.py``, both
-    the learned merges and the pair counts.
+    The oracle is a PINNED-VALUES table (``pinned_oracles``): the
+    round-N argmax depends on round-N-1's merge — inherently iterative,
+    no single SQL statement — so an independent pure-Python reference
+    BPE recomputes the merge table per known corpus (fingerprint-keyed,
+    loud on corpus regeneration). The same reference is bit-pinned in
+    ``tests/test_bpe_training.py``, both merges and pair counts.
 
     Determinism: pair counts are exact integers; argmax ties break on
     (left, right) lexicographically.
@@ -1507,7 +1515,13 @@ def _learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     return _LEARNED_MERGES[key]
 
 
-@query("bpe_apply_learned")
+def _bpe_apply_pinned_oracle() -> str:
+    from .pinned_oracles import bpe_apply_oracle
+
+    return bpe_apply_oracle()
+
+
+@query("bpe_apply_learned", oracle=_bpe_apply_pinned_oracle)
 def bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the merge table ``bpe_train_merges`` LEARNS to the corpus
     and report the resulting per-document token counts — the
@@ -1522,10 +1536,11 @@ def bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-cached trained ARTIFACT (``_learned_merges``) — trained
     once per (session, corpus) like a persisted tokenizer file, so
     repeated encodes never re-run the 6-round training pass; no corpus
-    data crosses the driver either way. No SQL
-    oracle (the chained fold is not SQL-expressible); bit-pinned
-    against the pure-Python reference encoder in
-    ``tests/test_bpe_training.py``.
+    data crosses the driver either way. The chained fold is not
+    SQL-expressible, so the oracle is a PINNED-VALUES table
+    (``pinned_oracles.bpe_apply_oracle``): the reference encoder
+    recomputes every document's counts per known corpus, fingerprint-
+    keyed. Also bit-pinned live in ``tests/test_bpe_training.py``.
     """
     merges = _learned_merges(spark, sf_dir)
     d = t(spark, sf_dir, "documents")

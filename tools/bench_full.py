@@ -54,6 +54,15 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - keep sweeping
             print(f"bench_full: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # sweep hygiene, BETWEEN queries (untimed): ContextCleaner only
+        # frees dead broadcast/localCheckpoint blocks after a driver GC,
+        # and a 224-query sweep can accumulate enough executor-memory
+        # state between the 1-minute periodic GCs to inflate later
+        # queries 10× (round-6 postmortem: cross_source_neardup_matrix
+        # 23.5 s in-sweep vs 1.8 s isolated). Forcing the GC per query
+        # keeps every timing an isolated-session number.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     print(
