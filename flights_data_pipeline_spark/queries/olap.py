@@ -3311,3 +3311,121 @@ def revenue_new_vs_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-oriented triangle counting (the 100 TB refinement, verified).
+# ---------------------------------------------------------------------------
+@query(
+    "triangles_degree_oriented",
+    oracle=f"""
+    WITH {_BASKET_ITEMS_SQL},
+    und AS (
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+      ) WHERE n_orders >= 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM und e
+      JOIN deg du ON e.u = du.node
+      JOIN deg dv ON e.v = dv.node
+    ),
+    wedges AS (
+      SELECT e1.src, e1.dst AS b, e2.dst AS c
+      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    tri AS (
+      SELECT w.src FROM wedges w
+      JOIN und e3 ON e3.u = least(w.b, w.c) AND e3.v = greatest(w.b, w.c)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT MAX(od) FROM
+                 (SELECT src, COUNT(*) AS od FROM o GROUP BY src))
+                AS BIGINT) AS max_oriented_outdegree
+    """,
+)
+def triangles_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census with DEGREE orientation — the refinement the
+    ``copurchase_triangles`` docstring promises for 100 TB, implemented
+    and verified: orient every undirected edge from its lower-(degree,
+    id) endpoint to the higher one, enumerate wedges only at each
+    triangle's LOWEST-ordered vertex, and close them against the
+    undirected edge list. The triangle count is identical to the plain
+    enumeration (the oracle recomputes it independently under the same
+    orientation), but the per-node wedge fan-out is bounded by the
+    oriented OUT-degree — O(sqrt(|E|)) for any graph (Chiba–Nishizeki),
+    versus the raw degree of the hottest hub in the unoriented join.
+    ``max_oriented_outdegree`` is reported so the bound is visible
+    data: compare it against the max raw degree in
+    ``degree_distribution``.
+
+    Plan: two integer equi-joins for orientation (degree table is
+    node-sized), one self-join on src for wedges, one two-column
+    equi-join to close — all shuffle-partitioned, no cartesian, and the
+    wedge stage's skew is capped by construction.
+    """
+    und = _copurchase_edges(spark, sf_dir)
+    return oriented_triangle_census(und)
+
+
+def oriented_triangle_census(und: DataFrame) -> DataFrame:
+    """Degree-oriented census over an undirected (u < v) edge list —
+    see ``triangles_degree_oriented``. Factored so planted-graph tests
+    can drive the exact production kernel."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.least("e1.dst", "e2.dst").alias("u"),
+        F.greatest("e1.dst", "e2.dst").alias("v"),
+    )
+    tri = wedges.join(und, ["u", "v"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    edges = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    maxod = (
+        o.groupBy("src")
+        .agg(F.count("*").alias("od"))
+        .agg(F.max("od").cast("bigint").alias("max_oriented_outdegree"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(maxod))
+    )

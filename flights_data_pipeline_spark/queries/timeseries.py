@@ -2177,3 +2177,110 @@ def state_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_dwell_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via the +1/-1 boundary sweep (no pair join).
+# ---------------------------------------------------------------------------
+@query(
+    "peak_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_shipdate AS DATE) AS s,
+             CAST(CAST(l_shipdate AS DATE)
+               + to_days(CAST(floor(l_quantity) AS INT)) AS DATE) AS e
+      FROM lineitem
+    ),
+    daily AS (
+      SELECT flag, d,
+             CAST(SUM(starts) AS BIGINT) AS starts,
+             CAST(SUM(ends) AS BIGINT) AS ends
+      FROM (
+        SELECT flag, s AS d, 1 AS starts, 0 AS ends FROM iv
+        UNION ALL
+        SELECT flag, CAST(e + to_days(1) AS DATE), 0, 1 FROM iv
+      ) GROUP BY flag, d
+    ),
+    swept AS (
+      SELECT flag, d,
+             COALESCE(SUM(starts - ends) OVER (
+               PARTITION BY flag ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + starts AS active
+      FROM daily
+    )
+    SELECT flag,
+           CAST(MAX(active) AS BIGINT) AS peak_concurrent,
+           CAST(MIN(CASE WHEN active = ma THEN d END) AS DATE) AS peak_date,
+           CAST(SUM(starts_total) AS BIGINT) AS n_intervals
+    FROM (
+      SELECT s.flag, s.d, s.active,
+             MAX(s.active) OVER (PARTITION BY s.flag) AS ma,
+             dl.starts AS starts_total
+      FROM swept s JOIN daily dl ON s.flag = dl.flag AND s.d = dl.d
+    ) GROUP BY flag
+    """,
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of CONCURRENTLY in-transit shipments per return
+    flag, via the boundary sweep: +1 at each interval start, -1 the day
+    after its (closed) end, running-sum the per-day nets, take the max.
+    The scalable sibling of ``overlapping_shipments`` — that one pays a
+    pairwise interval join (answers *which* overlap); this one answers
+    *how many at once* with ONE shuffle to the day grain and a window
+    over per-day aggregates. At 100 TB the sweep is the only viable
+    shape: resource-contention peaks (GPU reservations, port slots,
+    concurrent sessions) over billions of intervals reduce to
+    |distinct days| window rows per group.
+
+    Exactness: the peak at day d = (running net before d) + (starts on
+    d) — computed from per-day AGGREGATES, so no row-level tie order
+    exists to diverge between engines; all counts are exact bigints and
+    the peak date is the MIN day achieving the max (total tiebreak).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            F.floor("l_quantity").cast("int"),
+        ).alias("e"),
+    )
+    deltas = iv.select(
+        "flag", F.col("s").alias("d"), F.lit(1).alias("starts"), F.lit(0).alias("ends")
+    ).unionByName(
+        iv.select(
+            "flag",
+            F.date_add("e", 1).alias("d"),
+            F.lit(0).alias("starts"),
+            F.lit(1).alias("ends"),
+        )
+    )
+    daily = deltas.groupBy("flag", "d").agg(
+        F.sum("starts").cast("bigint").alias("starts"),
+        F.sum("ends").cast("bigint").alias("ends"),
+    )
+    w_prev = (
+        W.partitionBy("flag")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    swept = daily.select(
+        "flag",
+        "d",
+        "starts",
+        (
+            F.coalesce(F.sum(F.col("starts") - F.col("ends")).over(w_prev), F.lit(0))
+            + F.col("starts")
+        ).alias("active"),
+    )
+    ma = swept.withColumn("ma", F.max("active").over(W.partitionBy("flag")))
+    return ma.groupBy("flag").agg(
+        F.max("active").cast("bigint").alias("peak_concurrent"),
+        F.min(F.when(F.col("active") == F.col("ma"), F.col("d"))).alias(
+            "peak_date"
+        ),
+        F.sum("starts").cast("bigint").alias("n_intervals"),
+    )

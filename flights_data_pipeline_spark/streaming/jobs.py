@@ -1046,3 +1046,68 @@ def transition_matrix_from_state(
             / F.col("out_total").cast("double")
         ).alias("prob"),
     )
+
+
+def quota_sample_stream(
+    stream: DataFrame,
+    store_path: str,
+    quota: int = 10,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming ADMISSION CONTROL per source: maintain, as documents
+    arrive, the per-source quota sample ``domain_quota_sample`` defines
+    in batch — at most ``quota`` docs per source, selected by smallest
+    ``md5(doc_id)`` (the deterministic uniform shuffle).
+
+    The store is a fixed point of the batch rule, not a first-come
+    gate: each micro-batch unions the incoming docs with the current
+    store and re-ranks per source, so a later document that hashes
+    earlier EVICTS an admitted one. That choice is what buys the three
+    properties a quota gate at 100 TB actually needs:
+
+    * batch-twin exact: after any prefix of the stream, the store ==
+      ``domain_quota_sample`` of exactly the documents seen so far —
+      regardless of arrival order or batch boundaries;
+    * replay-idempotent: re-merging a delivered-again batch is a no-op
+      (the rank of already-present rows cannot change);
+    * bounded state: the store never exceeds |sources| × quota rows,
+      and each merge shuffles only store + batch (never history text —
+      only ids/sources/hashes live in the store).
+
+    Returns the started ``StreamingQuery`` (availableNow trigger).
+    """
+    keyed = stream.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        from pyspark.sql.window import Window as W
+
+        from ..operators.merge import _swap_in
+
+        try:
+            store = spark.read.parquet(store_path)
+            combined = store.unionByName(batch).dropDuplicates(["doc_id"])
+        except Exception as exc:  # first batch: no store yet
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
+            combined = batch.dropDuplicates(["doc_id"])
+        w = W.partitionBy("source").orderBy("__h", "doc_id")
+        kept = (
+            combined.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= quota)
+            .drop("__rk")
+        )
+        _swap_in(spark, kept, store_path)
+
+    writer = keyed.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

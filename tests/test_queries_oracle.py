@@ -15,7 +15,7 @@ WEAK_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_dir, name):
     q = REGISTRY[name]
-    compare_query(spark, sf_dir, q.fn, q.oracle, name=name)
+    compare_query(spark, sf_dir, q.fn, q.oracle_text(), name=name)
 
 
 @pytest.mark.parametrize("name", WEAK_QUERIES)
