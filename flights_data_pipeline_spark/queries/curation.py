@@ -1401,3 +1401,82 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"))
         .alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget admission per source (the budgeted quota gate).
+# ---------------------------------------------------------------------------
+#: per-source token budget for the admission gate.
+ADMIT_TOKEN_BUDGET = 4096
+
+
+@query(
+    "token_budget_admission",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM tc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_admitted,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_admitted,
+           CAST(MAX(cum_tokens) AS BIGINT) AS budget_used
+    FROM ranked
+    WHERE cum_tokens <= {ADMIT_TOKEN_BUDGET}
+    GROUP BY source
+    """,
+)
+def token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control by TOKEN budget, not head-count: per source,
+    admit documents in hashed-key order until the cumulative token
+    count would exceed {ADMIT_TOKEN_BUDGET} — the gate a training-mix
+    pipeline actually needs (``domain_quota_sample`` caps documents;
+    budgets are spent in tokens, and sources with long documents
+    exhaust theirs in fewer docs). The hashed-key order makes the
+    admitted PREFIX a stable unbiased sample, exactly like the quota
+    sample: re-running on a grown corpus only ever replaces admitted
+    docs with earlier-hashing ones.
+
+    Plan: one narrow token-count map, one window shuffle per source,
+    a filter on the running sum — no collect, no iteration; the same
+    shape as ``pack_sequences`` with the cumulative sum used as a gate
+    instead of a bin assigner.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    tc = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = tc.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= ADMIT_TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_admitted"),
+            F.max("cum_tokens").cast("bigint").alias("budget_used"),
+        )
+    )

@@ -348,3 +348,92 @@ def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply-log compaction (I/U/D change log → final snapshot).
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_apply_log",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             o_orderstatus AS status FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'U2' FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', CAST(NULL AS VARCHAR)
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    latest AS (
+      SELECT k, op, status FROM (
+        SELECT *, row_number() OVER (PARTITION BY k
+                                     ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    ),
+    snapshot AS (
+      SELECT k, status FROM latest WHERE op <> 'D'
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM snapshot GROUP BY status
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change log (insert / update / delete ops with a
+    per-key sequence) down to the final snapshot — the log-compaction
+    semantics every Debezium/binlog consumer and every table format's
+    MERGE implement. The log is derived deterministically from
+    ``orders`` (every key inserts; every 7th updates; every 11th
+    deletes), so the oracle recomputes the identical log analytically.
+
+    Semantics pinned: last-writer-wins per key on the sequence
+    (ROW_NUMBER, the ``merge_latest_parquet`` ordering), deletes
+    REMOVE the key from the snapshot rather than tombstoning it into
+    the output, and an update following an insert replaces the row's
+    attributes. Output is the snapshot aggregated by status with an
+    exact key-sum integrity column.
+
+    Scale: one window shuffle on the key — identical to the MERGE
+    exchange the real apply pays; log compaction at 100 TB is exactly
+    this query per partition.
+    """
+    o = t(spark, sf_dir, "orders")
+    log = (
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("I").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit("U2").alias("status"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("op") != "D")
+    )
+    return latest.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )

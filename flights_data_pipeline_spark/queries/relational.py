@@ -1004,3 +1004,48 @@ def try_function_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_cast(CAST(user_id AS STRING) AS BIGINT)")
         ).cast("bigint").alias("n_good_int_casts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy: order-independent bucketed table checksum.
+# ---------------------------------------------------------------------------
+def _checksum_oracle() -> str:
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1) "
+        f"* {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                CAST(o_custkey AS VARCHAR),
+                                o_orderstatus, o_orderpriority)) AS h
+      FROM orders
+    )
+    SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({hv}) AS DECIMAL(38,0)) AS checksum
+    FROM hashed GROUP BY 1
+    """
+
+
+@query("table_checksum_buckets", oracle=_checksum_oracle())
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed anti-entropy checksum of ``orders``
+    (``operators/checksum.bucket_checksums``): md5 every row's
+    canonical string, bucket on the digest's first hex digit, SUM the
+    8-hex-digit prefix values per bucket in DECIMAL(38,0). Two tables
+    (source vs replica, pre- vs post-migration) agree iff these 16
+    summary rows agree; a mismatch names which 1/16th of the keyspace
+    to drill into. The shape is one narrow map + a 16-group aggregate —
+    no sort, no collect, map-side partials — which is the only viable
+    full-table compare at 100 TB. Sums in DECIMAL(38,0): a bigint
+    accumulator wraps silently past ~2^31 rows per bucket (rule 28).
+    """
+    from ..operators.checksum import bucket_checksums
+
+    o = t(spark, sf_dir, "orders")
+    return bucket_checksums(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

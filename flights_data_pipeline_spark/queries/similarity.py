@@ -2265,3 +2265,110 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "hamming", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid drift (exact fixed-point; the mixture monitor).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_label_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT unnest(generate_series(1,
+               (SELECT MAX(len(embedding)) FROM embeddings))) AS dim
+    ),
+    q AS (
+      SELECT e.label, d.dim,
+             CAST(floor(CAST(e.embedding[d.dim] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings e, dims d
+    ),
+    per_ld AS (
+      SELECT label, dim, SUM(qv) AS s_ld FROM q GROUP BY label, dim
+    ),
+    per_d AS (
+      SELECT dim, SUM(s_ld) AS s_gd FROM per_ld GROUP BY dim
+    ),
+    counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_g
+      FROM embeddings GROUP BY label
+    ),
+    nums AS (
+      SELECT l.label, c.n_l, c.n_g,
+             CAST(l.s_ld AS BIGINT) * c.n_g
+               - CAST(d.s_gd AS BIGINT) * c.n_l AS num
+      FROM per_ld l
+      JOIN per_d d ON l.dim = d.dim
+      JOIN counts c ON l.label = c.label
+    )
+    SELECT label,
+           CAST(n_l AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(num AS HUGEINT) * num) AS DOUBLE)
+             / CAST((n_l * n_g) AS DOUBLE)
+             / CAST((n_l * n_g) AS DOUBLE) AS drift_l2sq_milli
+    FROM nums GROUP BY label, n_l, n_g
+    """,
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared L2 distance between each label's embedding centroid and
+    the GLOBAL centroid, in fixed-point milliunits² — the mixture
+    monitor a training-data pipeline runs per snapshot: a label (or
+    source, or time slice) whose centroid drifts is changing meaning
+    or quality, and catches distribution shift long before downstream
+    loss does.
+
+    Exactness is the whole design: naive float centroid means sum in
+    engine- and partition-dependent order (rule 3), so components are
+    fixed-point encoded (``floor(x·1000 + 0.5)`` — the quantizer
+    rounding of rule 1), per-(label, dim) sums stay in exact integers,
+    and the drift's numerator Σ_d (S_ld·n_g − S_gd·n_l)² accumulates in
+    128-bit integers (DECIMAL(38,0) / HUGEINT — bigint would wrap at
+    ~1e20, rule 28). ONE double division at the surface; both engines
+    divide the identical exact integers.
+
+    Plan: posexplode to (label, dim) — 64·N narrow rows — one partial-
+    aggregating groupBy, a dim-level rollup (64 rows), broadcast-sized
+    joins back. At 100 TB: the per-(label, dim) sufficient statistics
+    are mergeable, so the same query rolls up over daily partial sums.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000 + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    per_ld = q.groupBy("label", "dim").agg(F.sum("qv").alias("s_ld"))
+    per_d = per_ld.groupBy("dim").agg(F.sum("s_ld").alias("s_gd"))
+    counts = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_l"))
+    n_g = e.agg(F.count("*").cast("bigint").alias("n_g"))
+    nums = (
+        per_ld.join(F.broadcast(per_d), "dim")
+        .join(F.broadcast(counts), "label")
+        .crossJoin(F.broadcast(n_g))
+        .select(
+            "label",
+            "n_l",
+            "n_g",
+            (F.col("s_ld") * F.col("n_g") - F.col("s_gd") * F.col("n_l")).alias(
+                "num"
+            ),
+        )
+    )
+    num_dec = F.col("num").cast("decimal(38,0)")
+    return nums.groupBy("label", "n_l", "n_g").agg(
+        (
+            F.sum(num_dec * num_dec).cast("double")
+            / (F.col("n_l") * F.col("n_g")).cast("double")
+            / (F.col("n_l") * F.col("n_g")).cast("double")
+        ).alias("drift_l2sq_milli")
+    ).select(
+        "label",
+        F.col("n_l").alias("n_vectors"),
+        "drift_l2sq_milli",
+    )
