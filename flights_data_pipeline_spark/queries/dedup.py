@@ -1426,3 +1426,62 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_contained").cast("double")
         ).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup rate report (the curation scorecard's dedup column).
+# ---------------------------------------------------------------------------
+def _dedup_rate_oracle() -> str:
+    keep = _dedup_keep_list_oracle().rstrip()
+    return f"""
+    WITH verdicts AS ({keep})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE v.kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT v.exact_keeper) AS BIGINT)
+             AS n_exact_dropped,
+           CAST(COUNT(*) FILTER (WHERE v.exact_keeper AND NOT v.near_keeper)
+                AS BIGINT) AS n_near_dropped,
+           CAST(COUNT(*) FILTER (WHERE v.kept) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+    FROM verdicts v JOIN documents d ON v.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("dedup_rate_by_source", oracle=_dedup_rate_oracle())
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup scorecard: how many documents each source
+    keeps after the full exact+near pipeline, split by WHICH stage
+    dropped the rest — the number a crawl-provenance review actually
+    reads (a source with a high exact-drop rate is re-fetching; a high
+    near-drop rate is syndication/templating;
+    ``cross_source_neardup_matrix`` then names the partner sources).
+
+    Pure composition over the oracle-matched ``dedup_keep_list``
+    verdicts (same shared LSH subtree — no recomputation beyond one
+    provenance join and a per-source rollup), with drop attribution
+    disjoint by construction: exact-dropped is counted first, near-
+    dropped only among exact survivors, so the three counters sum to
+    n_docs.
+    """
+    d = t(spark, sf_dir, "documents")
+    verdicts = dedup_keep_list(spark, sf_dir)
+    return (
+        verdicts.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).cast("bigint").alias("n_kept"),
+            F.count(F.when(~F.col("exact_keeper"), 1))
+            .cast("bigint")
+            .alias("n_exact_dropped"),
+            F.count(F.when(F.col("exact_keeper") & ~F.col("near_keeper"), 1))
+            .cast("bigint")
+            .alias("n_near_dropped"),
+            (
+                F.count(F.when(F.col("kept"), 1)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("keep_rate"),
+        )
+    )

@@ -2333,7 +2333,17 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are mergeable, so the same query rolls up over daily partial sums.
     """
     e = t(spark, sf_dir, "embeddings")
-    q = e.select(
+    q = quantized_label_dims(e)
+    per_ld = q.groupBy("label", "dim").agg(F.sum("qv").alias("s_ld"))
+    counts = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_l"))
+    return drift_from_stats(per_ld, counts)
+
+
+def quantized_label_dims(e: DataFrame) -> DataFrame:
+    """(label, dim, qv) milliunit fixed-point rows — shared by the
+    batch query and the streaming maintenance so both quantize
+    identically."""
+    return e.select(
         "label",
         F.posexplode("embedding").alias("dim0", "x"),
     ).select(
@@ -2343,10 +2353,16 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qv"),
     )
-    per_ld = q.groupBy("label", "dim").agg(F.sum("qv").alias("s_ld"))
+
+
+def drift_from_stats(per_ld: DataFrame, counts: DataFrame) -> DataFrame:
+    """Drift from the sufficient statistics: per-(label, dim) exact
+    sums + per-label counts. The streaming state reader
+    (``streaming/jobs.embedding_drift_from_state``) calls this same
+    kernel, so streamed and batch drift are bit-identical on the same
+    vectors."""
     per_d = per_ld.groupBy("dim").agg(F.sum("s_ld").alias("s_gd"))
-    counts = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_l"))
-    n_g = e.agg(F.count("*").cast("bigint").alias("n_g"))
+    n_g = counts.agg(F.sum("n_l").cast("bigint").alias("n_g"))
     nums = (
         per_ld.join(F.broadcast(per_d), "dim")
         .join(F.broadcast(counts), "label")
@@ -2371,4 +2387,140 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("n_l").alias("n_vectors"),
         "drift_l2sq_milli",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss ±1 random projection, with measured distortion.
+# ---------------------------------------------------------------------------
+#: projected dimensionality (from 64 input dims).
+JL_K = 16
+#: vectors sampled into the distortion report (pairs (2m, 2m+1)).
+JL_SAMPLE = 100
+
+
+def _jl_sign(i_expr: str, j_expr: str, pos_fn, str_t: str = "VARCHAR") -> str:
+    """±1 from the parity of md5('jl|i|j')'s first hex digit —
+    deterministic, engine-neutral projection matrix entries."""
+    h = (
+        f"md5('jl|' || CAST({i_expr} AS {str_t}) || '|' "
+        f"|| CAST({j_expr} AS {str_t}))"
+    )
+    return f"(1 - 2 * (({pos_fn}('0123456789abcdef', substr({h}, 1, 1)) - 1) % 2))"
+
+
+@query(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH dims AS (
+      SELECT unnest(generate_series(1,
+               (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+    ),
+    q AS (
+      SELECT e.vec_id, d.i,
+             CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings e, dims d
+      WHERE e.vec_id < {JL_SAMPLE}
+    ),
+    ks AS (SELECT unnest(generate_series(1, {JL_K})) AS j),
+    proj AS (
+      SELECT q.vec_id, k.j,
+             SUM(q.qv * {_jl_sign('q.i', 'k.j', 'strpos')}) AS p
+      FROM q, ks k
+      GROUP BY q.vec_id, k.j
+    ),
+    pd AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM((a.p - b.p) * (a.p - b.p)) AS proj_d2
+      FROM proj a JOIN proj b
+        ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0 AND a.j = b.j
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    od AS (
+      SELECT a.vec_id AS a_id,
+             SUM((a.qv - b.qv) * (a.qv - b.qv)) AS orig_d2
+      FROM q a JOIN q b
+        ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0 AND a.i = b.i
+      GROUP BY a.vec_id
+    )
+    SELECT pd.a_id, pd.b_id,
+           CAST(od.orig_d2 AS BIGINT) AS orig_d2,
+           CAST(pd.proj_d2 AS BIGINT) AS proj_d2,
+           CAST(pd.proj_d2 AS DOUBLE)
+             / ({JL_K} * CAST(od.orig_d2 AS DOUBLE)) AS distortion
+    FROM pd JOIN od ON pd.a_id = od.a_id
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 Johnson-Lindenstrauss projection 64 → {JL_K} dims with the
+    distortion it induces on sampled pairs — the dimensionality-
+    reduction pass a 100 TB ANN pipeline runs before indexing (4×
+    fewer bytes per vector; Achlioptas 2003 shows ±1 entries suffice).
+
+    Everything is exact integer arithmetic: components fixed-point
+    encode at milliunits, projection-matrix entries are ±1 from the
+    parity of md5('jl|i|j') (deterministic — the 'seed' ships with the
+    query, both engines regenerate the identical matrix), projected
+    coordinates and both squared distances are exact bigints, and
+    distortion ``proj_d2 / (k · orig_d2)`` is ONE double division
+    (E[distortion] = 1 for JL). Pair construction is (2m, 2m+1) over
+    the first {JL_SAMPLE} vec_ids.
+
+    Plan: the projection is a narrow explode (d·k rows per sampled
+    vector) + one groupBy — at full scale it runs in the scan
+    projection as a per-row array fold with a broadcast sign matrix;
+    the explode form here keeps both engines on identical arithmetic.
+    """
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < JL_SAMPLE)
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000 + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    ks = spark.range(1, JL_K + 1).select(F.col("id").cast("int").alias("j"))
+    sign = F.expr(_jl_sign("i", "j", "instr", str_t="STRING"))
+    proj = (
+        q.crossJoin(F.broadcast(ks))
+        .select("vec_id", "j", (F.col("qv") * sign).alias("term"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("term").alias("p"))
+    )
+    pa = proj.select(F.col("vec_id").alias("a_id"), "j", F.col("p").alias("pa"))
+    pb = proj.select(F.col("vec_id").alias("b_id"), "j", F.col("p").alias("pb"))
+    pd_ = (
+        pa.filter(F.col("a_id") % 2 == 0)
+        .join(pb, (F.col("b_id") == F.col("a_id") + 1) & (pa.j == pb.j))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum((F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))).alias(
+                "proj_d2"
+            )
+        )
+    )
+    qa = q.select(F.col("vec_id").alias("a_id"), "i", F.col("qv").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("b_id"), "i", F.col("qv").alias("qb"))
+    od = (
+        qa.filter(F.col("a_id") % 2 == 0)
+        .join(qb, (F.col("b_id") == F.col("a_id") + 1) & (qa.i == qb.i))
+        .groupBy("a_id")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))).alias(
+                "orig_d2"
+            )
+        )
+    )
+    return pd_.join(od, "a_id").select(
+        "a_id",
+        "b_id",
+        F.col("orig_d2").cast("bigint").alias("orig_d2"),
+        F.col("proj_d2").cast("bigint").alias("proj_d2"),
+        (
+            F.col("proj_d2").cast("double")
+            / (JL_K * F.col("orig_d2").cast("double"))
+        ).alias("distortion"),
     )

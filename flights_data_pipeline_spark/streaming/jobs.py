@@ -1111,3 +1111,80 @@ def quota_sample_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def embedding_drift_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of the per-label centroid-drift monitor
+    (``queries/similarity.embedding_label_drift``): each micro-batch's
+    vectors collapse to (label, dim, batch) exact fixed-point sums plus
+    a per-batch vector count, merged latest-wins on the batch-id-keyed
+    key (the ``ols_stats_stream`` pattern — replay recomputes the
+    identical contribution rows and rewrites them in place, so
+    at-least-once delivery cannot double-count).
+
+    State is sufficient-statistics-sized: |labels| × |dims| ×
+    |batches| rows of three small columns — never vector-level. The
+    reader (``embedding_drift_from_state``) sums contributions back
+    and runs the SAME ``drift_from_stats`` kernel the batch query
+    uses, so streamed drift == batch drift bit-for-bit on the same
+    vectors. Returns the started ``StreamingQuery``.
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        from ..operators.merge import merge_latest_parquet
+        from ..queries.similarity import quantized_label_dims
+
+        q = quantized_label_dims(batch)
+        sums = (
+            q.groupBy("label", "dim")
+            .agg(F.sum("qv").cast("bigint").alias("s_qv"))
+            .withColumn("__batch", F.lit(batch_id).cast("bigint"))
+        )
+        cnts = (
+            batch.groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(
+                "label",
+                F.lit(0).cast("int").alias("dim"),  # dim 0 = count row
+                F.col("n").alias("s_qv"),
+                F.lit(batch_id).cast("bigint").alias("__batch"),
+            )
+        )
+        merge_latest_parquet(
+            batch.sparkSession,
+            state_path,
+            sums.unionByName(cnts),
+            keys=["label", "dim", "__batch"],
+            order_cols=["s_qv"],
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def embedding_drift_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Recover the drift report from streamed state: sum per-batch
+    contributions back to per-(label, dim) totals and per-label counts
+    (dim 0 rows), then run the exact shared kernel."""
+    from ..queries.similarity import drift_from_stats
+
+    st = spark.read.parquet(state_path)
+    per_ld = (
+        st.filter(F.col("dim") > 0)
+        .groupBy("label", "dim")
+        .agg(F.sum("s_qv").cast("bigint").alias("s_ld"))
+    )
+    counts = (
+        st.filter(F.col("dim") == 0)
+        .groupBy("label")
+        .agg(F.sum("s_qv").cast("bigint").alias("n_l"))
+    )
+    return drift_from_stats(per_ld, counts)

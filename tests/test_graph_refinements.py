@@ -54,3 +54,19 @@ def test_planted_hub_graph_oriented_census(spark):
     # so no wedge is ever enumerated AT the hub — out-degree stays
     # bounded by the spoke degrees
     assert row["max_oriented_outdegree"] <= 3
+
+
+def test_jl_distortion_concentrates_near_one(spark):
+    """JL property on real data: with k=16 the per-pair distortion has
+    sd ≈ sqrt(2/k) ≈ 0.35, so the 50-pair mean sits near 1 and no pair
+    strays past gross bounds — the guarantee that makes the projected
+    index usable."""
+    import statistics
+
+    from flights_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["jl_projection_distortion"].fn(spark, SF).collect()
+    ds = [r["distortion"] for r in rows]
+    assert len(ds) == 50
+    assert 0.75 < statistics.mean(ds) < 1.25
+    assert all(0.1 < d < 3.0 for d in ds), (min(ds), max(ds))
