@@ -93,6 +93,10 @@ HEADLINE = [
     "flights_seat_occupancy_daily",
     "flights_activity_delays",
     "kcore_summary",
+    "peak_concurrency_sweep",
+    "triangles_degree_oriented",
+    "embedding_label_drift",
+    "table_checksum_buckets",
 ]
 
 

@@ -2284,3 +2284,71 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("starts").cast("bigint").alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value (TWAP) — duration-weighted, exact.
+# ---------------------------------------------------------------------------
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, cents,
+             epoch_us(nxt) - epoch_us(ts) AS dur_us
+      FROM o WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(SUM(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) AS twap_cents
+    FROM iv GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of the event value: each
+    observation holds until the user's next event, so its weight is
+    that interval's duration (last-observation-carried-forward pricing
+    — TWAP for balances, exposure-weighted risk, session-weighted
+    scores). A plain AVG over-weights bursts; the time-weighted form
+    is what billing and mark-to-market actually need.
+
+    Exactness: values fix-point to cents (``floor(x·100+0.5)``, rule
+    1), durations are exact epoch micros from a totally-ordered window
+    (ts, event_id), and the weighted numerator Σ cents·μs accumulates
+    in 128-bit integers (DECIMAL(38,0) / HUGEINT — a month of micros
+    times cents overflows bigint, rule 28). ONE double division at the
+    surface.
+
+    Plan: one window shuffle on user_id, then a partial-aggregating
+    groupBy on the same key — AQE coalesces the second exchange away;
+    no explode, no self-join.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    iv = o.select(
+        "user_id",
+        "cents",
+        (F.unix_micros("nxt") - F.unix_micros("ts")).alias("dur_us"),
+    )
+    num = F.col("cents").cast("decimal(38,0)") * F.col("dur_us")
+    return iv.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_us"),
+        (F.sum(num).cast("double") / F.sum("dur_us").cast("double")).alias(
+            "twap_cents"
+        ),
+    )
