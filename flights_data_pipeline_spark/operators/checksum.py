@@ -35,17 +35,32 @@ def _hex_prefix_value(h: Column, n_digits: int = 8) -> Column:
     return total
 
 
+def _canon_field(c: str) -> Column:
+    """Injective render of one column: backslash-escape ``\\`` and the
+    ``|`` delimiter, then map NULL to the sentinel ``\\N`` (two chars,
+    backslash + N) — unreachable by any escaped value because a real
+    backslash always renders doubled. Without this, concat_ws skips
+    NULLs and leaves the delimiter ambiguous, so distinct rows collide
+    (``('a', NULL, 'b')`` vs ``('a', 'b', NULL)``; ``('a|b', 'c')`` vs
+    ``('a', 'b|c')``) — fatal for an anti-entropy primitive."""
+    s = F.col(c).cast("string")
+    s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit("|"), F.lit("\\|"))
+    return F.coalesce(s, F.lit("\\N"))
+
+
 def bucket_checksums(df: DataFrame, cols: list[str]) -> DataFrame:
     """(bucket, n_rows, checksum) summary of ``df`` over ``cols``.
 
-    Rows are rendered to a canonical string (``concat_ws('|', ...)``
-    over explicit string casts — both engines skip NULLs identically),
+    Rows are rendered to a canonical string — per-field escaped NULL
+    sentinels joined with ``|`` (see :func:`_canon_field`; the encoding
+    is injective, so two tables agree iff their row multisets agree) —
     md5-digested, bucketed by the digest's first hex digit, and the
     8-hex-digit prefix values are summed per bucket in DECIMAL(38,0).
     One narrow map + one 16-group aggregate: no sort, no collect, and
     partial aggregation collapses map-side.
     """
-    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    row_str = F.concat_ws("|", *[_canon_field(c) for c in cols])
     h = F.md5(row_str)
     digit0 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
     return (

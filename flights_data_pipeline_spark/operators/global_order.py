@@ -1,0 +1,153 @@
+"""Two-phase exact global rank / cumulative-sum — the scalable
+replacement for ``Window.orderBy(...)`` with no partition spec.
+
+An unpartitioned window is the one Spark construct that silently
+serializes at scale: WindowExec moves EVERY row to a single partition
+("No Partition Defined for Window operation" — the round-7 VERDICT's
+last scale-killer class). But a global row number / running sum does
+not need a global sort on one machine; it needs the classic
+two-phase shape (the same trick ``RDD.zipWithIndex`` uses, restated
+DataFrame-native so Catalyst keeps optimizing around it):
+
+1. **Range-shuffle** on the order key (``repartitionByRange`` — the
+   exact shuffle a global ``ORDER BY`` would do anyway). Partition ids
+   are then monotone in the key: partition 0 holds the smallest keys.
+2. **Local window** per partition (``Window.partitionBy(pid)``) — a
+   parallel sort of each slice, never a single-partition sort.
+3. **Per-partition prefix offsets**: aggregate each partition's
+   count/sum (tiny: one row per partition), prefix-sum THOSE, and
+   broadcast-join the offsets back. The only unpartitioned window left
+   runs over ≤ ``spark.sql.shuffle.partitions`` aggregate rows —
+   bounded by cluster configuration, not by data.
+
+Results are bit-identical to the naive global window whenever
+``order_by`` is a TOTAL order (unique key combination) — which every
+cross-engine-exact query in this repo already guarantees, since a
+nondeterministic tie order could not hash-match DuckDB in the first
+place.
+
+``tests/test_global_order.py`` pins equivalence against the naive
+window and the partition-balance property on a skewed fixture;
+``tests/test_physical_layout.py`` pins the plan shape (no
+single-partition exchange feeding a corpus-grain window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+#: internal column names (dropped before returning).
+_PID = "__go_pid"
+_LOCAL = "__go_local"
+_OFFSET = "__go_offset"
+
+
+def _cols(order_by) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def _ranged(df: DataFrame, order_by, sort: bool = False) -> DataFrame:
+    """Range-shuffle ``df`` on the order key and stamp the (monotone)
+    partition id. Partition count follows ``spark.sql.shuffle.partitions``
+    — the same default a global sort would use. The explicit partition
+    count keeps AQE from coalescing (partition ids must stay stable
+    between the offset job and the final job)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartitionByRange(n, *_cols(order_by))
+    if sort:
+        out = out.sortWithinPartitions(*_cols(order_by))
+    return out.withColumn(_PID, F.spark_partition_id())
+
+
+def _with_offsets(ranged: DataFrame, agg: Column) -> DataFrame:
+    """Broadcast-join each row with the prefix-sum (over partitions
+    BEFORE its own) of ``agg`` evaluated per partition. The prefix
+    window is unpartitioned but runs over one row per partition —
+    cluster-config-sized, the documented exception to the
+    no-unpartitioned-window rule."""
+    per_part = ranged.groupBy(_PID).agg(agg.alias("_t"))
+    w = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_part.select(
+        _PID, F.coalesce(F.sum("_t").over(w), F.lit(0)).alias(_OFFSET)
+    )
+    return ranged.join(F.broadcast(offsets), _PID)
+
+
+def global_row_number(df: DataFrame, order_by, out: str = "rn") -> DataFrame:
+    """``row_number() OVER (ORDER BY order_by)`` as a bigint, computed
+    two-phase with NO window at all: after the range shuffle the rows
+    are sorted within each partition, so ``monotonically_increasing_id``'s
+    low 33 bits ARE the local 0-based row number (the documented
+    partition-record layout — the DataFrame-native ``zipWithIndex``).
+    One corpus shuffle total. ``order_by`` must be a total order for
+    the numbering to be deterministic (same contract as the naive
+    window)."""
+    ranged = _ranged(df, order_by, sort=True)
+    local = ranged.withColumn(
+        _LOCAL,
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        + F.lit(1),
+    )
+    return (
+        _with_offsets(local, F.count(F.lit(1)))
+        .withColumn(out, (F.col(_OFFSET) + F.col(_LOCAL)).cast("bigint"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by,
+    value: Column | str,
+    out: str = "cum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """``SUM(value) OVER (ORDER BY order_by ROWS UNBOUNDED PRECEDING
+    [AND 1 PRECEDING])`` computed two-phase. With ``inclusive=False``
+    the sum excludes the current row (NULL→0-coalesced to match the
+    ``COALESCE(SUM(...) OVER ..., 0)`` idiom the callers use)."""
+    v = F.col(value) if isinstance(value, str) else value
+    ranged = _ranged(df, order_by).withColumn("__go_v", v)
+    hi = 0 if inclusive else -1
+    local = ranged.withColumn(
+        _LOCAL,
+        F.coalesce(
+            F.sum("__go_v").over(
+                W.partitionBy(_PID)
+                .orderBy(*_cols(order_by))
+                .rowsBetween(W.unboundedPreceding, hi)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        _with_offsets(local, F.coalesce(F.sum("__go_v"), F.lit(0)))
+        .withColumn(out, F.col(_OFFSET) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFFSET, "__go_v")
+    )
+
+
+def global_ntile(
+    df: DataFrame, order_by, n: int, out: str = "band"
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order_by)`` computed from the
+    two-phase row number plus the total count: with ``N = q*n + r``,
+    the first ``r`` buckets take ``q+1`` rows (Spark/DuckDB/ANSI all
+    share this remainder-to-the-front rule), so the bucket is a pure
+    integer function of ``(rn, N)`` — no global window at all."""
+    rn = "__go_rn"
+    with_rn = global_row_number(df, order_by, out=rn)
+    total = with_rn.agg(F.count(F.lit(1)).cast("bigint").alias("__go_n"))
+    q = F.floor(F.col("__go_n") / n).cast("bigint")
+    r = (F.col("__go_n") % n).cast("bigint")
+    first_block = r * (q + 1)
+    band = F.when(
+        F.col(rn) <= first_block, F.floor((F.col(rn) - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col(rn) - first_block - 1) / q) + 1)
+    return (
+        with_rn.crossJoin(F.broadcast(total))
+        .withColumn(out, band.cast("int"))
+        .drop(rn, "__go_n")
+    )

@@ -1,128 +1,237 @@
 """Incremental fact maintenance: partition-level refresh instead of
-full rebuild.
+full rebuild — for ALL FOUR facts.
 
 ``runner.run_transforms`` rebuilds every fact from full staging each
 run — correct, and the right call at demo scale, but at 100 TB a daily
 load that touches three flight dates must not recompute three years of
 fact history. This module implements the standard partition-refresh
-contract for ``fct_seat_occupied_daily``:
+contract (reference treats the 4 facts uniformly,
+``dags/flights_data_pipeline.py:229-238``):
 
 1. **Blast radius**: a day-window staging load (``updated_date = ds``)
-   affects exactly the ``flight_date_key`` partitions of (a) flights
-   whose own row changed that day and (b) flights referenced by
-   boarding passes that changed that day. Both sets come from the
-   day's staging partition — pruned scans, never full history.
+   can change a fact's ``flight_date_key`` partitions through any of
+   its upstream staging tables. Per fact we chase each updated table's
+   ds partition to the ``flight_id`` values it can influence
+   (``_touched_flight_ids``) — pruned scans, never full history — and
+   take the dates of those flights. Crucially the radius also includes
+   each touched flight's PREVIOUSLY MATERIALIZED partitions (looked up
+   in the existing fact): if a load moves ``scheduled_departure``
+   across a date boundary, the OLD partition must be refreshed too or
+   it keeps a stale duplicate row (round-7 ADVICE).
 2. **Recompute only those partitions** with the same transform
-   semantics (the fact derivation is shared with
-   ``transforms.fct_seat_occupied_daily``), filtered to the affected
-   dates. Capacity (seats per aircraft) is recomputed from current
-   staging — a dimension change correctly propagates into refreshed
-   partitions only, which is the documented trade of partition refresh
-   (history keeps the capacity as-of its last refresh; a seat-map
-   change that must rewrite history is a backfill, not a refresh).
+   semantics — the fact definitions in ``transforms.py`` accept a
+   ``date_filter`` and push it into the flights scan, so the filtered
+   path IS the full build restricted to the affected dates (one
+   definition, no drift).
 3. **Dynamic partition overwrite** lands the refreshed dates
-   atomically per partition (the S6 idempotent-upsert primitive
-   reused at the fact layer), so re-running a ds is a no-op rewrite of
-   the same partitions.
+   atomically per partition (the S6 idempotent-upsert primitive reused
+   at the fact layer), so re-running a ds is a no-op rewrite of the
+   same partitions. Affected partitions whose recompute yields ZERO
+   rows (every flight moved off that date) are deleted explicitly —
+   dynamic overwrite only touches partitions present in the written
+   data, so an emptied date would otherwise linger stale.
 
-Equivalence contract (tested): refreshing day-by-day over any load
-order ends bit-identical to the full rebuild, because the LAST refresh
-touching a date recomputes it from the same final staging state.
+Equivalence contract (tested per fact): refreshing day-by-day over any
+load order ends bit-identical to the full rebuild, because the LAST
+refresh touching a date recomputes it from the same final staging
+state, and every staging change routes some refresh to every partition
+it can influence (including vacated ones).
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
-from ..functions.scalars import surrogate_key as _sk
 from .etl import read_staging
+from .transforms import TRANSFORMS
+
+#: staging tables whose ds partition can change each fact's rows,
+#: mirroring the joins in ``transforms.py``. ``seats`` reaches
+#: seat-occupancy through capacity and boarding-pass through
+#: seat_class — via aircraft_code, so a seat-map change correctly
+#: fans out to every flight of that aircraft (a big radius, but the
+#: honest one: anything smaller breaks rebuild-equivalence).
+FACT_SOURCES: dict[str, tuple[str, ...]] = {
+    "fct_flight_activity": ("flights",),
+    "fct_seat_occupied_daily": ("flights", "boarding_passes", "seats"),
+    "fct_booking_ticket": ("flights", "ticket_flights", "tickets", "bookings"),
+    "fct_boarding_pass": (
+        "flights",
+        "boarding_passes",
+        "ticket_flights",
+        "tickets",
+        "seats",
+    ),
+}
 
 
-def _fact_rows(
-    spark: SparkSession, staging_dir: str, date_filter: DataFrame | None
+def _touched_flight_ids(
+    spark: SparkSession, staging_dir: str, ds: str, sources: tuple[str, ...]
 ) -> DataFrame:
-    """fct_seat_occupied_daily rows, optionally restricted to the
-    ``flight_date_key`` values in ``date_filter`` (single column
-    ``flight_date_key``). Mirrors ``transforms.fct_seat_occupied_daily``
-    — the filtered path must stay semantically identical to the full
-    build, so both derive from this one definition shape."""
+    """Distinct ``flight_id`` values the ds load can have influenced
+    through ``sources``. Each chain starts from that table's
+    ``updated_date = ds`` partition (pruned scan) and walks FK edges
+    down to flights — day-sized inputs joined against keyed staging,
+    never a history scan."""
     f = read_staging(spark, staging_dir, "flights")
-    bp = read_staging(spark, staging_dir, "boarding_passes")
-    s = read_staging(spark, staging_dir, "seats")
-    flights = f.select(
-        "flight_id",
-        F.to_date("scheduled_departure").alias("flight_date_key"),
-        "aircraft_code",
-    )
-    if date_filter is not None:
-        flights = flights.join(F.broadcast(date_filter), "flight_date_key")
-    capacity = s.groupBy("aircraft_code").agg(
-        F.count("*").cast("bigint").alias("total_seats")
-    )
-    occupied = (
-        flights.join(bp.select("flight_id", "boarding_no"), "flight_id", "left")
-        .groupBy("flight_date_key", "flight_id", "aircraft_code")
-        .agg(F.count("boarding_no").cast("bigint").alias("occupied_seats"))
-    )
-    return occupied.join(F.broadcast(capacity), "aircraft_code").select(
-        _sk("flight_id").alias("flight_sk"),
-        "flight_date_key",
-        "flight_id",
-        "aircraft_code",
-        "occupied_seats",
-        "total_seats",
-        (F.col("occupied_seats") / F.col("total_seats")).alias("occupancy_rate"),
-    )
+    out: list[DataFrame] = []
+    for src in sources:
+        if src == "flights":
+            ids = f.filter(F.col("updated_date") == ds).select("flight_id")
+        elif src in ("boarding_passes", "ticket_flights"):
+            ids = (
+                read_staging(spark, staging_dir, src)
+                .filter(F.col("updated_date") == ds)
+                .select("flight_id")
+            )
+        elif src == "tickets":
+            tf = read_staging(spark, staging_dir, "ticket_flights")
+            ids = (
+                read_staging(spark, staging_dir, "tickets")
+                .filter(F.col("updated_date") == ds)
+                .select("ticket_no")
+                .distinct()
+                .join(tf.select("ticket_no", "flight_id"), "ticket_no")
+                .select("flight_id")
+            )
+        elif src == "bookings":
+            t = read_staging(spark, staging_dir, "tickets")
+            tf = read_staging(spark, staging_dir, "ticket_flights")
+            ids = (
+                read_staging(spark, staging_dir, "bookings")
+                .filter(F.col("updated_date") == ds)
+                .select("book_ref")
+                .distinct()
+                .join(t.select("book_ref", "ticket_no"), "book_ref")
+                .join(tf.select("ticket_no", "flight_id"), "ticket_no")
+                .select("flight_id")
+            )
+        elif src == "seats":
+            ids = (
+                read_staging(spark, staging_dir, "seats")
+                .filter(F.col("updated_date") == ds)
+                .select("aircraft_code")
+                .distinct()
+                .join(f.select("aircraft_code", "flight_id"), "aircraft_code")
+                .select("flight_id")
+            )
+        else:  # pragma: no cover - config error
+            raise ValueError(f"unknown blast-radius source {src!r}")
+        out.append(ids)
+    return reduce(DataFrame.unionByName, out).distinct()
+
+
+def _existing_fact(spark: SparkSession, fact_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(fact_path)
+    except AnalysisException:
+        return None  # first load: nothing materialized yet
 
 
 def affected_flight_dates(
-    spark: SparkSession, staging_dir: str, ds: str
+    spark: SparkSession,
+    staging_dir: str,
+    ds: str,
+    fact: str = "fct_seat_occupied_daily",
+    fact_path: str | None = None,
 ) -> DataFrame:
-    """Distinct ``flight_date_key`` values the ds load can have
-    changed: dates of flights updated that day, plus dates of flights
-    whose boarding passes were updated that day. Both scans prune to
-    the ds staging partition (``updated_date = ds``)."""
+    """Distinct ``flight_date_key`` values the ds load can have changed
+    for ``fact``: the CURRENT dates of every touched flight, plus the
+    dates those flights are already materialized under in the existing
+    fact (``fact_path``) — so a ``scheduled_departure`` moved across a
+    date boundary refreshes (and vacates) its old partition too."""
+    ids = _touched_flight_ids(spark, staging_dir, ds, FACT_SOURCES[fact])
     f = read_staging(spark, staging_dir, "flights")
-    bp = read_staging(spark, staging_dir, "boarding_passes")
-    own = f.filter(F.col("updated_date") == ds).select(
-        F.to_date("scheduled_departure").alias("flight_date_key")
-    )
-    via_bp = (
-        bp.filter(F.col("updated_date") == ds)
-        .select("flight_id")
-        .distinct()
-        .join(f.select("flight_id", "scheduled_departure"), "flight_id")
-        .select(F.to_date("scheduled_departure").alias("flight_date_key"))
-    )
-    return own.unionByName(via_bp).distinct()
+    current = ids.join(
+        f.select("flight_id", "scheduled_departure"), "flight_id"
+    ).select(F.to_date("scheduled_departure").alias("flight_date_key"))
+    parts = [current]
+    existing = _existing_fact(spark, fact_path) if fact_path else None
+    if existing is not None:
+        parts.append(
+            existing.join(ids, "flight_id").select("flight_date_key")
+        )
+    return reduce(DataFrame.unionByName, parts).distinct()
 
 
 def build_fact_partitioned(
-    spark: SparkSession, staging_dir: str, fact_path: str
+    spark: SparkSession,
+    staging_dir: str,
+    fact_path: str,
+    fact: str = "fct_seat_occupied_daily",
 ) -> None:
     """Full build of the date-partitioned fact (the backfill path)."""
-    _fact_rows(spark, staging_dir, None).write.mode("overwrite").option(
+    TRANSFORMS[fact](spark, staging_dir).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("flight_date_key").parquet(fact_path)
+
+
+def _delete_partitions(spark: SparkSession, fact_path: str, dates) -> None:
+    """Remove vacated ``flight_date_key=<d>`` partition directories —
+    the explicit-delete half of dynamic partition overwrite."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for d in dates:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{fact_path}/flight_date_key={d.isoformat()}"
+        )
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def refresh_fact(
+    spark: SparkSession,
+    staging_dir: str,
+    fact_path: str,
+    ds: str,
+    fact: str = "fct_seat_occupied_daily",
+) -> int:
+    """Partition-level incremental refresh of ``fact`` for one logical
+    date: recompute ONLY the affected flight_date_key partitions,
+    dynamic-partition-overwrite them, and delete any affected partition
+    the recompute left empty. Returns the number of affected date
+    partitions (0 ⇒ nothing written — skip-on-empty at the fact
+    layer)."""
+    dates = affected_flight_dates(
+        spark, staging_dir, ds, fact=fact, fact_path=fact_path
+    )
+    # scale-ok: distinct DATE values of one day's blast radius (bounded
+    # by the calendar, not the data)
+    affected = {r["flight_date_key"] for r in dates.collect()}
+    if not affected:
+        return 0
+    # Re-root the date set as literals: the lazy `dates` plan scans the
+    # EXISTING fact (old-partition lookup), whose files the overwrite
+    # below replaces — re-evaluating it post-write would read deleted
+    # files.
+    dates = spark.createDataFrame(
+        [(d,) for d in sorted(affected)], "flight_date_key date"
+    )
+    rows = TRANSFORMS[fact](spark, staging_dir, date_filter=dates)
+    rows.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("flight_date_key").parquet(fact_path)
+    # Partitions the recompute produced (from the restricted transform,
+    # NOT the post-write fact — a vacated partition's stale files still
+    # exist on disk and would mask themselves). scale-ok: distinct DATE
+    # values within the blast radius.
+    written = {
+        r["flight_date_key"]
+        for r in rows.select("flight_date_key").distinct().collect()
+    }
+    _delete_partitions(spark, fact_path, affected - written)
+    return len(affected)
 
 
 def refresh_seat_occupancy(
     spark: SparkSession, staging_dir: str, fact_path: str, ds: str
 ) -> int:
-    """Partition-level incremental refresh for one logical date:
-    recompute ONLY the affected flight_date_key partitions and
-    dynamic-partition-overwrite them. Returns the number of affected
-    date partitions (0 ⇒ nothing written — skip-on-empty at the fact
-    layer)."""
-    dates = affected_flight_dates(spark, staging_dir, ds)
-    # scale-ok: distinct DATE values of one day's blast radius (bounded
-    # by the calendar, not the data)
-    n = dates.count()
-    if n == 0:
-        return 0
-    rows = _fact_rows(spark, staging_dir, dates)
-    rows.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("flight_date_key").parquet(fact_path)
-    return n
+    """Back-compat alias: partition refresh of fct_seat_occupied_daily."""
+    return refresh_fact(
+        spark, staging_dir, fact_path, ds, fact="fct_seat_occupied_daily"
+    )

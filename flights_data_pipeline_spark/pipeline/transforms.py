@@ -42,6 +42,24 @@ TRANSFORM_ORDER = [
 ]
 
 
+def _restrict_flights(f: DataFrame, date_filter: DataFrame | None) -> DataFrame:
+    """Restrict ``flights`` to the ``flight_date_key`` dates in
+    ``date_filter`` (one DATE column). Every fact derives its
+    ``flight_date_key`` from ``flights.scheduled_departure`` through an
+    inner join on ``flight_id``, so pre-filtering flights here yields
+    EXACTLY the full transform restricted to those partitions — the
+    partition-refresh fast path (``pipeline/incremental.py``) reuses
+    each fact's single definition with the filter pushed to the scan
+    side instead of recomputing all of history and discarding it."""
+    if date_filter is None:
+        return f
+    return f.join(
+        F.broadcast(date_filter),
+        F.to_date(f["scheduled_departure"]) == date_filter["flight_date_key"],
+        "left_semi",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dimensions (P3 projection + F2 JSON flattening; P5 dedup for passenger).
 # ---------------------------------------------------------------------------
@@ -120,13 +138,15 @@ def dim_date(spark: SparkSession, stg: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Facts (J1-J5 joins + F5/F6 datetime + A1-A4 aggregates).
 # ---------------------------------------------------------------------------
-def fct_booking_ticket(spark: SparkSession, stg: str) -> DataFrame:
+def fct_booking_ticket(
+    spark: SparkSession, stg: str, date_filter: DataFrame | None = None
+) -> DataFrame:
     """Segment-grain fact: ticket_flights ⋈ tickets ⋈ bookings ⋈ flights
     (J1 FK→PK chain, 9.8 KB script in the reference)."""
     tf = read_staging(spark, stg, "ticket_flights")
     t = read_staging(spark, stg, "tickets")
     b = read_staging(spark, stg, "bookings")
-    f = read_staging(spark, stg, "flights")
+    f = _restrict_flights(read_staging(spark, stg, "flights"), date_filter)
     return (
         tf.join(t.select("ticket_no", "book_ref", "passenger_id"), "ticket_no")
         .join(
@@ -152,9 +172,11 @@ def fct_booking_ticket(spark: SparkSession, stg: str) -> DataFrame:
     )
 
 
-def fct_flight_activity(spark: SparkSession, stg: str) -> DataFrame:
+def fct_flight_activity(
+    spark: SparkSession, stg: str, date_filter: DataFrame | None = None
+) -> DataFrame:
     """Flight-grain fact with delay metrics (F5: actual - scheduled)."""
-    f = read_staging(spark, stg, "flights")
+    f = _restrict_flights(read_staging(spark, stg, "flights"), date_filter)
     dep_delay = (
         F.unix_timestamp("actual_departure") - F.unix_timestamp("scheduled_departure")
     )
@@ -183,12 +205,14 @@ def fct_flight_activity(spark: SparkSession, stg: str) -> DataFrame:
     )
 
 
-def fct_boarding_pass(spark: SparkSession, stg: str) -> DataFrame:
+def fct_boarding_pass(
+    spark: SparkSession, stg: str, date_filter: DataFrame | None = None
+) -> DataFrame:
     """Boarding-grain fact: 5-way join (J2/J3 composite keys)."""
     bp = read_staging(spark, stg, "boarding_passes")
     tf = read_staging(spark, stg, "ticket_flights")
     t = read_staging(spark, stg, "tickets")
-    f = read_staging(spark, stg, "flights")
+    f = _restrict_flights(read_staging(spark, stg, "flights"), date_filter)
     s = read_staging(spark, stg, "seats")
     return (
         bp.join(
@@ -224,10 +248,12 @@ def fct_boarding_pass(spark: SparkSession, stg: str) -> DataFrame:
     )
 
 
-def fct_seat_occupied_daily(spark: SparkSession, stg: str) -> DataFrame:
+def fct_seat_occupied_daily(
+    spark: SparkSession, stg: str, date_filter: DataFrame | None = None
+) -> DataFrame:
     """Daily occupancy (J4 left join + A1-A3): every flight counts, even
     with zero boarding passes; rate = occupied / cabin capacity."""
-    f = read_staging(spark, stg, "flights")
+    f = _restrict_flights(read_staging(spark, stg, "flights"), date_filter)
     bp = read_staging(spark, stg, "boarding_passes")
     s = read_staging(spark, stg, "seats")
     capacity = s.groupBy("aircraft_code").agg(

@@ -296,7 +296,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine floor-division is exact.
     """
     d = t(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    # NULL-guarded: F.size returns -1 (not NULL) on NULL input under
+    # default configs (spark.sql.legacy.sizeOfNull), which would corrupt
+    # the running sum and diverge from the oracle's NULL-propagating
+    # len(regexp_split_to_array(...)).
+    n_tokens = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")),
+    ).cast("bigint")
     tc = d.select(
         "doc_id",
         "source",
@@ -1454,7 +1461,14 @@ def token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a bin assigner.
     """
     d = t(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    # NULL-guarded: F.size returns -1 (not NULL) on NULL input under
+    # default configs (spark.sql.legacy.sizeOfNull), which would corrupt
+    # the running sum and diverge from the oracle's NULL-propagating
+    # len(regexp_split_to_array(...)).
+    n_tokens = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")),
+    ).cast("bigint")
     tc = d.select(
         "doc_id",
         "source",

@@ -26,20 +26,40 @@ import os
 import re
 import zlib
 from collections import Counter
+from functools import lru_cache
 
 #: corpora the oracle gate runs against (TESTDATA.md driver contract).
 PINNED_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def _corpus(sf_dir: str) -> list[tuple[int, str]]:
+@lru_cache(maxsize=None)
+def _corpus(sf_dir: str) -> tuple[tuple[int, str], ...]:
+    """Per-corpus read, memoized: the three oracle builders share one
+    scan per corpus instead of re-reading parquet each."""
     import duckdb
 
-    return duckdb.sql(
-        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
-    ).fetchall()
+    return tuple(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    )
 
 
-def _fingerprint(rows: list[tuple[int, str]]) -> int:
+def _pinned_dirs() -> list[str]:
+    """Existing pinned corpora; a descriptive error beats the opaque
+    'VALUES ' SQL syntax error an empty pin list would otherwise raise
+    at oracle evaluation time (round-7 ADVICE)."""
+    dirs = [sf for sf in PINNED_SF_DIRS if os.path.isdir(sf)]
+    if not dirs:
+        raise FileNotFoundError(
+            "pinned-VALUES oracle: no pinned corpus directory exists "
+            f"(looked for {PINNED_SF_DIRS}); regenerate the test data or "
+            "extend PINNED_SF_DIRS"
+        )
+    return dirs
+
+
+def _fingerprint(rows: tuple[tuple[int, str], ...]) -> int:
     return sum(len(t.encode("utf-8")) for _, t in rows if t is not None)
 
 
@@ -50,9 +70,7 @@ def _sql_str(s: str) -> str:
 def compression_oracle() -> str:
     """Pinned zlib-level-6 compressed sizes per document, per corpus."""
     values = []
-    for sf in PINNED_SF_DIRS:
-        if not os.path.isdir(sf):
-            continue
+    for sf in _pinned_dirs():
         rows = _corpus(sf)
         fp = _fingerprint(rows)
         for doc_id, text in rows:
@@ -119,6 +137,13 @@ def _reference_bpe_merges(
     return out
 
 
+@lru_cache(maxsize=None)
+def _cached_merges(sf_dir: str, rounds: int) -> list[tuple[int, str, str, int]]:
+    """Memoized BPE retrain per (corpus, rounds): bpe_train_oracle and
+    bpe_apply_oracle share one fit instead of retraining each."""
+    return _reference_bpe_merges([t for _, t in _corpus(sf_dir)], rounds)
+
+
 def bpe_apply_oracle() -> str:
     """Pinned per-document encode stats (n_words, n_bpe_tokens,
     n_chars) after applying the learned merge table — the train→encode
@@ -126,12 +151,10 @@ def bpe_apply_oracle() -> str:
     from .text import BPE_ROUNDS  # deferred: text.py references this module
 
     values = []
-    for sf in PINNED_SF_DIRS:
-        if not os.path.isdir(sf):
-            continue
+    for sf in _pinned_dirs():
         rows = _corpus(sf)
         fp = _fingerprint(rows)
-        merges = _reference_bpe_merges([t for _, t in rows], BPE_ROUNDS)
+        merges = _cached_merges(sf, BPE_ROUNDS)
         for doc_id, text in rows:
             if text is None:
                 continue
@@ -172,12 +195,10 @@ def bpe_train_oracle() -> str:
     from .text import BPE_ROUNDS  # deferred: text.py references this module
 
     values = []
-    for sf in PINNED_SF_DIRS:
-        if not os.path.isdir(sf):
-            continue
+    for sf in _pinned_dirs():
         rows = _corpus(sf)
         fp = _fingerprint(rows)
-        merges = _reference_bpe_merges([t for _, t in rows], BPE_ROUNDS)
+        merges = _cached_merges(sf, BPE_ROUNDS)
         for rnd, left, right, cnt in merges:
             values.append(
                 f"({fp}, {rnd}, {_sql_str(left)}, {_sql_str(right)}, {cnt})"

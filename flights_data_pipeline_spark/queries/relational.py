@@ -1015,11 +1015,20 @@ def _checksum_oracle() -> str:
         f"* {16 ** (7 - p)}"
         for p in range(8)
     )
+    # Mirrors operators/checksum._canon_field: escape \ and |, NULL → \N.
+    def canon(x: str) -> str:
+        return (
+            "coalesce(replace(replace(CAST(" + x + " AS VARCHAR),"
+            " '\\', '\\\\'), '|', '\\|'), '\\N')"
+        )
+
+    fields = ", ".join(
+        canon(c)
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
     return f"""
     WITH hashed AS (
-      SELECT md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
-                                CAST(o_custkey AS VARCHAR),
-                                o_orderstatus, o_orderpriority)) AS h
+      SELECT md5(concat_ws('|', {fields})) AS h
       FROM orders
     )
     SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)

@@ -1443,10 +1443,26 @@ def _pq_oracle_ctes() -> str:
     "pq_encode",
     oracle=f"""
     WITH {_pq_oracle_ctes()}
-    SELECT vec_id, codes, recon_d2 FROM coded
+    SELECT vec_id, array_to_string(codes, '-') AS codes, recon_d2
+    FROM coded
     """,
 )
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing surface of :func:`_pq_codes_df`: identical rows,
+    but ``codes`` serialized ``'-'``-joined (``3-0-7-...``) so the
+    acceptance harness — which canonicalizes columns via a pandas sort
+    and cannot sort ``array`` cells — can hash it. Internal consumers
+    (``pq_adc_topk``, ``ivf_pq_topk``) stay on the array form."""
+    return _pq_codes_df(spark, sf_dir).select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes"),
+        "recon_d2",
+    )
+
+
+def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding of the corpus: each vector → {PQ_M} centroid ids
     (nearest codebook entry per {PQ_SUB}-dim subspace) plus the exact
     reconstruction error — 32× compression with a quantization-quality
@@ -1596,7 +1612,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "embeddings")
     cb = _pq_codebook(e)
-    codes = pq_encode(spark, sf_dir).select("vec_id", "codes")
+    codes = _pq_codes_df(spark, sf_dir).select("vec_id", "codes")
     qv = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("q_emb"),
@@ -1933,7 +1949,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "embeddings")
     cb = _pq_codebook(e)
-    codes = pq_encode(spark, sf_dir).select("vec_id", "codes")
+    codes = _pq_codes_df(spark, sf_dir).select("vec_id", "codes")
 
     def d2full(a, b):
         return F.aggregate(

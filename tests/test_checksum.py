@@ -32,6 +32,28 @@ def test_single_row_mutation_is_detected(spark):
     assert not tables_agree(o, mutated, COLS)
 
 
+def test_null_and_delimiter_rows_do_not_collide(spark):
+    """The canonical encoding is injective: NULL-position swaps and
+    delimiter-straddling values (the classic concat_ws collisions) must
+    read as DIFFERENT tables (round-7 ADVICE)."""
+    cols = "a string, b string, c string"
+    cases = [
+        # NULL-position swap: concat_ws would render both as 'a|b'.
+        ([("a", None, "b")], [("a", "b", None)]),
+        # Delimiter straddle: naive join renders both as 'a|b|c'.
+        ([("a|b", "c", "z")], [("a", "b|c", "z")]),
+        # Value vs NULL sentinel lookalike.
+        ([("\\N", "x", "y")], [(None, "x", "y")]),
+        # Escape-char straddle.
+        ([("a\\", "|b", "z")], [("a", "\\|b", "z")]),
+    ]
+    for left, right in cases:
+        la = spark.createDataFrame(left, cols)
+        rb = spark.createDataFrame(right, cols)
+        assert not tables_agree(la, rb, ["a", "b", "c"]), (left, right)
+        assert tables_agree(la, la, ["a", "b", "c"])
+
+
 def test_mismatch_localizes_to_one_bucket(spark):
     """The divergent row flips exactly the buckets its old/new digests
     land in — the drill-down property the operator exists for."""

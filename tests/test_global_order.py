@@ -1,0 +1,118 @@
+"""Two-phase global rank/cumsum/ntile == the naive unpartitioned
+window, bit-for-bit — plus the partition-balance property that is the
+operator's reason to exist (round-7 VERDICT task: no corpus-grain
+single-partition WindowExec)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flights_data_pipeline_spark.io.catalog import load_table
+from flights_data_pipeline_spark.operators.global_order import (
+    global_cumsum,
+    global_ntile,
+    global_row_number,
+)
+
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def test_global_row_number_matches_naive_window(spark):
+    d = _docs(spark).withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    naive = d.select(
+        "doc_id", F.row_number().over(W.orderBy("h", "doc_id")).alias("rn")
+    )
+    two_phase = global_row_number(d, ["h", "doc_id"], out="rn").select(
+        "doc_id", "rn"
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_global_cumsum_matches_naive_window_inclusive_and_exclusive(spark):
+    d = _docs(spark)
+    for inclusive, hi in [(True, W.currentRow), (False, -1)]:
+        w = W.orderBy("n_chars", "doc_id").rowsBetween(
+            W.unboundedPreceding, hi
+        )
+        naive = d.select(
+            "doc_id",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum"),
+        )
+        two = global_cumsum(
+            d, ["n_chars", "doc_id"], "n_chars", out="cum", inclusive=inclusive
+        ).select("doc_id", "cum")
+        assert sorted(map(tuple, two.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), f"inclusive={inclusive}"
+
+
+def test_global_ntile_matches_spark_ntile(spark):
+    d = _docs(spark)
+    for n in (5, 7):  # 7 does not divide the corpus → remainder path
+        naive = d.select(
+            "doc_id",
+            F.ntile(n).over(W.orderBy("n_chars", "doc_id")).alias("band"),
+        )
+        two = global_ntile(d, ["n_chars", "doc_id"], n, out="band").select(
+            "doc_id", "band"
+        )
+        assert sorted(map(tuple, two.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), f"n={n}"
+
+
+def test_no_single_partition_exchange_feeds_the_rank(spark):
+    """Plan pin: the naive window moves the corpus to one partition
+    (Exchange SinglePartition above a scan); the two-phase rank's only
+    SinglePartition exchange sits above the per-partition AGGREGATE
+    (≤ shuffle.partitions rows), and the corpus moves through a
+    rangepartitioning exchange instead."""
+    d = _docs(spark)
+    plan = global_row_number(d, ["n_chars", "doc_id"])._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    assert any("rangepartitioning" in ln.lower() for ln in lines), plan
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, plan
+
+
+def test_rank_partitions_stay_balanced_on_skewed_keys(spark):
+    """Round-7 VERDICT task 8: a hub-heavy key distribution (90% of
+    rows share one key prefix) must still spread across partitions —
+    the naive window would put 100% of rows in ONE task. The order
+    includes the unique id as tiebreak, so the range shuffle splits
+    the hub freely."""
+    hub = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id"),
+    )
+    ranked = global_row_number(hub, ["k", "id"], out="rn")
+    # recompute the post-shuffle layout exactly as the operator does
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sizes = (
+        hub.repartitionByRange(n, F.col("k"), F.col("id"))
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert max(counts) < 0.25 * sum(counts), counts
+    # and the ranks are still the exact global ranks
+    naive = hub.select(
+        "id", F.row_number().over(W.orderBy("k", "id")).alias("rn")
+    )
+    assert sorted(map(tuple, ranked.select("id", "rn").collect())) == sorted(
+        map(tuple, naive.collect())
+    )

@@ -18,8 +18,10 @@ import pytest
 
 from flights_data_pipeline_spark.pipeline import fixtures
 from flights_data_pipeline_spark.pipeline.incremental import (
+    FACT_SOURCES,
     affected_flight_dates,
     build_fact_partitioned,
+    refresh_fact,
     refresh_seat_occupancy,
 )
 from flights_data_pipeline_spark.pipeline.runner import run_day
@@ -95,6 +97,81 @@ def test_refresh_rewrites_only_affected_partitions(spark, staged):
     assert rewritten == affected, (rewritten, affected)
     # untouched partitions must be byte-identical history
     assert set(before) == set(after)
+
+
+def _generic_snapshot(spark, path):
+    df = spark.read.parquet(path)
+    cols = sorted(df.columns)
+    # key=repr: NULLable timestamp columns break tuple comparison
+    return sorted((tuple(r) for r in df.select(*cols).collect()), key=repr)
+
+
+@pytest.mark.parametrize("fact", sorted(FACT_SOURCES))
+def test_daywise_refresh_equals_full_rebuild_all_facts(spark, staged, fact):
+    """The partition-refresh contract holds uniformly across all four
+    facts (reference ``dags/flights_data_pipeline.py:229-238`` treats
+    them as one transform family)."""
+    stg = f"{staged}/staging"
+    full = f"{staged}/allfacts_full_{fact}"
+    incr = f"{staged}/allfacts_incr_{fact}"
+    build_fact_partitioned(spark, stg, full, fact=fact)
+    for ds in DAYS:
+        refresh_fact(spark, stg, incr, ds, fact=fact)
+    assert _generic_snapshot(spark, incr) == _generic_snapshot(spark, full)
+
+
+def _write_staging_v(spark, stg, move_flight_2):
+    """Two-flight staging: v1 has flight 2 on 2025-07-02; v2 moves its
+    scheduled_departure across the date boundary to 2025-07-03 with a
+    later updated_date (an upserted staging row, simulated)."""
+    f2_dep = "2025-07-03 09:00:00" if move_flight_2 else "2025-07-02 11:00:00"
+    f2_upd = "2025-06-11" if move_flight_2 else "2025-06-10"
+    spark.createDataFrame(
+        [
+            (1, "2025-07-01 10:00:00", "320", "2025-06-10"),
+            (2, f2_dep, "320", f2_upd),
+        ],
+        "flight_id int, sd string, aircraft_code string, ud string",
+    ).selectExpr(
+        "flight_id",
+        "CAST(sd AS TIMESTAMP) AS scheduled_departure",
+        "aircraft_code",
+        "CAST(ud AS DATE) AS updated_date",
+    ).write.mode("overwrite").parquet(f"{stg}/flights")
+    spark.createDataFrame(
+        [(1, 1, "2025-06-10"), (2, 1, "2025-06-10")],
+        "flight_id int, boarding_no int, ud string",
+    ).selectExpr(
+        "flight_id", "boarding_no", "CAST(ud AS DATE) AS updated_date"
+    ).write.mode("overwrite").parquet(f"{stg}/boarding_passes")
+    spark.createDataFrame(
+        [("320", "1A", "2025-06-10"), ("320", "1B", "2025-06-10")],
+        "aircraft_code string, seat_no string, ud string",
+    ).selectExpr(
+        "aircraft_code", "seat_no", "CAST(ud AS DATE) AS updated_date"
+    ).write.mode("overwrite").parquet(f"{stg}/seats")
+
+
+def test_date_move_refreshes_and_vacates_old_partition(spark):
+    """Round-7 ADVICE: a load that moves scheduled_departure across a
+    flight_date_key boundary must refresh the OLD partition too — and
+    since flight 2 was alone on 2025-07-02, the recompute empties that
+    partition, which dynamic overwrite alone would leave stale on disk;
+    the explicit vacate must remove it."""
+    base = tempfile.mkdtemp(prefix="fdp_move_")
+    stg, fact = f"{base}/staging", f"{base}/fact"
+    _write_staging_v(spark, stg, move_flight_2=False)
+    assert refresh_fact(spark, stg, fact, "2025-06-10") == 2
+    assert os.path.isdir(f"{fact}/flight_date_key=2025-07-02")
+
+    _write_staging_v(spark, stg, move_flight_2=True)
+    assert refresh_fact(spark, stg, fact, "2025-06-11") == 2  # old + new date
+    assert not os.path.exists(f"{fact}/flight_date_key=2025-07-02")
+    assert os.path.isdir(f"{fact}/flight_date_key=2025-07-03")
+
+    full = f"{base}/fact_full"
+    build_fact_partitioned(spark, stg, full)
+    assert _generic_snapshot(spark, fact) == _generic_snapshot(spark, full)
 
 
 def test_refresh_is_idempotent(spark, staged):
