@@ -43,6 +43,11 @@ _PID = "__go_pid"
 _LOCAL = "__go_local"
 _OFFSET = "__go_offset"
 
+#: materialize the ranged frame (REQUIRED for correctness — see
+#: ``_ranged``). Tests flip this off only to inspect the full
+#: un-truncated plan; never run with it off.
+MATERIALIZE = True
+
 
 def _cols(order_by) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -58,7 +63,15 @@ def _ranged(df: DataFrame, order_by, sort: bool = False) -> DataFrame:
     out = df.repartitionByRange(n, *_cols(order_by))
     if sort:
         out = out.sortWithinPartitions(*_cols(order_by))
-    return out.withColumn(_PID, F.spark_partition_id())
+    out = out.withColumn(_PID, F.spark_partition_id())
+    # MATERIALIZE before fanning out to the row/offset branches:
+    # RangePartitioner re-samples its boundaries on every action (the
+    # seed hashes the per-action RDD id), so without this the offset
+    # branch could see a DIFFERENT partition layout than the row branch
+    # and mis-stitch ranks at partition boundaries (observed flaky at
+    # sf0.01). localCheckpoint pins one layout — and doubles as the
+    # standard multi-consumer reuse, so the range shuffle runs once.
+    return out.localCheckpoint() if MATERIALIZE else out
 
 
 def _with_offsets(ranged: DataFrame, agg: Column) -> DataFrame:
@@ -108,24 +121,124 @@ def global_cumsum(
     [AND 1 PRECEDING])`` computed two-phase. With ``inclusive=False``
     the sum excludes the current row (NULL→0-coalesced to match the
     ``COALESCE(SUM(...) OVER ..., 0)`` idiom the callers use)."""
+    return global_cumsum_multi(
+        df, order_by, {out: value}, inclusive=inclusive
+    )
+
+
+def global_cumsum_multi(
+    df: DataFrame,
+    order_by,
+    values: dict[str, Column | str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Several running sums under ONE order, sharing a single range
+    shuffle + local-window pass (the KS-statistic shape: cumulative
+    counts of two sources over the merged support). ``values`` maps
+    each output column name to its summand."""
+    ranged = _ranged(df, order_by)
+    for i, v in enumerate(values.values()):
+        ranged = ranged.withColumn(
+            f"__go_v{i}", F.col(v) if isinstance(v, str) else v
+        )
+    hi = 0 if inclusive else -1
+    w = (
+        W.partitionBy(_PID)
+        .orderBy(*_cols(order_by))
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    local = ranged
+    for i in range(len(values)):
+        local = local.withColumn(
+            f"__go_l{i}",
+            F.coalesce(F.sum(f"__go_v{i}").over(w), F.lit(0)),
+        )
+    per_part = local.groupBy(_PID).agg(
+        *[
+            F.coalesce(F.sum(f"__go_v{i}"), F.lit(0)).alias(f"__go_t{i}")
+            for i in range(len(values))
+        ]
+    )
+    wo = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_part.select(
+        _PID,
+        *[
+            F.coalesce(F.sum(f"__go_t{i}").over(wo), F.lit(0)).alias(
+                f"__go_o{i}"
+            )
+            for i in range(len(values))
+        ],
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    for i, name in enumerate(values):
+        out = out.withColumn(name, F.col(f"__go_o{i}") + F.col(f"__go_l{i}"))
+    drop = [_PID] + [
+        c
+        for i in range(len(values))
+        for c in (f"__go_v{i}", f"__go_l{i}", f"__go_o{i}")
+    ]
+    return out.drop(*drop)
+
+
+def global_lag(
+    df: DataFrame, order_by, value: Column | str, out: str = "lag"
+) -> DataFrame:
+    """``lag(value) OVER (ORDER BY order_by)`` two-phase: a local lag
+    per range partition, then each partition's FIRST row is patched
+    with the LAST value of the nearest non-empty partition before it
+    (per-partition lasts are one row each; their LOCF scan is the
+    config-bounded tiny window). The global first row keeps NULL."""
     v = F.col(value) if isinstance(value, str) else value
     ranged = _ranged(df, order_by).withColumn("__go_v", v)
-    hi = 0 if inclusive else -1
+    w = W.partitionBy(_PID).orderBy(*_cols(order_by))
     local = ranged.withColumn(
-        _LOCAL,
-        F.coalesce(
-            F.sum("__go_v").over(
-                W.partitionBy(_PID)
-                .orderBy(*_cols(order_by))
-                .rowsBetween(W.unboundedPreceding, hi)
-            ),
-            F.lit(0),
-        ),
+        "__go_lrn", F.row_number().over(w)
+    ).withColumn("__go_lag", F.lag("__go_v").over(w))
+    lasts = ranged.groupBy(_PID).agg(
+        F.max(
+            F.struct(*_cols(order_by), F.col("__go_v").alias("__go_v"))
+        ).alias("__go_s")
+    )
+    wo = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    prevs = lasts.select(
+        _PID,
+        F.last(F.col("__go_s").getField("__go_v"))
+        .over(wo)
+        .alias("__go_prev"),
     )
     return (
-        _with_offsets(local, F.coalesce(F.sum("__go_v"), F.lit(0)))
-        .withColumn(out, F.col(_OFFSET) + F.col(_LOCAL))
-        .drop(_PID, _LOCAL, _OFFSET, "__go_v")
+        local.join(F.broadcast(prevs), _PID)
+        .withColumn(
+            out,
+            F.when(F.col("__go_lrn") == 1, F.col("__go_prev")).otherwise(
+                F.col("__go_lag")
+            ),
+        )
+        .drop(_PID, "__go_v", "__go_lrn", "__go_lag", "__go_prev")
+    )
+
+
+def grouped_row_number(
+    df: DataFrame, group_by, order_by, out: str = "rn"
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group_by ORDER BY order_by)``
+    without funneling each group into one task: take the GLOBAL
+    two-phase row number under ``(group_by, order_by)`` — group values
+    are contiguous in that order — and rebase each group to 1 by
+    subtracting its minimum (a group-grain aggregate joined back; AQE
+    broadcasts it when small). The scalable shape when there are few,
+    huge groups — a plain partitioned window already parallelizes fine
+    when groups are many."""
+    gcols = [group_by] if isinstance(group_by, str) else list(group_by)
+    grn = "__go_grn"
+    with_rn = global_row_number(df, [*gcols, *_cols(order_by)], out=grn)
+    mins = with_rn.groupBy(*gcols).agg(F.min(grn).alias("__go_gmin"))
+    return (
+        with_rn.join(mins, gcols)
+        .withColumn(
+            out, (F.col(grn) - F.col("__go_gmin") + F.lit(1)).cast("bigint")
+        )
+        .drop(grn, "__go_gmin")
     )
 
 

@@ -74,13 +74,15 @@ def connected_components(
     # to an explicit changed-row probe against the previous round.
     sum_potential = isinstance(labels.schema["component"].dataType, IntegralType)
     prev_sum = None
-    for _ in range(max_iterations):
+
+    def _step(lbl: DataFrame) -> DataFrame:
+        """One propagate + pointer-jump step (pure plan, no action)."""
         # neighbor propagation: adopt the smallest label next door
-        msgs = e.join(labels, e.u == labels.node).select(
+        msgs = e.join(lbl, e.u == lbl["node"]).select(
             F.col("v").alias("node"), "component"
         )
         stepped = (
-            labels.union(msgs)
+            lbl.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
@@ -94,18 +96,30 @@ def connected_components(
         parents = stepped.select(
             F.col("node").alias("component"), F.col("component").alias("parent")
         )
+        return stepped.join(parents, "component", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("parent"), F.col("component")),
+            ).alias("component"),
+        )
+
+    steps_left = max_iterations
+    while steps_left > 0:
+        # TWO steps per checkpoint/probe: the loop's run-to-run
+        # variance tracks its STAGE count (GC-pause sensitivity of
+        # long localCheckpoint chains — round-7 VERDICT), and labels
+        # only shrink, so batching steps halves the checkpoints and
+        # convergence probes at the cost of at most one redundant
+        # (cheap, already-converged) step. max_iterations still counts
+        # STEPS, so the non-convergence warning contract is unchanged.
+        batch = min(2, steps_left)
+        steps_left -= batch
         prev_labels = labels
+        for _ in range(batch):
+            labels = _step(labels)
         labels = (
-            stepped.join(parents, "component", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("parent"), F.col("component")),
-                ).alias("component"),
-            )
-            .repartition(n_part, "node")
-            .localCheckpoint(eager=True)
+            labels.repartition(n_part, "node").localCheckpoint(eager=True)
         )
         if sum_potential:
             # unchanged sum ⇔ converged (one narrow aggregate replaces

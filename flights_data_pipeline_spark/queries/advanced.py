@@ -146,14 +146,20 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete p50/p90 per group, defined by row_number — the
     portable percentile (built-in percentile functions interpolate
     differently across engines). One window + one aggregate shuffle."""
+    from ..operators.global_order import grouped_row_number
+
     o = t(spark, sf_dir, "orders")
-    wr = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = W.partitionBy("o_orderpriority")
-    ranked = o.select(
+    base = o.select("o_orderpriority", "o_totalprice", "o_orderkey")
+    # two-phase grouped rank: 5 priority groups would otherwise funnel
+    # the whole orders table into 5 window tasks
+    ranked = grouped_row_number(
+        base,
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        out="rn",
+    ).join(
+        base.groupBy("o_orderpriority").agg(F.count("*").alias("n")),
         "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n"),
     )
     target = lambda p: F.ceil(F.lit(p) * F.col("n")).cast("bigint")  # noqa: E731
     return ranked.groupBy("o_orderpriority").agg(

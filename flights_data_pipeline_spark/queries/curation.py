@@ -1224,31 +1224,34 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``floor(cum_after·K/total) > floor(cum_before·K/total)`` with
     bigint products (never a double division, never a rounded
     stratum width), so both engines select the identical set. Plan:
-    one narrow scan for weights, one window over the hash order (a
-    single total-order exchange — at 100 TB the same restatement as
-    ``pack_sequences``: partition the window by shard/source and
-    sample within), and the filter is stateless per row.
+    one narrow scan for weights, one two-phase range shuffle for the
+    exclusive running sum (``global_cumsum`` — partition-local windows
+    plus broadcast prefix offsets, no single-partition WindowExec),
+    and the crossing filter is stateless per row.
     """
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     w = d.select(
         "doc_id",
         "lang",
-        F.size(toks).cast("bigint").alias("n_toks"),
+        F.when(F.col("text").isNotNull(), F.size(toks))
+        .cast("bigint")
+        .alias("n_toks"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    win = (
-        W.orderBy("h", "doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
+    from ..operators.global_order import global_cumsum
+
+    # two-phase exclusive running sum — no single-partition WindowExec
+    cum = global_cumsum(
+        w, ["h", "doc_id"], "n_toks", out="cum_before", inclusive=False
     )
-    c = w.select(
+    tot = w.agg(F.sum("n_toks").cast("bigint").alias("total"))
+    c = cum.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "lang",
         "n_toks",
-        F.coalesce(F.sum("n_toks").over(win), F.lit(0))
-        .cast("bigint")
-        .alias("cum_before"),
-        F.sum("n_toks").over(W.partitionBy()).cast("bigint").alias("total"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+        "total",
     )
     crossed = F.expr(
         f"((cum_before + n_toks) * {SYS_SAMPLE_K}) DIV total"

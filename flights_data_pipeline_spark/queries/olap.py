@@ -1599,8 +1599,13 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("cents")
         )
     )
-    w = W.partitionBy("nationkey").orderBy("cents", "c_custkey")
-    ranked = spend.withColumn("i", F.row_number().over(w))
+    from ..operators.global_order import grouped_row_number
+
+    # two-phase grouped rank: 25 nation-sized groups would otherwise
+    # each funnel into ONE window task at customer grain
+    ranked = grouped_row_number(
+        spend, ["nationkey"], ["cents", "c_custkey"], out="i"
+    )
     return (
         ranked.join(n, ranked.nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -2085,10 +2090,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: per-customer metrics are one groupBy over orders
     (customer-grain — 5 orders of magnitude smaller than lineitem);
-    the three global NTILEs share the single-partition-sort caveat
-    documented on ``ntile_decile_stats`` — acceptable because the
-    input is the CUSTOMER table, not the fact table, and the
-    production variant band-cuts on pre-aggregated quantile bounds.
+    the three NTILEs are two-phase (``operators/global_order``): a
+    range shuffle each plus pure integer band arithmetic on the global
+    row number — parallel sorts, no single-partition WindowExec.
     """
     o = t(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("d1"))
@@ -2105,21 +2109,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    banded = per_cust.select(
-        "o_custkey",
-        F.ntile(5)
-        .over(W.orderBy("recency_days", "o_custkey"))
-        .cast("int")
-        .alias("r_band"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .cast("int")
-        .alias("f_band"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .cast("int")
-        .alias("m_band"),
-        "monetary",
+    from ..operators.global_order import global_ntile
+
+    # three two-phase NTILEs — each a range shuffle + integer band
+    # arithmetic on the global row number; no single-partition sort
+    banded = per_cust
+    for out, order in [
+        ("r_band", ["recency_days", "o_custkey"]),
+        ("f_band", [F.col("frequency").desc(), "o_custkey"]),
+        ("m_band", [F.col("monetary").desc(), "o_custkey"]),
+    ]:
+        banded = global_ntile(banded, order, 5, out=out)
+    banded = banded.select(
+        "o_custkey", "r_band", "f_band", "m_band", "monetary"
     )
     return banded.groupBy("r_band", "f_band", "m_band").agg(
         F.count("*").cast("bigint").alias("n_customers"),
@@ -2772,27 +2774,33 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication, so both engines pick the identical row. The
     two shares are output-surface IEEE divisions.
 
-    Scale posture: customer-grain aggregate, then one global ordered
-    window over customer-grain rows (the same single-partition caveat
-    as ``ntile_decile_stats``; production banding pre-aggregates into
-    spend buckets first). Returns ONE row.
+    Scale posture: customer-grain aggregate, then ONE two-phase range
+    shuffle for the running spend + rank (``global_cumsum_multi`` — no
+    single-partition WindowExec), a broadcast of the two scalar
+    totals, and a top-1 TakeOrdered for the cut row. Returns ONE row.
     """
     o = t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         (F.sum(_dec("o_totalprice")) * 100).cast("bigint").alias("cents")
     )
-    wo = W.orderBy(F.col("cents").desc(), "o_custkey")
-    wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.partitionBy()
-    ranked = spend.select(
-        F.row_number().over(wo).alias("rn"),
-        F.sum("cents").over(wc).alias("cum_cents"),
-        F.sum("cents").over(wall).alias("total_cents"),
-        F.count("*").over(wall).alias("n_customers"),
-    ).filter(5 * F.col("cum_cents") >= 4 * F.col("total_cents"))
+    from ..operators.global_order import global_cumsum_multi
+
+    # two-phase: running spend + row number share one range shuffle
+    cum = global_cumsum_multi(
+        spend,
+        [F.col("cents").desc(), "o_custkey"],
+        {"cum_cents": "cents", "rn": F.lit(1)},
+    )
+    tot = spend.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count("*").alias("n_customers"),
+    )
+    ranked = cum.crossJoin(F.broadcast(tot)).filter(
+        5 * F.col("cum_cents") >= 4 * F.col("total_cents")
+    )
     return (
-        ranked.withColumn("pick", F.row_number().over(W.orderBy("rn")))
-        .filter(F.col("pick") == 1)
+        ranked.orderBy("rn")
+        .limit(1)
         .select(
             F.col("rn").cast("bigint").alias("top_customers_for_80pct"),
             F.col("n_customers").cast("bigint").alias("n_customers"),
@@ -2957,21 +2965,23 @@ def quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "n_name")
         .agg((F.sum(_dec("o_totalprice")) * 100).cast("bigint").alias("cents"))
     )
-    wg = W.partitionBy("n_name").orderBy("cents", "c_custkey")
-    wng = W.partitionBy("n_name")
-    wall = W.partitionBy()
-    ranked = spend.select(
-        "c_custkey",
-        "n_name",
-        "cents",
-        F.row_number().over(wg).alias("r"),
-        F.count("*").over(wng).alias("ng"),
-        F.count("*").over(wall).alias("n_total"),
+    from ..operators.global_order import (
+        global_row_number,
+        grouped_row_number,
     )
-    glob = spend.select(
-        F.col("cents").alias("g_cents"),
-        F.row_number().over(W.orderBy("cents", "c_custkey")).alias("g_rank"),
+
+    # two-phase ranks: per-nation rank via grouped rebase, global rank
+    # via range shuffle — no single-partition or per-nation-funnel sorts
+    ranked = (
+        grouped_row_number(spend, ["n_name"], ["cents", "c_custkey"], out="r")
+        .join(spend.groupBy("n_name").agg(F.count("*").alias("ng")), "n_name")
+        .crossJoin(
+            F.broadcast(spend.agg(F.count("*").alias("n_total")))
+        )
     )
+    glob = global_row_number(
+        spend, ["cents", "c_custkey"], out="g_rank"
+    ).select(F.col("cents").alias("g_cents"), "g_rank")
     target = F.expr("(r * n_total + ng - 1) div ng")
     return ranked.withColumn("target_rank", target.cast("bigint")).join(
         glob, F.col("target_rank") == F.col("g_rank")

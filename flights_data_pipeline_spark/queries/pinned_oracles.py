@@ -215,3 +215,272 @@ def bpe_train_oracle() -> str:
            CAST(cnt AS BIGINT) AS pair_count
     FROM pin WHERE corpus_fp = (SELECT f FROM fp)
     """
+
+
+# ---------------------------------------------------------------------------
+# K-means-family pins: the fit is an iterative fixed point with no SQL
+# twin, but it IS exactly deterministic (operators/kmeans.py contract,
+# bit-pinned vs tests/kmeans_reference.py). So the oracle recomputes
+# the model in the INDEPENDENT pure-Python reference per pinned corpus,
+# renders centroids/assignments as fingerprint-keyed VALUES, and lets
+# DuckDB evaluate everything downstream (probe routing, in-block
+# cosine, closure) analytically — upgrading four rows-only queries to
+# full hash-matched oracles (round-7 VERDICT task 5).
+# ---------------------------------------------------------------------------
+
+#: DuckDB-evaluated embeddings-corpus fingerprint (value-sensitive so a
+#: regenerated corpus matches no pin and fails LOUDLY on row count).
+EMB_FP_EXPR = (
+    "CAST(SUM(CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 1048576.0) "
+    "AS BIGINT) * (vec_id + 7)) + COUNT(*) AS BIGINT)"
+)
+
+
+@lru_cache(maxsize=None)
+def _emb_corpus(sf_dir: str) -> tuple[tuple[int, tuple[float, ...]], ...]:
+    import duckdb
+
+    return tuple(
+        (int(i), tuple(map(float, v)))
+        for i, v in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+            "ORDER BY vec_id"
+        ).fetchall()
+    )
+
+
+@lru_cache(maxsize=None)
+def _emb_fp(sf_dir: str) -> int:
+    import duckdb
+
+    return int(
+        duckdb.sql(
+            f"SELECT {EMB_FP_EXPR} FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+    )
+
+
+@lru_cache(maxsize=None)
+def _kmeans_pin(sf_dir: str, k: int):
+    """(centroids, n_members, labels, top2_labels) from the pure-Python
+    reference Lloyd's at the exact _kmeans_cached configuration
+    (3-round hash init, tol=1e-6)."""
+    from tests.kmeans_reference import _sq_l2, reference_kmeans
+
+    vecs = {i: list(v) for i, v in _emb_corpus(sf_dir)}
+    cents, n_members, _, _ = reference_kmeans(
+        vecs, k=k, max_iterations=3, tol=1e-6, init="hash"
+    )
+    labels, top2 = {}, {}
+    for i, v in vecs.items():
+        ranked = sorted((_sq_l2(v, c), cid) for cid, c in sorted(cents.items()))
+        labels[i] = ranked[0][1]
+        top2[i] = [cid for _, cid in ranked[:2]]
+    return cents, n_members, labels, top2
+
+
+def _f32(x: float) -> float:
+    """float32-widened double — Spark's double→float cast, exactly."""
+    import struct as _s
+
+    return _s.unpack("<f", _s.pack("<f", x))[0]
+
+
+def _fp_gate(pin_cte: str) -> str:
+    return f"""{pin_cte},
+    fp AS (SELECT {EMB_FP_EXPR} AS f FROM embeddings)"""
+
+
+def kmeans_fit_oracle() -> str:
+    """ivf_kmeans_fit: pinned (cluster_id, n_members, centroid_norm)."""
+    import math
+
+    values = []
+    for sf in _pinned_dirs():
+        fp = _emb_fp(sf)
+        cents, n_members, _, _ = _kmeans_pin(sf, 8)
+        for cid in sorted(cents):
+            acc = 0.0
+            for x in cents[cid]:
+                acc += x * x
+            # CAST('…' AS DOUBLE): a bare decimal literal in VALUES is
+            # typed DECIMAL and its cast to DOUBLE can land 1 ulp off;
+            # string→double parses correctly rounded
+            values.append(
+                f"({fp}, {cid}, {n_members[cid]}, "
+                f"CAST('{math.sqrt(acc)!r}' AS DOUBLE))"
+            )
+    return f"""
+    WITH {_fp_gate(f'''pin AS (
+      SELECT DISTINCT * FROM (VALUES {', '.join(values)})
+        v(corpus_fp, cluster_id, n_members, centroid_norm)
+    )''')}
+    SELECT CAST(cluster_id AS INT) AS cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(centroid_norm AS DOUBLE) AS centroid_norm
+    FROM pin WHERE corpus_fp = (SELECT f FROM fp)
+    """
+
+
+def _closure_sql(pairs_cte: str) -> str:
+    """Recursive-CTE min-label closure over ``pairs (a_id, b_id)`` —
+    the same shape as the near_dup_clusters oracle."""
+    return f"""
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM ({pairs_cte})
+      UNION
+      SELECT b_id AS u, a_id AS v FROM ({pairs_cte})
+    ),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION
+      SELECT e.v AS node, r.lbl
+      FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    )"""
+
+
+def _labels_values(k: int, top2: bool) -> str:
+    values = []
+    for sf in _pinned_dirs():
+        fp = _emb_fp(sf)
+        _, _, labels, top2_labels = _kmeans_pin(sf, k)
+        for i in sorted(labels):
+            blocks = top2_labels[i] if top2 else [labels[i]]
+            for cid in blocks:
+                values.append(f"({fp}, {i}, {cid})")
+    return ", ".join(values)
+
+
+def _semantic_dedup_oracle(k_fn, top2: bool) -> str:
+    from .similarity import SEMANTIC_DUP_COSINE, _duck_dot
+
+    k = k_fn()
+    dot_ab = _duck_dot("a.embedding", "b.embedding")
+    pairs = f"""
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM v a JOIN v b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {dot_ab} / (a.nrm * b.nrm) >= {SEMANTIC_DUP_COSINE!r}
+    """
+    return f"""
+    WITH RECURSIVE {_fp_gate(f'''lblpin AS (
+      SELECT DISTINCT * FROM (VALUES {_labels_values(k, top2)})
+        v(corpus_fp, vec_id, cluster_id)
+    )''')},
+    v AS (
+      SELECT e.vec_id, e.embedding,
+             sqrt({_duck_dot('e.embedding', 'e.embedding')}) AS nrm,
+             l.cluster_id
+      FROM embeddings e
+      JOIN lblpin l ON l.vec_id = e.vec_id
+                   AND l.corpus_fp = (SELECT f FROM fp)
+    ),
+    {_closure_sql(pairs)}
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(component AS BIGINT) AS dup_group,
+           node = component AS is_representative
+    FROM comp
+    """
+
+
+def semantic_cluster_dedup_oracle() -> str:
+    from .similarity import adaptive_kmeans_blocks
+
+    def k_fn():
+        ks = {
+            adaptive_kmeans_blocks(len(_emb_corpus(sf)))
+            for sf in _pinned_dirs()
+        }
+        assert len(ks) == 1, f"pinned corpora disagree on k: {ks}"
+        return ks.pop()
+
+    return _semantic_dedup_oracle(k_fn, top2=False)
+
+
+def semantic_dedup_multiblock_oracle() -> str:
+    from .similarity import adaptive_kmeans_blocks
+
+    def k_fn():
+        ks = {
+            adaptive_kmeans_blocks(len(_emb_corpus(sf)), 2)
+            for sf in _pinned_dirs()
+        }
+        assert len(ks) == 1, f"pinned corpora disagree on k: {ks}"
+        return ks.pop()
+
+    return _semantic_dedup_oracle(k_fn, top2=True)
+
+
+def ann_ivf_kmeans_oracle() -> str:
+    """ann_ivf_kmeans: pinned k-means assignment + float32-widened
+    centroids; probe routing / in-list cosine / top-k analytically —
+    the _ivf_oracle shape with the trained quantizer pinned in."""
+    from .similarity import (
+        IVF_N_LISTS,
+        IVF_N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        _duck_dot,
+    )
+
+    cent_values = []
+    for sf in _pinned_dirs():
+        fp = _emb_fp(sf)
+        cents, _, _, _ = _kmeans_pin(sf, IVF_N_LISTS)
+        for cid in sorted(cents):
+            arr = ", ".join(
+                f"CAST('{_f32(x)!r}' AS DOUBLE)" for x in cents[cid]
+            )
+            cent_values.append(f"({fp}, {cid}, [{arr}])")
+    dot_qc = _duck_dot("q.q_emb", "c.c_emb")
+    dot_pa = _duck_dot("p.q_emb", "a.embedding")
+    return f"""
+    WITH {_fp_gate(f'''lblpin AS (
+      SELECT DISTINCT * FROM (VALUES {_labels_values(IVF_N_LISTS, False)})
+        v(corpus_fp, vec_id, list_id)
+    )''')},
+    centpin AS (
+      SELECT * FROM (VALUES {', '.join(cent_values)})
+        v(corpus_fp, list_id, c_emb)
+    ),
+    cent AS (
+      SELECT list_id, c_emb,
+             sqrt({_duck_dot('c_emb', 'c_emb')}) AS c_nrm
+      FROM centpin WHERE corpus_fp = (SELECT f FROM fp)
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT v.vec_id, v.embedding, v.nrm, l.list_id
+      FROM v JOIN lblpin l ON l.vec_id = v.vec_id
+                          AND l.corpus_fp = (SELECT f FROM fp)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+          FROM v WHERE vec_id < {N_QUERIES}),
+    qprobe AS (
+      SELECT query_id, q_emb, q_nrm, list_id FROM (
+        SELECT q.query_id, q.q_emb, q.q_nrm, c.list_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {dot_qc} / (q.q_nrm * c.c_nrm) DESC, c.list_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {IVF_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {dot_pa} / (p.q_nrm * a.nrm) AS cosine
+      FROM qprobe p JOIN assign a ON p.list_id = a.list_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """

@@ -469,19 +469,18 @@ def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n2"),
     )
-    w = W.orderBy("n_chars")
-    cdf = d.select(
-        "n_chars",
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
-        .over(w)
-        .alias("c1"),
-        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
-        .over(w)
-        .alias("c2"),
+    from ..operators.global_order import global_cumsum_multi
+
+    # aggregate to per-value step counts FIRST (support-grain, not
+    # row-grain), then one two-phase running sum per source over the
+    # merged support — no single-partition WindowExec over raw rows
+    per_val = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("a2"),
     )
-    stepped = cdf.groupBy("n_chars").agg(
-        F.max("c1").alias("c1"), F.max("c2").alias("c2")
-    )
+    stepped = global_cumsum_multi(
+        per_val, ["n_chars"], {"c1": "a1", "c2": "a2"}
+    ).select("n_chars", "c1", "c2")
     return (
         stepped.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
@@ -576,9 +575,11 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c1"),
     )
-    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
-    ranked = per_val.withColumn(
-        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    from ..operators.global_order import global_cumsum
+
+    # two-phase exclusive running count over the value support
+    ranked = global_cumsum(
+        per_val, ["value"], "cnt", out="below", inclusive=False
     )
     return (
         ranked.crossJoin(F.broadcast(tot))

@@ -81,7 +81,7 @@ def _driver_sample_order() -> list[str]:
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, passed)
+    latest: dict[str, tuple[int, bool, bool]] = {}  # name -> (round, passed, was_rows_only)
     try:
         for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
             m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -93,7 +93,8 @@ def _driver_sample_order() -> list[str]:
             for name, res in data.items():
                 if not isinstance(res, dict):
                     continue
-                if res.get("err") == "no_oracle":
+                rows_only = res.get("err") == "no_oracle"
+                if rows_only:
                     # rows-only query: the driver recorded its weaker
                     # check — that IS a successful sample, not a fail
                     passed = True
@@ -105,7 +106,7 @@ def _driver_sample_order() -> list[str]:
                     )
                 prev = latest.get(name)
                 if prev is None or rnd >= prev[0]:
-                    latest[name] = (rnd, passed)
+                    latest[name] = (rnd, passed, rows_only)
     except (OSError, ValueError):
         return list(REGISTRY)
 
@@ -113,18 +114,26 @@ def _driver_sample_order() -> list[str]:
 
 
 def _order_from_history(
-    names: list[str], latest: dict[str, tuple[int, bool]]
+    names: list[str], latest: dict[str, tuple[int, bool, bool]]
 ) -> list[str]:
-    """Pure ordering kernel: latest-fail first, never-sampled second,
-    then passed least-recently-sampled-first; name breaks ties."""
+    """Pure ordering kernel: latest-fail first, never-sampled second
+    (a stale rows-only datapoint for a query that has SINCE gained an
+    oracle counts as never-sampled — the upgrade must be re-certified,
+    round-7 VERDICT task 3), then passed least-recently-sampled-first;
+    name breaks ties."""
 
     def key(name: str):
         hist = latest.get(name)
         if hist is None:
             return (1, 0, name)  # never sampled
-        rnd, passed = hist
+        rnd, passed, rows_only = hist
         if not passed:
             return (0, rnd, name)  # latest check failed — front of queue
+        q = REGISTRY.get(name)
+        if rows_only and q is not None and q.oracle is not None:
+            # oracle gained since the stale rows-only sample: the hash
+            # gate has never seen it — treat as never-sampled
+            return (1, rnd, name)
         return (2, rnd, name)  # passed; least-recent first
 
     return sorted(names, key=key)

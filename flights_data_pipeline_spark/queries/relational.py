@@ -940,8 +940,10 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dec("value"))
         .alias("v"),
     )
-    w = W.orderBy("event_id")
-    lagged = base.withColumn("prev_et", F.lag("et").over(w))
+    from ..operators.global_order import global_lag
+
+    # two-phase global lag: no corpus-grain single-partition WindowExec
+    lagged = global_lag(base, ["event_id"], "et", out="prev_et")
     return (
         lagged.groupBy(F.coalesce("et", F.lit("<null>")).alias("et_key"))
         .agg(
@@ -1009,21 +1011,26 @@ def try_function_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Anti-entropy: order-independent bucketed table checksum.
 # ---------------------------------------------------------------------------
-def _checksum_oracle() -> str:
-    hv = " + ".join(
+def _duck_hv() -> str:
+    return " + ".join(
         f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1) "
         f"* {16 ** (7 - p)}"
         for p in range(8)
     )
-    # Mirrors operators/checksum._canon_field: escape \ and |, NULL → \N.
-    def canon(x: str) -> str:
-        return (
-            "coalesce(replace(replace(CAST(" + x + " AS VARCHAR),"
-            " '\\', '\\\\'), '|', '\\|'), '\\N')"
-        )
 
+
+def _duck_canon(x: str) -> str:
+    # Mirrors operators/checksum._canon_field: escape \ and |, NULL → \N.
+    return (
+        "coalesce(replace(replace(CAST(" + x + " AS VARCHAR),"
+        " '\\', '\\\\'), '|', '\\|'), '\\N')"
+    )
+
+
+def _checksum_oracle() -> str:
+    hv = _duck_hv()
     fields = ", ".join(
-        canon(c)
+        _duck_canon(c)
         for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     )
     return f"""
@@ -1057,4 +1064,81 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return bucket_checksums(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def _checksum_diff_oracle() -> str:
+    hv = _duck_hv()
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    fields_a = ", ".join(_duck_canon(c) for c in cols)
+    fields_b = ", ".join(
+        _duck_canon(
+            "CASE WHEN o_orderkey % 997 = 0 THEN 'X' ELSE o_orderstatus END"
+            if c == "o_orderstatus"
+            else c
+        )
+        for c in cols
+    )
+
+    def side(fields: str) -> str:
+        return f"""
+      SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM({hv}) AS DECIMAL(38,0)) AS checksum
+      FROM (SELECT md5(concat_ws('|', {fields})) AS h FROM orders)
+      GROUP BY 1"""
+
+    return f"""
+    WITH a AS ({side(fields_a)}), b AS ({side(fields_b)})
+    SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           CAST(a.n_rows AS BIGINT) AS n_rows_src,
+           CAST(b.n_rows AS BIGINT) AS n_rows_replica,
+           CAST(a.checksum AS DECIMAL(38,0)) AS checksum_src,
+           CAST(b.checksum AS DECIMAL(38,0)) AS checksum_replica,
+           (a.checksum IS DISTINCT FROM b.checksum)
+             OR (a.n_rows IS DISTINCT FROM b.n_rows) AS diverged
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    """
+
+
+@query("checksum_diff_report", oracle=_checksum_diff_oracle)
+def checksum_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy RECONCILIATION surface: bucketed checksums of a
+    source table and a replica, full-outer-joined per bucket with a
+    ``diverged`` verdict — the report a warehouse sync job publishes
+    (``operators/checksum.tables_agree`` is the boolean form; this is
+    the drill-down). The replica is derived in-query with a
+    deterministic fault injection (o_orderstatus flipped where
+    ``o_orderkey % 997 = 0``), so the oracle can rebuild BOTH sides
+    analytically and the report provably localizes divergence: only
+    buckets containing a perturbed row's digest may differ, and the
+    bucketed sums pinpoint exactly those.
+
+    Scale posture: two narrow scans + two 16-group aggregates + a
+    16-row join — the full-table compare stays O(data) with constant
+    output, which is the only viable reconciliation shape at 100 TB.
+    """
+    from ..operators.checksum import bucket_checksums
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    o = t(spark, sf_dir, "orders")
+    replica = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 997 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    a = bucket_checksums(o, cols).alias("a")
+    b = bucket_checksums(replica, cols).alias("b")
+    return a.join(b, F.col("a.bucket") == F.col("b.bucket"), "full_outer").select(
+        F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+        F.col("a.n_rows").cast("bigint").alias("n_rows_src"),
+        F.col("b.n_rows").cast("bigint").alias("n_rows_replica"),
+        F.col("a.checksum").cast("decimal(38,0)").alias("checksum_src"),
+        F.col("b.checksum").cast("decimal(38,0)").alias("checksum_replica"),
+        (
+            ~F.col("a.checksum").eqNullSafe(F.col("b.checksum"))
+            | ~F.col("a.n_rows").eqNullSafe(F.col("b.n_rows"))
+        ).alias("diverged"),
     )

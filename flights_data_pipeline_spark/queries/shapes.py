@@ -900,14 +900,9 @@ def countmin_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = base.groupBy("token").agg(
         F.count("*").cast("bigint").alias("exact_cnt")
     )
-    probes = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(W.orderBy(F.col("exact_cnt").desc(), "token")),
-        )
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    probes = exact.orderBy(
+        F.col("exact_cnt").desc(), "token"
+    ).limit(20)  # TakeOrdered, not a vocabulary-grain global window
     prows = probes.selectExpr("token", "exact_cnt", *bexprs).selectExpr(
         "token",
         "exact_cnt",

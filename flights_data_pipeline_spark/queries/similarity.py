@@ -31,6 +31,7 @@ from pyspark.sql.window import Window as W
 
 from ..io.catalog import load_table as t
 from ..io.catalog import table_row_count
+from . import pinned_oracles
 from .registry import query
 
 #: number of query vectors for the brute-force baseline.
@@ -785,7 +786,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF centroid training (k-means refinement of the coarse quantizer).
 # ---------------------------------------------------------------------------
-@query("ivf_kmeans_fit")
+@query("ivf_kmeans_fit", oracle=pinned_oracles.kmeans_fit_oracle)
 def ivf_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means-refined IVF coarse quantizer (``operators.kmeans``):
     Lloyd's over the embedding corpus, deterministic hash init, 3
@@ -885,7 +886,10 @@ def _kmeans_cached(spark: SparkSession, sf_dir: str, k: int):
     return _KMEANS_MODELS[key]
 
 
-@query("semantic_cluster_dedup")
+@query(
+    "semantic_cluster_dedup",
+    oracle=pinned_oracles.semantic_cluster_dedup_oracle,
+)
 def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup over the embedding corpus: k-means
     blocks the vectors (data-ADAPTIVE buckets, unlike the sign-LSH
@@ -946,7 +950,7 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_kmeans")
+@query("ann_ivf_kmeans", oracle=pinned_oracles.ann_ivf_kmeans_oracle)
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over a K-MEANS-trained quantizer — `ann_ivf_probe`
     with `operators.kmeans` centroids in place of the hash sample
@@ -1087,7 +1091,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("semantic_dedup_multiblock")
+@query(
+    "semantic_dedup_multiblock",
+    oracle=pinned_oracles.semantic_dedup_multiblock_oracle,
+)
 def semantic_dedup_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`semantic_cluster_dedup`'s production variant: every vector is
     assigned to its TOP-2 nearest centroids (k corpus-derived via

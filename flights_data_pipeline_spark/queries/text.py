@@ -469,8 +469,14 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("term_count"))
     )
+    # TakeOrdered the top-K FIRST (parallel per-partition top-K +
+    # merge), then window over the K survivors only — the vocabulary
+    # never funnels through a single-partition sort
+    topk = counts.orderBy(F.col("term_count").desc(), "term").limit(
+        VOCAB_TOP_K
+    )
     w = W.orderBy(F.col("term_count").desc(), "term")
-    ranked = counts.select(
+    ranked = topk.select(
         "term",
         "term_count",
         F.row_number().over(w).cast("int").alias("vocab_rank"),
@@ -478,7 +484,7 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, 0))
         .cast("bigint")
         .alias("cum_count"),
-    ).filter(F.col("vocab_rank") <= VOCAB_TOP_K)
+    )
     total = counts.agg(F.sum("term_count").cast("bigint").alias("n_total"))
     return ranked.crossJoin(F.broadcast(total)).select(
         "vocab_rank",
@@ -1163,10 +1169,8 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     top5 = (
         tri.groupBy("phrase")
         .agg(F.count("*").alias("c"))
-        .withColumn(
-            "rn", F.row_number().over(W.orderBy(F.col("c").desc(), "phrase"))
-        )
-        .filter(F.col("rn") <= 5)
+        .orderBy(F.col("c").desc(), "phrase")
+        .limit(5)  # TakeOrdered, not a phrase-grain global window
         .select("phrase")
     )
     return (
@@ -1811,9 +1815,9 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     placement by integer arithmetic.
 
     Scale posture: two token-grain shuffles total (first-occurrence
-    groupBy, per-doc counts), then doc-grain windows. The
-    single-partition global window runs over DOC-grain rows (and at
-    real scale over per-shard subtotals).
+    groupBy, per-doc counts), then ONE two-phase range shuffle for all
+    three doc-grain running totals (``global_cumsum_multi``) — no
+    single-partition WindowExec anywhere.
     """
     d = t(spark, sf_dir, "documents")
     toks = d.select(
@@ -1832,18 +1836,22 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tokens = toks.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_toks")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.partitionBy()
-    per_doc = (
-        doc_tokens.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
-            F.row_number().over(W.orderBy("doc_id")).alias("rn"),
-            F.count("*").over(wall).alias("n_docs"),
-        )
+    from ..operators.global_order import global_cumsum_multi
+
+    base = doc_tokens.join(new_per_doc, "doc_id", "left")
+    # two-phase: all three running totals (tokens, vocab, row number =
+    # cumsum of 1) share ONE range shuffle — no single-partition window
+    cum = global_cumsum_multi(
+        base,
+        ["doc_id"],
+        {
+            "cum_tokens": "n_toks",
+            "cum_vocab": F.coalesce("n_new", F.lit(0)),
+            "rn": F.lit(1),
+        },
     )
+    tot = base.agg(F.count("*").cast("bigint").alias("n_docs"))
+    per_doc = cum.crossJoin(F.broadcast(tot))
     return (
         per_doc.filter((10 * F.col("rn")) % F.col("n_docs") == 0)
         .groupBy(

@@ -1188,3 +1188,153 @@ def embedding_drift_from_state(spark: SparkSession, state_path: str) -> DataFram
         .agg(F.sum("s_qv").cast("bigint").alias("n_l"))
     )
     return drift_from_stats(per_ld, counts)
+
+
+def token_budget_stream(
+    stream: DataFrame,
+    store_path: str,
+    budget: int = 4096,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming TOKEN-budget admission per source: maintain, as
+    documents arrive, exactly the admitted set the batch rule
+    (``queries/curation.token_budget_admission``) defines — documents
+    in hashed-key order whose inclusive running token count stays
+    ≤ ``budget``, where the running count includes every document seen
+    so far (admitted or not).
+
+    Why the store needs TWO pieces of state (unlike the quota stream's
+    single sample): the batch rule's cumulative sum runs over ALL
+    documents, so a document rejected at the boundary still consumes
+    budget for everything hashing after it — replaying that from the
+    admitted rows alone would under-count. The sufficient statistic is
+
+    * the admitted rows (``<store>/admitted``), and
+    * per source the smallest ``(h, doc_id)`` ever REJECTED
+      (``<store>/cut``): once a document crosses the budget, every
+      later-hashing document is rejected forever (tokens are
+      non-negative, so the running sum is monotone along the hash
+      order) — the cut only ever moves EARLIER.
+
+    Merge rule per micro-batch: keep candidates = (store ∪ batch)
+    strictly before the cut, re-rank, admit while the running sum
+    ≤ budget, and fold newly rejected candidates into the cut. This
+    reproduces the batch rule over everything seen — any arrival
+    order, any batch split, replay-idempotent — because rejected
+    documents before the cut cannot exist (they ARE the cut), so the
+    candidate running sums equal the full-history ones.
+
+    State bound: admitted rows carry ≤ ``budget`` tokens per source
+    (plus one boundary-straddling row), the cut is one row per source.
+    Documents with zero tokens consume no budget, so a stream of empty
+    documents grows the admitted set without bound — the same property
+    the batch rule has; gate empty docs upstream if that matters.
+
+    Returns the started ``StreamingQuery`` (availableNow trigger).
+    """
+    keyed = stream.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        )
+        .cast("bigint")
+        .alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    admitted_path = f"{store_path}/admitted"
+    cut_path = f"{store_path}/cut"
+
+    def _read_or_none(spark, path):
+        try:
+            return spark.read.parquet(path)
+        except Exception as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
+            return None
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        from pyspark.sql.window import Window as W
+
+        from ..operators.merge import _swap_in
+
+        store = _read_or_none(spark, admitted_path)
+        combined = (
+            store.unionByName(batch) if store is not None else batch
+        ).dropDuplicates(["doc_id"])
+        cuts = _read_or_none(spark, cut_path)
+        if cuts is not None:
+            combined = combined.join(
+                F.broadcast(cuts), "source", "left"
+            ).filter(
+                F.col("cut_h").isNull()
+                | (F.col("__h") < F.col("cut_h"))
+                | ((F.col("__h") == F.col("cut_h")) & (F.col("doc_id") < F.col("cut_doc_id")))
+            ).drop("cut_h", "cut_doc_id")
+        w = (
+            W.partitionBy("source")
+            .orderBy("__h", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        ranked = combined.withColumn("__cum", F.sum("n_toks").over(w))
+        kept = ranked.filter(F.col("__cum") <= budget).drop("__cum")
+        rejected = ranked.filter(F.col("__cum") > budget)
+        new_cut = rejected.groupBy("source").agg(
+            F.min(F.struct("__h", "doc_id")).alias("__c")
+        ).select(
+            "source",
+            F.col("__c.__h").alias("cut_h"),
+            F.col("__c.doc_id").alias("cut_doc_id"),
+        )
+        if cuts is not None:
+            new_cut = (
+                cuts.unionByName(new_cut)
+                .groupBy("source")
+                .agg(F.min(F.struct("cut_h", "cut_doc_id")).alias("__c"))
+                .select(
+                    "source",
+                    F.col("__c.cut_h").alias("cut_h"),
+                    F.col("__c.cut_doc_id").alias("cut_doc_id"),
+                )
+            )
+        # materialize BOTH before any swap: new_cut reads the old cut
+        # store lazily, and kept reads the old admitted store
+        kept = kept.localCheckpoint(eager=True)
+        new_cut = new_cut.localCheckpoint(eager=True)
+        _swap_in(spark, kept, admitted_path)
+        _swap_in(spark, new_cut, cut_path)
+
+    writer = keyed.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def token_budget_from_store(spark, store_path: str) -> DataFrame:
+    """Read the streaming admission store back as the batch query's
+    aggregate surface (source, n_admitted, tokens_admitted,
+    budget_used) — the twin the equivalence tests compare against
+    ``token_budget_admission``."""
+    from pyspark.sql.window import Window as W
+
+    admitted = spark.read.parquet(f"{store_path}/admitted")
+    w = (
+        W.partitionBy("source")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        admitted.withColumn("__cum", F.sum("n_toks").over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.sum("n_toks").cast("bigint").alias("tokens_admitted"),
+            F.max("__cum").cast("bigint").alias("budget_used"),
+        )
+    )

@@ -70,14 +70,69 @@ def test_global_ntile_matches_spark_ntile(spark):
         ), f"n={n}"
 
 
+def test_global_cumsum_multi_matches_two_naive_windows(spark):
+    d = _docs(spark).select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("is0"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("is1"),
+    )
+    from flights_data_pipeline_spark.operators.global_order import (
+        global_cumsum_multi,
+    )
+
+    w = W.orderBy("n_chars", "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    naive = d.select(
+        "doc_id",
+        F.sum("is0").over(w).alias("c0"),
+        F.sum("is1").over(w).alias("c1"),
+    )
+    two = global_cumsum_multi(
+        d, ["n_chars", "doc_id"], {"c0": "is0", "c1": "is1"}
+    ).select("doc_id", "c0", "c1")
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_grouped_row_number_matches_partitioned_window(spark):
+    from flights_data_pipeline_spark.operators.global_order import (
+        grouped_row_number,
+    )
+
+    d = _docs(spark)
+    naive = d.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+    )
+    two = grouped_row_number(
+        d, "source", ["n_chars", "doc_id"], out="rn"
+    ).select("doc_id", "rn")
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
 def test_no_single_partition_exchange_feeds_the_rank(spark):
     """Plan pin: the naive window moves the corpus to one partition
     (Exchange SinglePartition above a scan); the two-phase rank's only
     SinglePartition exchange sits above the per-partition AGGREGATE
     (≤ shuffle.partitions rows), and the corpus moves through a
     rangepartitioning exchange instead."""
+    from flights_data_pipeline_spark.operators import global_order
+
     d = _docs(spark)
-    plan = global_row_number(d, ["n_chars", "doc_id"])._jdf.queryExecution().executedPlan().toString()
+    # flip materialization off ONLY to see the un-truncated lineage
+    # (localCheckpoint hides the range exchange from the plan)
+    global_order.MATERIALIZE = False
+    try:
+        plan = global_row_number(d, ["n_chars", "doc_id"])._jdf.queryExecution().executedPlan().toString()
+    finally:
+        global_order.MATERIALIZE = True
     lines = plan.splitlines()
     assert any("rangepartitioning" in ln.lower() for ln in lines), plan
     for i, ln in enumerate(lines):

@@ -708,3 +708,34 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
     n_out = df.rdd.getNumPartitions()
     assert n_out < int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_no_corpus_grain_single_partition_window(spark, sf_dir):
+    """Round-7 VERDICT task 2: the global-window query class is now
+    two-phase (operators/global_order) — in the executed plan, every
+    remaining Exchange SinglePartition must sit directly above an
+    aggregate (the config-bounded per-partition offset rows), never
+    above corpus-grain rows flowing into a WindowExec."""
+    from flights_data_pipeline_spark.queries.registry import REGISTRY
+
+    for name in [
+        "rfm_segments",
+        "weighted_systematic_sample",
+        "percentile_exact",
+        "ks_drift_statistic",
+        "vocab_growth_curve",
+        "pareto_revenue_concentration",
+        "gini_spend_concentration",
+        "mann_whitney_u",
+        "null_semantics",
+        "quantile_normalize_spend",
+    ]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                below = "\n".join(lines[i + 1 : i + 3])
+                # Hash/Sort/ObjectHash aggregate — all partial-agg,
+                # per-partition-grain inputs
+                assert "Aggregate" in below, (name, plan)

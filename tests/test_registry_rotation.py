@@ -15,9 +15,9 @@ from flights_data_pipeline_spark.queries.registry import (
 def test_order_kernel_priorities():
     names = ["a_pass_old", "b_pass_new", "c_fail", "d_never", "e_never"]
     latest = {
-        "a_pass_old": (1, True),
-        "b_pass_new": (4, True),
-        "c_fail": (1, False),
+        "a_pass_old": (1, True, False),
+        "b_pass_new": (4, True, False),
+        "c_fail": (1, False, False),
     }
     assert _order_from_history(names, latest) == [
         "c_fail",  # latest check failed — front of queue
@@ -30,8 +30,21 @@ def test_order_kernel_priorities():
 
 def test_order_kernel_fail_then_pass_is_a_pass():
     # a fixed query re-sampled green must NOT stay pinned at the front
-    latest = {"q": (3, True), "r": (1, False)}
+    latest = {"q": (3, True, False), "r": (1, False, False)}
     assert _order_from_history(["q", "r"], latest) == ["r", "q"]
+
+
+def test_order_kernel_oracle_upgrade_counts_as_never_sampled():
+    # 'topk' carries an oracle in the real REGISTRY; a stale rows-only
+    # datapoint for it must re-queue with the never-sampled bucket
+    # (behind the genuinely never-sampled) so the hash gate certifies
+    # the upgrade (round-7 VERDICT task 3)
+    latest = {"topk": (2, True, True), "zz_pass": (1, True, False)}
+    assert _order_from_history(["topk", "x_never", "zz_pass"], latest) == [
+        "x_never",
+        "topk",
+        "zz_pass",
+    ]
 
 
 def test_queries_map_covers_registry_in_rotation_order():
