@@ -200,8 +200,7 @@ def refresh_fact(
     dates = affected_flight_dates(
         spark, staging_dir, ds, fact=fact, fact_path=fact_path
     )
-    # scale-ok: distinct DATE values of one day's blast radius (bounded
-    # by the calendar, not the data)
+    # scale-ok: distinct DATE values of one day's blast radius (calendar-bounded)
     affected = {r["flight_date_key"] for r in dates.collect()}
     if not affected:
         return 0
@@ -222,6 +221,7 @@ def refresh_fact(
     # values within the blast radius.
     written = {
         r["flight_date_key"]
+        # scale-ok: distinct DATE values within the blast radius
         for r in rows.select("flight_date_key").distinct().collect()
     }
     _delete_partitions(spark, fact_path, affected - written)

@@ -2975,9 +2975,7 @@ def quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         grouped_row_number(spend, ["n_name"], ["cents", "c_custkey"], out="r")
         .join(spend.groupBy("n_name").agg(F.count("*").alias("ng")), "n_name")
-        .crossJoin(
-            F.broadcast(spend.agg(F.count("*").alias("n_total")))
-        )
+        .crossJoin(F.broadcast(spend.agg(F.count("*").alias("n_total"))))
     )
     glob = global_row_number(
         spend, ["cents", "c_custkey"], out="g_rank"

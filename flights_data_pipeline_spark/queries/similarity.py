@@ -2378,6 +2378,131 @@ def quantized_label_dims(e: DataFrame) -> DataFrame:
     )
 
 
+#: ingest-shard width for the sliced drift monitor (vec_id ranges
+#: stand in for ingest batches; the corpus has no timestamp column).
+DRIFT_SHARD = 100
+
+
+@query(
+    "embedding_shard_drift",
+    oracle=f"""
+    WITH dims AS (
+      SELECT unnest(generate_series(1,
+               (SELECT MAX(len(embedding)) FROM embeddings))) AS dim
+    ),
+    q AS (
+      SELECT e.label, CAST(e.vec_id // {DRIFT_SHARD} AS BIGINT) AS shard,
+             d.dim,
+             CAST(floor(CAST(e.embedding[d.dim] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings e, dims d
+    ),
+    per_lsd AS (
+      SELECT label, shard, dim, SUM(qv) AS s_lsd
+      FROM q GROUP BY label, shard, dim
+    ),
+    per_ld AS (
+      SELECT label, dim, SUM(s_lsd) AS s_ld FROM per_lsd GROUP BY label, dim
+    ),
+    counts_ls AS (
+      SELECT label, CAST(vec_id // {DRIFT_SHARD} AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_ls
+      FROM embeddings GROUP BY 1, 2
+    ),
+    counts_l AS (
+      SELECT label, CAST(SUM(n_ls) AS BIGINT) AS n_l
+      FROM counts_ls GROUP BY label
+    ),
+    nums AS (
+      SELECT p.label, p.shard, cl.n_l, cs.n_ls,
+             CAST(p.s_lsd AS BIGINT) * cl.n_l
+               - CAST(d.s_ld AS BIGINT) * cs.n_ls AS num
+      FROM per_lsd p
+      JOIN per_ld d ON p.label = d.label AND p.dim = d.dim
+      JOIN counts_ls cs ON p.label = cs.label AND p.shard = cs.shard
+      JOIN counts_l cl ON p.label = cl.label
+    )
+    SELECT label, shard,
+           CAST(n_ls AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(num AS HUGEINT) * num) AS DOUBLE)
+             / CAST((n_ls * n_l) AS DOUBLE)
+             / CAST((n_ls * n_l) AS DOUBLE) AS drift_l2sq_milli
+    FROM nums GROUP BY label, shard, n_ls, n_l
+    """,
+)
+def embedding_shard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_label_drift`` sliced by INGEST SHARD (vec_id ranges
+    of {DRIFT_SHARD} stand in for arrival batches): squared L2 distance
+    between each (label, shard) centroid and that label's OVERALL
+    centroid, exact fixed-point milliunits² — the drift TREND monitor.
+    The label-level query says "this label moved"; this one says WHEN:
+    a label whose late shards drift while early ones sit near zero is
+    changing under your feet mid-ingest (crawl rot, upstream model
+    swap), which is the actionable alarm.
+
+    Same exactness construction as the label-level monitor (quantized
+    components, exact integer sufficient statistics, 128-bit squared
+    numerators, ONE double division at the surface) with one extra
+    grouping key. Plan: one posexplode pass to (label, shard, dim)
+    partial sums; the label-level rollups derive from THOSE (labels×64
+    rows — broadcast-sized), so the corpus is read once. At 100 TB the
+    shard key is the ingest partition and the statistics merge across
+    days.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (F.col("vec_id") / DRIFT_SHARD).cast("bigint").alias("shard"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        "shard",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000 + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    per_lsd = q.groupBy("label", "shard", "dim").agg(F.sum("qv").alias("s_lsd"))
+    per_ld = per_lsd.groupBy("label", "dim").agg(F.sum("s_lsd").alias("s_ld"))
+    counts_ls = e.groupBy(
+        "label", (F.col("vec_id") / DRIFT_SHARD).cast("bigint").alias("shard")
+    ).agg(F.count("*").cast("bigint").alias("n_ls"))
+    counts_l = counts_ls.groupBy("label").agg(
+        F.sum("n_ls").cast("bigint").alias("n_l")
+    )
+    nums = (
+        per_lsd.join(F.broadcast(per_ld), ["label", "dim"])
+        .join(F.broadcast(counts_ls), ["label", "shard"])
+        .join(F.broadcast(counts_l), "label")
+        .select(
+            "label",
+            "shard",
+            "n_ls",
+            "n_l",
+            (F.col("s_lsd") * F.col("n_l") - F.col("s_ld") * F.col("n_ls")).alias(
+                "num"
+            ),
+        )
+    )
+    num_dec = F.col("num").cast("decimal(38,0)")
+    return (
+        nums.groupBy("label", "shard", "n_ls", "n_l")
+        .agg(
+            (
+                F.sum(num_dec * num_dec).cast("double")
+                / (F.col("n_ls") * F.col("n_l")).cast("double")
+                / (F.col("n_ls") * F.col("n_l")).cast("double")
+            ).alias("drift_l2sq_milli")
+        )
+        .select(
+            "label",
+            "shard",
+            F.col("n_ls").alias("n_vectors"),
+            "drift_l2sq_milli",
+        )
+    )
+
+
 def drift_from_stats(per_ld: DataFrame, counts: DataFrame) -> DataFrame:
     """Drift from the sufficient statistics: per-(label, dim) exact
     sums + per-label counts. The streaming state reader
