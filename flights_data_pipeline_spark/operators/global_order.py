@@ -74,17 +74,29 @@ def _ranged(df: DataFrame, order_by, sort: bool = False) -> DataFrame:
     return out.localCheckpoint() if MATERIALIZE else out
 
 
-def _with_offsets(ranged: DataFrame, agg: Column) -> DataFrame:
+def _with_offsets(
+    ranged: DataFrame, agg: Column, with_total: bool = False
+) -> DataFrame:
     """Broadcast-join each row with the prefix-sum (over partitions
     BEFORE its own) of ``agg`` evaluated per partition. The prefix
     window is unpartitioned but runs over one row per partition —
     cluster-config-sized, the documented exception to the
-    no-unpartitioned-window rule."""
+    no-unpartitioned-window rule. ``with_total`` also attaches the
+    grand total as ``__go_total`` — free here (sum of the same
+    per-partition rows), where a separate count would cost a job."""
     per_part = ranged.groupBy(_PID).agg(agg.alias("_t"))
     w = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
-    offsets = per_part.select(
-        _PID, F.coalesce(F.sum("_t").over(w), F.lit(0)).alias(_OFFSET)
-    )
+    cols = [
+        F.col(_PID),
+        F.coalesce(F.sum("_t").over(w), F.lit(0)).alias(_OFFSET),
+    ]
+    if with_total:
+        cols.append(
+            F.sum("_t")
+            .over(W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("__go_total")
+        )
+    offsets = per_part.select(*cols)
     return ranged.join(F.broadcast(offsets), _PID)
 
 
@@ -251,16 +263,24 @@ def global_ntile(
     share this remainder-to-the-front rule), so the bucket is a pure
     integer function of ``(rn, N)`` — no global window at all."""
     rn = "__go_rn"
-    with_rn = global_row_number(df, order_by, out=rn)
-    total = with_rn.agg(F.count(F.lit(1)).cast("bigint").alias("__go_n"))
+    ranged = _ranged(df, order_by, sort=True)
+    local = ranged.withColumn(
+        _LOCAL,
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        + F.lit(1),
+    )
+    # the grand total rides the same per-partition aggregate as the
+    # offsets — no separate count job
+    with_rn = (
+        _with_offsets(local, F.count(F.lit(1)), with_total=True)
+        .withColumn(rn, (F.col(_OFFSET) + F.col(_LOCAL)).cast("bigint"))
+        .withColumnRenamed("__go_total", "__go_n")
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
     q = F.floor(F.col("__go_n") / n).cast("bigint")
     r = (F.col("__go_n") % n).cast("bigint")
     first_block = r * (q + 1)
     band = F.when(
         F.col(rn) <= first_block, F.floor((F.col(rn) - 1) / (q + 1)) + 1
     ).otherwise(r + F.floor((F.col(rn) - first_block - 1) / q) + 1)
-    return (
-        with_rn.crossJoin(F.broadcast(total))
-        .withColumn(out, band.cast("int"))
-        .drop(rn, "__go_n")
-    )
+    return with_rn.withColumn(out, band.cast("int")).drop(rn, "__go_n")
