@@ -458,6 +458,84 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs straddling the train/val/test cut.
+# ---------------------------------------------------------------------------
+def _split_leakage_oracle() -> str:
+    from .profiling import TRAIN_PCT, VAL_PCT, _bucket_sql, _hex_val_duck
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_bucket_sql(_hex_val_duck)} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_bucket_sql(_hex_val_duck)} < {VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+             AS is_leak,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_j50
+    FROM pairs p
+    JOIN sp sa ON p.a_id = sa.doc_id
+    JOIN sp sb ON p.b_id = sb.doc_id
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("split_leakage_report", oracle=_split_leakage_oracle)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: every banded-MinHash near-dup
+    candidate pair classified by which splits its two documents landed
+    in — the check an eval pipeline must run before trusting held-out
+    numbers, because a test document whose near-duplicate sits in
+    train is memorization measured as generalization. Reports pair
+    counts per unordered split pair with an ``is_leak`` verdict and
+    the count again at Jaccard ≥ 0.5 (candidates the verify stage
+    would confirm).
+
+    Composes two oracle-matched subtrees verbatim — the LSH candidate
+    generator (``minhash_lsh_candidates``) and the hashed-key split
+    (``train_test_split``) — so the audit inherits their scale
+    posture: banded equi-join candidates (never all-pairs) and a
+    narrow split map; the classification itself is one broadcast-sized
+    join per side (the split table is doc-grain but only (doc_id,
+    split) wide; at 100 TB it rides the same join keys as the
+    candidate pairs).
+    """
+    from .registry import REGISTRY
+
+    pairs = REGISTRY["minhash_lsh_candidates"].fn(spark, sf_dir).select(
+        "a_id", "b_id", "jaccard"
+    )
+    sp = REGISTRY["train_test_split"].fn(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    sa = sp.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa"))
+    sb = sp.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            (F.least("sa", "sb") != F.greatest("sa", "sb")).alias("is_leak"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b", "is_leak")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs_j50"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprint (32-bit) — linear-cost near-dup sketch.
 # ---------------------------------------------------------------------------
 def _hex_val_spark(p: int) -> str:
