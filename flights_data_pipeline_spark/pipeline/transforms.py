@@ -49,8 +49,12 @@ def _restrict_flights(f: DataFrame, date_filter: DataFrame | None) -> DataFrame:
     inner join on ``flight_id``, so pre-filtering flights here yields
     EXACTLY the full transform restricted to those partitions — the
     partition-refresh fast path (``pipeline/incremental.py``) reuses
-    each fact's single definition with the filter pushed to the scan
-    side instead of recomputing all of history and discarding it."""
+    each fact's single definition. Precisely: the broadcast semi-join
+    prunes the JOIN INPUT (flights is still scanned once — one narrow
+    table — but only blast-radius rows reach the expensive fact joins
+    and aggregations, which is where the history recompute lived); a
+    flight-date-partitioned staging layout would additionally prune
+    the scan via dynamic partition pruning."""
     if date_filter is None:
         return f
     return f.join(
