@@ -1267,6 +1267,119 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_BUDGET = 100_000
 
 
+#: total training-token budget the mixture plan apportions (spans
+#: multiple corpus epochs by design — the data-constrained regime).
+TRAIN_BUDGET = 1_000_000
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_toks
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_toks,
+             CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT)
+               AS weight_milli
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(weight_milli) AS BIGINT) AS wt FROM w),
+    base AS (
+      SELECT source, n_toks, weight_milli,
+             ({TRAIN_BUDGET} * weight_milli) // t.wt AS base_alloc,
+             ({TRAIN_BUDGET} * weight_milli) % t.wt AS remainder
+      FROM w CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rk,
+             {TRAIN_BUDGET} - SUM(base_alloc) OVER () AS leftover
+      FROM base
+    )
+    SELECT source,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(weight_milli AS BIGINT) AS weight_milli,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST((base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 + n_toks - 1) // n_toks AS BIGINT) AS repeats
+    FROM ranked
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix EPOCH PLAN under temperature flattening: each
+    source's sampling weight is ``floor(sqrt(n_tokens)·1000)`` (the
+    α=0.5 temperature that up-weights small sources relative to
+    proportional mixing — the multilingual-sampling convention), a
+    {TRAIN_BUDGET}-token training budget is apportioned by largest
+    remainder (sums to the budget EXACTLY), and ``repeats`` =
+    ceil(alloc / n_tokens) reports how many epochs each source is seen
+    — the data-constrained-scaling readout (a source repeated 10×
+    while another is seen 0.3 epochs is a mix bug a plan review
+    catches before a training run pays for it).
+
+    Cross-engine exactness: α=0.5 is deliberate — sqrt is correctly
+    rounded in IEEE 754 so both engines produce the identical double
+    (a general pow() is only 1-ulp and would diverge), and the
+    ×1000-floor lands in exact bigints before any summation; the
+    apportionment is pure integer arithmetic thereafter. Plan: one
+    groupBy(source), a broadcast total, a window over the per-source
+    table (source-grain, tiny).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    src = (
+        d.select("source", F.size(toks).cast("bigint").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("bigint").alias("n_toks"))
+        .select(
+            "source",
+            "n_toks",
+            F.floor(F.sqrt(F.col("n_toks").cast("double")) * 1000)
+            .cast("bigint")
+            .alias("weight_milli"),
+        )
+    )
+    tot = src.agg(F.sum("weight_milli").cast("bigint").alias("wt"))
+    b = F.lit(TRAIN_BUDGET).cast("bigint")
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        "weight_milli",
+        F.expr(f"(CAST({TRAIN_BUDGET} AS BIGINT) * weight_milli) DIV wt")
+        .cast("bigint")
+        .alias("base_alloc"),
+        ((b * F.col("weight_milli")) % F.col("wt")).alias("remainder"),
+    )
+    ranked = base.select(
+        "source",
+        "n_toks",
+        "weight_milli",
+        "base_alloc",
+        F.row_number()
+        .over(W.orderBy(F.col("remainder").desc(), "source"))
+        .alias("rk"),
+        (b - F.sum("base_alloc").over(W.partitionBy())).alias("leftover"),
+    )
+    alloc = F.col("base_alloc") + F.when(
+        F.col("rk") <= F.col("leftover"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_toks",
+        "weight_milli",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.expr(
+            "CAST((base_alloc + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)"
+            " + n_toks - 1) DIV n_toks AS BIGINT)"
+        ).alias("repeats"),
+    )
+
+
 @query(
     "token_budget_apportionment",
     oracle=f"""

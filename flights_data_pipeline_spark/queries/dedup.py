@@ -458,6 +458,105 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Substring-grain duplication ratio (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better", public): char-gram scan.
+# ---------------------------------------------------------------------------
+#: duplicated-substring window length (chars) and scan stride.
+SUBDUP_L = 40
+SUBDUP_STRIDE = 10
+
+
+@query(
+    "substring_dup_ratio",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(0, (length(text) - {SUBDUP_L}) // {SUBDUP_STRIDE} + 1),
+               i -> substr(text, i * {SUBDUP_STRIDE} + 1, {SUBDUP_L})
+             )) AS gram
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) >= {SUBDUP_L}
+    ),
+    df AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_share
+    FROM g JOIN df ON g.gram = df.gram
+    GROUP BY g.doc_id
+    """,
+)
+def substring_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-grain duplication: per document, the share of its
+    {SUBDUP_L}-char windows (stride {SUBDUP_STRIDE}) that occur
+    verbatim in at least one OTHER document — the Lee-et-al-style
+    signal that document-grain dedup cannot see (boilerplate headers,
+    quoted passages, licence blocks shared across otherwise-distinct
+    documents). A corpus pipeline drops or trims documents whose
+    dup_share crosses a threshold instead of losing the whole doc to
+    a near-dup verdict.
+
+    Distinct grams per document (intra-doc repetition is
+    ``repetition_quality``'s job, not cross-doc duplication's); a
+    gram's document frequency comes from one groupBy over the
+    (doc, gram) pairs. Scale posture: gram rows are
+    ``chars/stride`` per doc — linear in corpus bytes with a 1/10
+    constant; the DF table is the same fingerprint-groupBy shape as
+    exact dedup, map-side partials collapse repeated grams, and
+    nothing is ever pairwise. The full Lee et al. suffix-array variant
+    finds UNALIGNED repeats; the strided scan is the bounded-cost
+    approximation that still catches fixed boilerplate (alignment
+    slack ≤ stride).
+    """
+    d = t(spark, sf_dir, "documents")
+    n = (F.length("text") - SUBDUP_L) / SUBDUP_STRIDE
+    grams = (
+        d.filter(
+            F.col("text").isNotNull() & (F.length("text") >= SUBDUP_L)
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.floor(n).cast("int")),
+                    lambda i: F.substring(
+                        F.col("text"), i * SUBDUP_STRIDE + 1, SUBDUP_L
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df_tab = grams.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        grams.join(df_tab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split-leakage audit: near-dup pairs straddling the train/val/test cut.
 # ---------------------------------------------------------------------------
 def _split_leakage_oracle() -> str:
