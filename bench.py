@@ -97,6 +97,12 @@ HEADLINE = [
     "triangles_degree_oriented",
     "embedding_label_drift",
     "table_checksum_buckets",
+    # round-8 additions (compare cross-round on the common prefix)
+    "checksum_diff_report",
+    "embedding_shard_drift",
+    "split_leakage_report",
+    "mixture_epoch_plan",
+    "substring_dup_ratio",
 ]
 
 
