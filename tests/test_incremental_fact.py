@@ -174,6 +174,42 @@ def test_date_move_refreshes_and_vacates_old_partition(spark):
     assert _generic_snapshot(spark, fact) == _generic_snapshot(spark, full)
 
 
+def test_seat_change_blast_radius_reaches_all_aircraft_dates(spark):
+    """The seats→aircraft→flights chain: adding a seat on day 2 changes
+    CAPACITY for every flight of that aircraft — on every date — so the
+    refresh must rewrite both flights' partitions even though neither
+    flight row was touched. Anything smaller breaks rebuild
+    equivalence (the documented round-7 'capacity trade' is gone)."""
+    base = tempfile.mkdtemp(prefix="fdp_seatchg_")
+    stg, fact = f"{base}/staging", f"{base}/fact"
+    _write_staging_v(spark, stg, move_flight_2=False)
+    assert refresh_fact(spark, stg, fact, "2025-06-10") == 2
+
+    # day 2: a third seat appears on aircraft 320 (no flight touched)
+    spark.createDataFrame(
+        [
+            ("320", "1A", "2025-06-10"),
+            ("320", "1B", "2025-06-10"),
+            ("320", "2A", "2025-06-11"),
+        ],
+        "aircraft_code string, seat_no string, ud string",
+    ).selectExpr(
+        "aircraft_code", "seat_no", "CAST(ud AS DATE) AS updated_date"
+    ).write.mode("overwrite").parquet(f"{stg}/seats")
+
+    # both flights' dates are in the blast radius via the aircraft
+    assert refresh_fact(spark, stg, fact, "2025-06-11") == 2
+    total_seats = {
+        r["flight_id"]: r["total_seats"]
+        for r in spark.read.parquet(fact).collect()
+    }
+    assert total_seats == {1: 3, 2: 3}
+
+    full = f"{base}/fact_full"
+    build_fact_partitioned(spark, stg, full)
+    assert _generic_snapshot(spark, fact) == _generic_snapshot(spark, full)
+
+
 def test_refresh_is_idempotent(spark, staged):
     stg = f"{staged}/staging"
     fact = f"{staged}/fact_idem"
