@@ -1273,6 +1273,140 @@ TRAIN_BUDGET = 1_000_000
 
 
 @query(
+    "quality_weighted_mixture",
+    oracle=f"""
+    WITH feats AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS n_word_chars
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_toks,
+             CAST(SUM(CASE WHEN 3 * n_words <= n_word_chars
+                            AND n_word_chars <= 10 * n_words
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM feats GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_toks, n_pass,
+             (n_toks * n_pass) // n_docs AS eff_toks
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(eff_toks) AS BIGINT) AS wt FROM w),
+    base AS (
+      SELECT source, n_docs, n_toks, n_pass, eff_toks,
+             ({TRAIN_BUDGET} * eff_toks) // t.wt AS base_alloc,
+             ({TRAIN_BUDGET} * eff_toks) % t.wt AS remainder
+      FROM w CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rk,
+             {TRAIN_BUDGET} - SUM(base_alloc) OVER () AS leftover
+      FROM base
+    )
+    SELECT source,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(eff_toks AS BIGINT) AS eff_toks,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST((base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 + n_toks - 1) // n_toks AS BIGINT) AS repeats
+    FROM ranked
+    """,
+)
+def quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-DISCOUNTED training mix (the DoReMi intuition without
+    the proxy-model loop): each source's sampling mass is its token
+    count scaled by its quality pass-rate — ``eff_toks = n_toks ·
+    n_pass / n_docs`` in exact integer arithmetic (the C4 length-band
+    rule from ``source_quality_scorecard`` as the quality gate) — and
+    the {TRAIN_BUDGET}-token budget is apportioned by largest
+    remainder over THOSE. A source that is half boilerplate gets half
+    its proportional share; ``repeats`` again reads out the
+    data-constrained epochs. Companion to ``mixture_epoch_plan``
+    (temperature flattening); a production mix applies both dials.
+
+    Exactness: the discount is integer floor arithmetic (products ≤
+    n_toks·n_docs ≪ 2⁶³), apportionment pure bigint — no float
+    anywhere. Plan: one per-row feature map in codegen, one
+    groupBy(source), broadcast total, window over the source-grain
+    table.
+    """
+    d = t(spark, sf_dir, "documents")
+    feats = d.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_words"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        .cast("bigint")
+        .alias("n_word_chars"),
+    )
+    src = feats.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_toks"),
+        F.sum(
+            F.when(
+                (3 * F.col("n_words") <= F.col("n_word_chars"))
+                & (F.col("n_word_chars") <= 10 * F.col("n_words")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    w = src.select(
+        "source",
+        "n_docs",
+        "n_toks",
+        "n_pass",
+        F.expr("(n_toks * n_pass) DIV n_docs").cast("bigint").alias("eff_toks"),
+    )
+    tot = w.agg(F.sum("eff_toks").cast("bigint").alias("wt"))
+    b = F.lit(TRAIN_BUDGET).cast("bigint")
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        "eff_toks",
+        F.expr(f"(CAST({TRAIN_BUDGET} AS BIGINT) * eff_toks) DIV wt")
+        .cast("bigint")
+        .alias("base_alloc"),
+        ((b * F.col("eff_toks")) % F.col("wt")).alias("remainder"),
+    )
+    ranked = base.select(
+        "source",
+        "n_toks",
+        "eff_toks",
+        "base_alloc",
+        F.row_number()
+        .over(W.orderBy(F.col("remainder").desc(), "source"))
+        .alias("rk"),
+        (b - F.sum("base_alloc").over(W.partitionBy())).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_toks",
+        "eff_toks",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.expr(
+            "CAST((base_alloc + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)"
+            " + n_toks - 1) DIV n_toks AS BIGINT)"
+        ).alias("repeats"),
+    )
+
+
+@query(
     "mixture_epoch_plan",
     oracle=f"""
     WITH s AS (
