@@ -103,6 +103,7 @@ HEADLINE = [
     "split_leakage_report",
     "mixture_epoch_plan",
     "substring_dup_ratio",
+    "quality_weighted_mixture",
 ]
 
 
