@@ -458,6 +458,61 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH banding precision: the measured S-curve the banding dial is set by.
+# ---------------------------------------------------------------------------
+@query(
+    "lsh_band_precision",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle()})
+    SELECT n_shared_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_verified,
+           SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS precision_at_j50
+    FROM pairs
+    GROUP BY n_shared_bands
+    """,
+)
+def lsh_band_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH banding precision: candidate pairs grouped by how
+    many bands they collided in, each bucket scored by the share that
+    verifies at Jaccard ≥ 0.5 — the empirical S-curve read-out that
+    tells you whether the (bands, rows-per-band) dial is tuned
+    (1-band-only collisions mostly failing verification means the
+    bands are too permissive; multi-band collisions not reaching ~1.0
+    precision means r is too small). Production pipelines re-measure
+    this per corpus because the theoretical S-curve assumes uniform
+    shingle distributions real corpora do not have.
+
+    Composes the oracle-matched candidate+verify subtree verbatim; the
+    report is one |bands|-row aggregate on top, so the scale posture
+    is exactly ``minhash_lsh_candidates``'s.
+    """
+    from .registry import REGISTRY
+
+    pairs = REGISTRY["minhash_lsh_candidates"].fn(spark, sf_dir)
+    return (
+        pairs.groupBy("n_shared_bands")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_verified"),
+        )
+        .select(
+            "n_shared_bands",
+            "n_pairs",
+            "n_verified",
+            (
+                F.col("n_verified").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("precision_at_j50"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Substring-grain duplication ratio (Lee et al. 2022 "Deduplicating
 # Training Data Makes Language Models Better", public): char-gram scan.
 # ---------------------------------------------------------------------------
