@@ -1041,7 +1041,7 @@ def _checksum_oracle() -> str:
     SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)
              AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM({hv}) AS DECIMAL(38,0)) AS checksum
+           CAST(CAST(SUM({hv}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
     FROM hashed GROUP BY 1
     """
 
@@ -1058,13 +1058,18 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     no sort, no collect, map-side partials — which is the only viable
     full-table compare at 100 TB. Sums in DECIMAL(38,0): a bigint
     accumulator wraps silently past ~2^31 rows per bucket (rule 28).
+    The RESULT surface serializes the checksum to string (rule 42):
+    DECIMAL(38,0) survives both engines' internal math but the
+    acceptance canonicalizer renders it differently per engine
+    (DuckDB→float64 loses precision, Spark→Decimal objects).
     """
     from ..operators.checksum import bucket_checksums
 
     o = t(spark, sf_dir, "orders")
-    return bucket_checksums(
+    out = bucket_checksums(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+    return out.withColumn("checksum", F.col("checksum").cast("string"))
 
 
 def _checksum_diff_oracle() -> str:
@@ -1094,8 +1099,8 @@ def _checksum_diff_oracle() -> str:
     SELECT COALESCE(a.bucket, b.bucket) AS bucket,
            CAST(a.n_rows AS BIGINT) AS n_rows_src,
            CAST(b.n_rows AS BIGINT) AS n_rows_replica,
-           CAST(a.checksum AS DECIMAL(38,0)) AS checksum_src,
-           CAST(b.checksum AS DECIMAL(38,0)) AS checksum_replica,
+           CAST(a.checksum AS VARCHAR) AS checksum_src,
+           CAST(b.checksum AS VARCHAR) AS checksum_replica,
            (a.checksum IS DISTINCT FROM b.checksum)
              OR (a.n_rows IS DISTINCT FROM b.n_rows) AS diverged
     FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
@@ -1131,12 +1136,15 @@ def checksum_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bucket_checksums(o, cols).alias("a")
     b = bucket_checksums(replica, cols).alias("b")
+    # Surface serializes checksums to string (rule 42): DECIMAL(38,0)
+    # stays internal to the accumulators; the diverged verdict compares
+    # the exact decimals BEFORE the render.
     return a.join(b, F.col("a.bucket") == F.col("b.bucket"), "full_outer").select(
         F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
         F.col("a.n_rows").cast("bigint").alias("n_rows_src"),
         F.col("b.n_rows").cast("bigint").alias("n_rows_replica"),
-        F.col("a.checksum").cast("decimal(38,0)").alias("checksum_src"),
-        F.col("b.checksum").cast("decimal(38,0)").alias("checksum_replica"),
+        F.col("a.checksum").cast("string").alias("checksum_src"),
+        F.col("b.checksum").cast("string").alias("checksum_replica"),
         (
             ~F.col("a.checksum").eqNullSafe(F.col("b.checksum"))
             | ~F.col("a.n_rows").eqNullSafe(F.col("b.n_rows"))

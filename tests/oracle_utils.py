@@ -55,8 +55,30 @@ def rows_to_multiset(rows, colnames):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def assert_driver_safe_surface(sdf, name: str = "?") -> None:
+    """Every oracle-carrying result surface must use types the driver's
+    pandas canonicalizer renders identically for DuckDB and Spark.
+    Two classes have shipped red rows before and are banned here:
+    array/map/struct cells (r7 ``pq_encode`` — pandas sort dies) and
+    decimals with precision > 18 (r8 checksum pair — DuckDB ``.df()``
+    converts to float64, Spark ``toPandas`` yields ``Decimal``).
+    Serialize at the surface (join arrays, cast wide decimals to
+    string) and keep the exotic type internal."""
+    unsafe = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+        or (f.dataType.typeName() == "decimal" and f.dataType.precision > 18)
+    ]
+    assert not unsafe, (
+        f"{name}: driver-unsafe surface columns {unsafe} — serialize "
+        "them (string-join / cast to string) before returning"
+    )
+
+
 def compare_query(spark, sf_dir: str, fn, oracle: str, name: str = "?"):
     sdf = fn(spark, sf_dir)
+    assert_driver_safe_surface(sdf, name)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 

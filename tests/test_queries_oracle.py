@@ -20,10 +20,17 @@ def test_oracle_match(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", WEAK_QUERIES)
 def test_runs_and_stable_schema(spark, sf_dir, name):
-    """Non-SQL-expressible ops: runs, returns rows, schema is stable."""
+    """Non-SQL-expressible ops: runs, returns rows, schema is stable.
+
+    Rows-only surfaces still cross the driver's canonicalizer, so the
+    driver-safe surface lint applies to them too (test_surface_safety).
+    """
+    from .oracle_utils import assert_driver_safe_surface
+
     q = REGISTRY[name]
     df = q.fn(spark, sf_dir)
     assert df.columns, name
+    assert_driver_safe_surface(df, name)
     df.collect()
 
 

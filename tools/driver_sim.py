@@ -36,11 +36,14 @@ for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
     scols = sdf.columns
     # The REAL driver canonicalizes via a pandas sort over every column,
-    # which dies on array/map/struct cells (r7: pq_encode TypeError) —
-    # flag complex-typed oracle surfaces as acceptance failures here.
+    # which dies on array/map/struct cells (r7: pq_encode TypeError) and
+    # renders high-precision decimals differently per engine (r8: the
+    # checksum pair — DuckDB .df() → float64, Spark toPandas → Decimal)
+    # — flag both classes of oracle surface as acceptance failures here.
     complex_cols = [
         f.name for f in sdf.schema.fields
         if f.dataType.typeName() in ("array", "map", "struct")
+        or (f.dataType.typeName() == "decimal" and f.dataType.precision > 18)
     ]
     if complex_cols and name in os_:
         status[name] = f"COMPLEX-TYPE-MISMATCH cols={complex_cols}"
