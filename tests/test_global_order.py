@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+import pytest
+
 from flights_data_pipeline_spark.io.catalog import load_table
+from flights_data_pipeline_spark.operators import global_order
 from flights_data_pipeline_spark.operators.global_order import (
     global_cumsum,
     global_ntile,
@@ -16,6 +19,19 @@ from flights_data_pipeline_spark.operators.global_order import (
 )
 
 from .conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def force_two_phase():
+    """These tests verify the TWO-PHASE path against the naive window;
+    at sf0.001 the size-adaptive dispatch would otherwise pick naive on
+    both sides and the equivalence would be vacuous.
+    ``test_size_adaptive_dispatch`` exercises dispatch itself."""
+    global_order.FORCE = "two-phase"
+    try:
+        yield
+    finally:
+        global_order.FORCE = None
 
 
 def _docs(spark):
@@ -171,3 +187,75 @@ def test_rank_partitions_stay_balanced_on_skewed_keys(spark):
     assert sorted(map(tuple, ranked.select("id", "rn").collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_size_adaptive_dispatch(spark):
+    """Dispatch picks the naive window for a small input (no range
+    exchange, no checkpoint jobs), the two-phase path when forced, and
+    both produce identical ranks. The sf0.001 documents slice is far
+    under NAIVE_MAX_BYTES; a forced-naive run pins the plan shape."""
+    global_order.FORCE = None
+    d = _docs(spark)
+    assert global_order._use_naive(d) is True
+    naive_df = global_row_number(d, ["n_chars", "doc_id"], out="rn")
+    plan = naive_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Window" in plan, plan
+
+    global_order.FORCE = "two-phase"
+    two_df = global_row_number(d, ["n_chars", "doc_id"], out="rn")
+    assert sorted(map(tuple, naive_df.select("doc_id", "rn").collect())) == sorted(
+        map(tuple, two_df.select("doc_id", "rn").collect())
+    )
+
+    # an unestimatable / huge estimate goes two-phase: localCheckpointed
+    # frames report a concrete in-memory size, so fake the failure path
+    global_order.FORCE = None
+    class _Boom:
+        def __getattr__(self, _):
+            raise RuntimeError("no stats")
+    import types
+    fake = types.SimpleNamespace(_jdf=_Boom())
+    assert global_order._use_naive(fake) is False
+
+
+def test_grouped_row_number_null_group_keys(spark):
+    """NULL group keys are a real group (window PARTITION BY
+    semantics): the two-phase rebase join must not drop them."""
+    rows = [(None, 10), (None, 5), ("a", 7), ("a", 1), (None, 8)]
+    d = spark.createDataFrame(rows, "g string, v int")
+    from flights_data_pipeline_spark.operators.global_order import (
+        grouped_row_number,
+    )
+
+    naive = d.select(
+        "g",
+        "v",
+        F.row_number().over(W.partitionBy("g").orderBy("v")).alias("rn"),
+    )
+    two = grouped_row_number(d, "g", ["v"], out="rn")
+    assert sorted(
+        map(tuple, two.select("g", "v", "rn").collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    ) == sorted(
+        map(tuple, naive.collect()), key=lambda t: (t[0] or "", t[1])
+    )
+
+
+def test_global_lag_descending_order(spark):
+    """The boundary patch derives each partition's last row from the
+    local window itself, so a DESCENDING order key lags correctly
+    (a struct-max boundary would pick the wrong 'previous' value)."""
+    from flights_data_pipeline_spark.operators.global_order import global_lag
+
+    d = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 3 % 101).alias("v")
+    )
+    order = [F.col("id").desc()]
+    naive = d.select(
+        "id", F.lag("v").over(W.orderBy(F.col("id").desc())).alias("prev")
+    )
+    two = global_lag(d, order, "v", out="prev").select("id", "prev")
+    assert sorted(
+        map(tuple, two.collect()), key=lambda t: t[0]
+    ) == sorted(map(tuple, naive.collect()), key=lambda t: t[0])
