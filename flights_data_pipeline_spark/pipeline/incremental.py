@@ -176,8 +176,10 @@ def _delete_partitions(spark: SparkSession, fact_path: str, dates) -> None:
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     for d in dates:
+        # NULL dates partition as Hive's default-partition directory
+        part = "__HIVE_DEFAULT_PARTITION__" if d is None else d.isoformat()
         p = jvm.org.apache.hadoop.fs.Path(
-            f"{fact_path}/flight_date_key={d.isoformat()}"
+            f"{fact_path}/flight_date_key={part}"
         )
         fs = p.getFileSystem(conf)
         if fs.exists(p):
@@ -207,11 +209,20 @@ def refresh_fact(
     # Re-root the date set as literals: the lazy `dates` plan scans the
     # EXISTING fact (old-partition lookup), whose files the overwrite
     # below replaces — re-evaluating it post-write would read deleted
-    # files.
+    # files. A NULL date (flight with no scheduled_departure) is a
+    # refreshable partition like any other; sort the real dates and
+    # carry NULL explicitly.
+    ordered = sorted(d for d in affected if d is not None)
+    if None in affected:
+        ordered.append(None)
     dates = spark.createDataFrame(
-        [(d,) for d in sorted(affected)], "flight_date_key date"
+        [(d,) for d in ordered], "flight_date_key date"
     )
+    # One execution of the restricted transform serves both the write
+    # and the written-partition lookup below (round-8 ADVICE: the
+    # post-write distinct used to re-run the whole transform).
     rows = TRANSFORMS[fact](spark, staging_dir, date_filter=dates)
+    rows = rows.localCheckpoint()
     rows.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("flight_date_key").parquet(fact_path)

@@ -57,9 +57,15 @@ def _restrict_flights(f: DataFrame, date_filter: DataFrame | None) -> DataFrame:
     the scan via dynamic partition pruning."""
     if date_filter is None:
         return f
+    # null-safe: a NULL scheduled_departure lands in the fact's NULL
+    # date partition, which must be refreshable like any other —
+    # an equi-join would silently drop those flights from the
+    # restricted path and break refresh == rebuild (round-8 ADVICE)
     return f.join(
         F.broadcast(date_filter),
-        F.to_date(f["scheduled_departure"]) == date_filter["flight_date_key"],
+        F.to_date(f["scheduled_departure"]).eqNullSafe(
+            date_filter["flight_date_key"]
+        ),
         "left_semi",
     )
 

@@ -1265,9 +1265,29 @@ def token_budget_stream(
         from ..operators.merge import _swap_in
 
         store = _read_or_none(spark, admitted_path)
+        # Deterministic duplicate resolution (round-8 ADVICE): when a
+        # doc_id re-arrives with different text/n_toks, the STORED row
+        # wins (first-seen semantics — matches replay, where the store
+        # row IS the earlier arrival); within one batch the tiebreak is
+        # the smallest (source, n_toks). dropDuplicates would keep an
+        # arbitrary row and make the admitted set replay-dependent.
+        tagged = batch.withColumn("__prio", F.lit(1))
+        if store is not None:
+            tagged = store.withColumn("__prio", F.lit(0)).unionByName(tagged)
         combined = (
-            store.unionByName(batch) if store is not None else batch
-        ).dropDuplicates(["doc_id"])
+            tagged.groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.struct("__prio", "source", "n_toks", "__h")
+                ).alias("__r")
+            )
+            .select(
+                "doc_id",
+                F.col("__r.source").alias("source"),
+                F.col("__r.n_toks").alias("n_toks"),
+                F.col("__r.__h").alias("__h"),
+            )
+        )
         cuts = _read_or_none(spark, cut_path)
         if cuts is not None:
             combined = combined.join(

@@ -218,3 +218,60 @@ def test_refresh_is_idempotent(spark, staged):
     before = _snapshot(spark, fact)
     refresh_seat_occupancy(spark, stg, fact, DAYS[3])
     assert _snapshot(spark, fact) == before
+
+
+def _write_staging_null(spark, stg, give_flight_3_a_date):
+    """Flight 3 has NO scheduled_departure in v1 (NULL date partition);
+    v2 assigns it a real date with a later updated_date."""
+    f3_dep = "2025-07-04 08:00:00" if give_flight_3_a_date else None
+    f3_upd = "2025-06-11" if give_flight_3_a_date else "2025-06-10"
+    spark.createDataFrame(
+        [
+            (1, "2025-07-01 10:00:00", "320", "2025-06-10"),
+            (3, f3_dep, "320", f3_upd),
+        ],
+        "flight_id int, sd string, aircraft_code string, ud string",
+    ).selectExpr(
+        "flight_id",
+        "CAST(sd AS TIMESTAMP) AS scheduled_departure",
+        "aircraft_code",
+        "CAST(ud AS DATE) AS updated_date",
+    ).write.mode("overwrite").parquet(f"{stg}/flights")
+    spark.createDataFrame(
+        [(1, 1, "2025-06-10"), (3, 1, "2025-06-10")],
+        "flight_id int, boarding_no int, ud string",
+    ).selectExpr(
+        "flight_id", "boarding_no", "CAST(ud AS DATE) AS updated_date"
+    ).write.mode("overwrite").parquet(f"{stg}/boarding_passes")
+    spark.createDataFrame(
+        [("320", "1A", "2025-06-10"), ("320", "1B", "2025-06-10")],
+        "aircraft_code string, seat_no string, ud string",
+    ).selectExpr(
+        "aircraft_code", "seat_no", "CAST(ud AS DATE) AS updated_date"
+    ).write.mode("overwrite").parquet(f"{stg}/seats")
+
+
+def test_null_flight_date_refreshes_and_vacates(spark):
+    """Round-8 ADVICE: a flight with NULL scheduled_departure lands in
+    the fact's NULL date partition (__HIVE_DEFAULT_PARTITION__). The
+    refresh must handle the None date end-to-end — blast-radius sort,
+    null-safe restricted transform, vacate — and refresh == rebuild
+    must hold through a NULL→dated move."""
+    base = tempfile.mkdtemp(prefix="fdp_nulldate_")
+    stg, fact = f"{base}/staging", f"{base}/fact"
+    _write_staging_null(spark, stg, give_flight_3_a_date=False)
+    assert refresh_fact(spark, stg, fact, "2025-06-10") == 2
+    null_part = f"{fact}/flight_date_key=__HIVE_DEFAULT_PARTITION__"
+    assert os.path.isdir(null_part)
+    full1 = f"{base}/fact_full1"
+    build_fact_partitioned(spark, stg, full1)
+    assert _generic_snapshot(spark, fact) == _generic_snapshot(spark, full1)
+
+    # flight 3 gains a real date: NULL partition must be vacated
+    _write_staging_null(spark, stg, give_flight_3_a_date=True)
+    assert refresh_fact(spark, stg, fact, "2025-06-11") == 2  # NULL + new
+    assert not os.path.exists(null_part)
+    assert os.path.isdir(f"{fact}/flight_date_key=2025-07-04")
+    full2 = f"{base}/fact_full2"
+    build_fact_partitioned(spark, stg, full2)
+    assert _generic_snapshot(spark, fact) == _generic_snapshot(spark, full2)

@@ -141,3 +141,41 @@ def test_prefix_store_equals_batch_rule_on_prefix(spark, doc_stream_src):
     assert _rows(token_budget_from_store(spark, f"{d}/store")) == _rows(
         _batch_rule(spark, first)
     )
+
+
+def test_duplicate_rearrival_resolves_deterministically(spark):
+    """Round-8 ADVICE: a doc_id re-arriving with different text must
+    resolve deterministically — the STORED (first-seen) row wins, so
+    the admitted set and cut are identical across replays. The old
+    dropDuplicates kept an arbitrary row."""
+    base = tempfile.mkdtemp(prefix="fdp_tokdup_")
+    sdir = f"{base}/stream"
+    os.makedirs(sdir, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "x y")],
+        "doc_id bigint, source string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/in/f0")
+    spark.createDataFrame(
+        [(1, "s", "a"), (3, "s", "p q r s")],
+        "doc_id bigint, source string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/in/f1")
+    for i in range(2):
+        src = glob.glob(f"{base}/in/f{i}/part-*.parquet")[0]
+        shutil.copy(src, f"{sdir}/b{i}.parquet")
+
+    stores = []
+    for run in ("r1", "r2"):
+        store, ckpt = f"{base}/{run}/store", f"{base}/{run}/ckpt"
+        _run(spark, sdir, store, ckpt)
+        rows = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{store}/admitted")
+                .select("doc_id", "source", "n_toks")
+                .collect(),
+            )
+        )
+        stores.append(rows)
+    assert stores[0] == stores[1]
+    by_id = {r[0]: r[2] for r in stores[0]}
+    assert by_id[1] == 3  # first-seen tokens ("a b c"), not the re-arrival
