@@ -514,19 +514,46 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates (sketches) — rows-only check: HLL/quantile-sketch
-# values are implementation-specific by design, so no value oracle exists;
-# instead the query itself embeds exactness *bounds* that must hold.
+# Approximate aggregates (sketches) — envelope oracle: HLL/quantile-sketch
+# VALUES are implementation-specific by design, so the registered surface
+# carries the exact twins plus per-engine accuracy-contract booleans; the
+# oracle recomputes the exact twins AND evaluates DUCKDB'S OWN sketches
+# against the same bounds, so a hash match certifies the contract on both
+# engines even though the sketch values differ (round-8 VERDICT task 8 —
+# retires the rows-only gate).
 # ---------------------------------------------------------------------------
-@query("approx_aggregates")
+_APPROX_AGG_ORACLE = """
+WITH ex AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DOUBLE)
+           AS exact_median_qty,
+         approx_count_distinct(l_partkey) AS duck_approx_parts,
+         approx_quantile(CAST(l_quantity AS DOUBLE), 0.5)
+           AS duck_approx_median
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n_rows, exact_parts, exact_median_qty,
+       abs(duck_approx_parts - exact_parts) <= 0.05 * exact_parts
+         AS within_5pct,
+       abs(duck_approx_median - exact_median_qty) <= 1.0 AS quantile_ok
+FROM ex
+"""
+
+
+@query("approx_aggregates", oracle=_APPROX_AGG_ORACLE)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) + approx_percentile per
-    group, emitted alongside the exact values with in-row error checks.
+    group, checked in-row against exact twins.
 
     At 100 TB sketches replace exact distinct counts (no giant hash
     tables, mergeable partials); the ``within_5pct``/``quantile_ok``
-    booleans make the accuracy contract part of the result so the
-    driver's rows-only gate still exercises correctness bounds.
+    booleans make the accuracy contract part of the result. The raw
+    sketch ESTIMATES stay off the registered surface (each engine's
+    HLL/quantile sketch yields different values by design); the oracle
+    holds DuckDB's own sketches to the same bounds, so the hash match
+    certifies exact twins cross-engine AND the ε-contract per engine.
 
     The exact twins are computed the way they'd have to be at scale,
     not the way the SQL reads: ``percentile(x, 0.5)`` is a per-group
@@ -593,13 +620,12 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         "n_rows",
-        "approx_parts",
-        "exact_parts",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        F.col("exact_median_qty").cast("double").alias("exact_median_qty"),
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
             <= 0.05 * F.col("exact_parts")
         ).alias("within_5pct"),
-        "approx_median_qty",
         (
             F.abs(F.col("approx_median_qty") - F.col("exact_median_qty"))
             <= F.lit(1.0)
@@ -661,7 +687,22 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_sketch_rollup")
+_HLL_ROLLUP_ORACLE = """
+WITH ex AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         approx_count_distinct(user_id) AS duck_approx_users
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_days, exact_users,
+       abs(duck_approx_users - exact_users) * 20 <= exact_users
+         AS within_5pct
+FROM ex
+"""
+
+
+@query("hll_sketch_rollup", oracle=_HLL_ROLLUP_ORACLE)
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-(event_type, day) HyperLogLog
     sketches of the user set, UNIONED up to per-type distinct-user
@@ -671,11 +712,12 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scan of raw events; approx_count_distinct alone cannot do this
     because its value is not reusable state).
 
-    Rows-only gate entry (sketch bytes and estimates are
-    implementation-specific), with the accuracy contract IN the row:
-    the exact distinct twin (two-level aggregate, no Expand) and a
-    within-5% boolean per type, asserted by the registry test suite's
-    row checks at the driver.
+    Envelope oracle (round-8 VERDICT task 8): the raw union estimate
+    stays off the registered surface (sketch values are
+    implementation-specific), but the exact distinct twin, the day
+    count, and the within-5% contract boolean hash-match DuckDB —
+    whose oracle holds ITS own HLL to the same bound — so the driver
+    certifies both the exact rollup and each engine's ε-contract.
     """
     ev = t(spark, sf_dir, "events")
     daily = ev.select(
@@ -699,7 +741,6 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_days",
         "exact_users",
-        "approx_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users")) * 20
             <= F.col("exact_users")
