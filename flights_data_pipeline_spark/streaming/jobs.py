@@ -1358,3 +1358,161 @@ def token_budget_from_store(spark, store_path: str) -> DataFrame:
             F.max("__cum").cast("bigint").alias("budget_used"),
         )
     )
+
+
+def _split_of(id_col):
+    """Split label for a document id — the SAME pure hash rule as
+    ``queries/profiling.train_test_split`` (md5-bucket 80/10/10), so a
+    stream can classify splits with no lookup state at all. The bucket
+    SQL is ``_bucket_sql`` with the digest inlined (the profiling
+    helper references a pre-projected ``h`` column)."""
+    from ..queries.profiling import TRAIN_PCT, VAL_PCT, _bucket_sql, _hex_val_spark
+
+    digest = f"md5(CAST({id_col} AS STRING))"
+    bucket_sql = _bucket_sql(
+        lambda col, p: _hex_val_spark(digest, p)
+    )
+    bucket = F.expr(bucket_sql)
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_leakage_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming SPLIT-LEAKAGE maintenance: the ingest-time twin of
+    ``queries/dedup.split_leakage_report`` (round-8 VERDICT task 6).
+    The eval-hygiene question is most valuable as documents arrive —
+    "does this incoming doc near-duplicate anything in ANOTHER
+    split?" — not as a post-hoc batch audit.
+
+    Composes the ``neardup_ingest_stream`` state model with the
+    stateless hashed split rule:
+
+    * ``{store}/docs`` — per-doc MinHash state (signatures + md5
+      shingle array), first-wins keyed on doc_id — identical to the
+      near-dup ingest store, so one production pipeline maintains it
+      once for both jobs;
+    * ``{store}/pairs`` — every banded candidate pair ever seen, in
+      canonical (least, greatest) orientation, with both documents'
+      split labels (a pure md5-bucket function of doc_id — no lookup
+      state) and the exact shingle Jaccard; first-wins keyed on the
+      pair, so replays converge bit-identically (signatures and splits
+      are deterministic).
+
+    Every unordered candidate pair is discovered exactly when its
+    LATER document arrives (the earlier one is then in the universe:
+    history or an earlier row of the same batch), in ANY arrival
+    order — the strict-< orientation of the near-dup ingest would
+    miss a new doc pairing with a larger-id historical doc, so the
+    band join here matches on ``!=`` and canonicalizes. Re-arriving
+    doc_ids keep their first-seen state (same caveat as the near-dup
+    ingest).
+
+    ``split_leakage_from_store`` aggregates the pair store to the
+    batch report's exact surface; the equivalence, replay, prefix and
+    order-invariance contracts are pinned in
+    ``tests/test_split_leakage_stream.py``.
+    """
+    from ..operators.merge import merge_latest_parquet
+    from ..queries.dedup import minhash_bands, minhash_state
+
+    docs_path = f"{store_path}/docs"
+    pairs_path = f"{store_path}/pairs"
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        st = minhash_state(batch).localCheckpoint(eager=True)
+        if st.isEmpty():
+            return
+        try:
+            hist = spark.read.parquet(docs_path).drop("__batch")
+        except Exception:
+            hist = None
+        universe = st if hist is None else hist.unionByName(st)
+        universe = universe.dropDuplicates(["doc_id"])
+        new_bands = minhash_bands(st).alias("b")
+        all_bands = minhash_bands(universe).alias("a")
+        cand = (
+            all_bands.join(
+                new_bands,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("a_id"),
+                F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        sha = universe.select(
+            F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a")
+        )
+        shb = universe.select(
+            F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b")
+        )
+        paired = sha.join(F.broadcast(cand), "a_id")
+        both = shb.join(paired.hint("shuffle_hash"), "b_id")
+        n_common = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+        pairs = both.select(
+            "a_id",
+            "b_id",
+            _split_of("a_id").alias("sa"),
+            _split_of("b_id").alias("sb"),
+            (
+                n_common
+                / (F.size("hs_a") + F.size("hs_b") - n_common)
+            ).alias("jaccard"),
+            F.lit(batch_id).cast("bigint").alias("__batch"),
+        )
+        # pairs first, then state (crash between the two replays the
+        # batch against a universe missing it → same pairs, first-wins)
+        merge_latest_parquet(
+            spark,
+            pairs_path,
+            pairs,
+            keys=["a_id", "b_id"],
+            order_cols=["__batch"],
+        )
+        merge_latest_parquet(
+            spark,
+            docs_path,
+            st.withColumn("__batch", F.lit(batch_id).cast("bigint")),
+            keys=["doc_id"],
+            order_cols=["__batch"],
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def split_leakage_from_store(spark, store_path: str) -> DataFrame:
+    """Aggregate the streaming pair store to the batch
+    ``split_leakage_report`` surface (split_a, split_b, is_leak,
+    n_pairs, n_pairs_j50) — the twin the equivalence tests compare."""
+    pairs = spark.read.parquet(f"{store_path}/pairs")
+    return (
+        pairs.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            (F.least("sa", "sb") != F.greatest("sa", "sb")).alias("is_leak"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b", "is_leak")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs_j50"),
+        )
+    )
