@@ -563,10 +563,16 @@ def substring_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``chars/stride`` per doc — linear in corpus bytes with a 1/10
     constant; the DF table is the same fingerprint-groupBy shape as
     exact dedup, map-side partials collapse repeated grams, and
-    nothing is ever pairwise. The full Lee et al. suffix-array variant
-    finds UNALIGNED repeats; the strided scan is the bounded-cost
-    approximation that still catches fixed boilerplate (alignment
-    slack ≤ stride).
+    nothing is ever pairwise. RECALL BOUND (documented, not hidden):
+    the strided scan samples windows at positions ≡ 1 (mod
+    {SUBDUP_STRIDE}), so a cross-doc repeat is only *guaranteed*
+    counted when the two copies' start offsets differ by a multiple
+    of the stride AND the repeat spans ≥ {SUBDUP_L} + {SUBDUP_STRIDE}
+    − 1 chars; copies at any other relative offset can be missed
+    entirely no matter how long they are. That is acceptable for
+    fixed-position boilerplate (headers, licence blocks) and wrong
+    for quoted passages — ``substring_dup_unaligned`` below is the
+    alignment-INVARIANT companion with a hard detection guarantee.
     """
     d = t(spark, sf_dir, "documents")
     n = (F.length("text") - SUBDUP_L) / SUBDUP_STRIDE
@@ -606,6 +612,86 @@ def substring_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("n_dup_grams").cast("double")
                 / F.col("n_grams").cast("double")
+            ).alias("dup_share"),
+        )
+    )
+
+
+def _subdup_unaligned_oracle() -> str:
+    from .text import WINNOW_ORACLE_CORE
+
+    return f"""
+    WITH f AS (
+      SELECT DISTINCT doc_id, fp_hash
+      FROM ({WINNOW_ORACLE_CORE})
+    ),
+    df AS (
+      SELECT fp_hash, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM f GROUP BY fp_hash
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_fps,
+           SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_share
+    FROM f JOIN df USING (fp_hash)
+    GROUP BY f.doc_id
+    """
+
+
+@query("substring_dup_unaligned", oracle=_subdup_unaligned_oracle)
+def substring_dup_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALIGNMENT-INVARIANT substring duplication: per document, the
+    share of its winnowing fingerprints (``text.winnow_fp_set`` —
+    content-defined anchors, the MOSS selection rule) that occur in
+    at least one OTHER document.
+
+    This is the unaligned-repeat upgrade ``substring_dup_ratio``
+    documents as its blind spot. Because winnowing selects anchor
+    positions from local content rather than absolute offsets, two
+    copies of a passage fingerprint identically wherever each copy
+    sits — and the winnowing theorem gives a HARD recall bound the
+    strided byte scan cannot: any verbatim cross-doc repeat of
+    ≥ WINNOW_W + 2 ( = 6) consecutive normalized tokens is
+    *guaranteed* to share a fingerprint and be counted, at any
+    relative alignment. Expected anchor density is ~2/(WINNOW_W+1) of
+    token positions, so the gram table is ~2.5× SMALLER than the
+    stride-10 char scan on this corpus, not larger.
+
+    Scale posture identical to ``substring_dup_ratio``: distinct
+    anchors per doc (hash-grain dedup of intra-doc repeats), one
+    groupBy for document frequency, one groupBy back to doc grain —
+    linear in corpus tokens, map-side partials collapse hot
+    fingerprints, never pairwise. The doc-frequency join key is the
+    md5 hash — uniformly distributed, no skew salt needed.
+    """
+    from .text import winnow_fp_set
+
+    f = (
+        winnow_fp_set(t(spark, sf_dir, "documents"))
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    df_tab = f.groupBy("fp_hash").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        f.join(df_tab, "fp_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fps"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_fps"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_dup_fps",
+            (
+                F.col("n_dup_fps").cast("double")
+                / F.col("n_fps").cast("double")
             ).alias("dup_share"),
         )
     )

@@ -997,10 +997,11 @@ def chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: probabilistically. Density is ~2/(WINNOW_W+1) of all k-grams.
 WINNOW_W = 4
 
-
-@query(
-    "winnowing_fingerprints",
-    oracle=f"""
+#: the winnowing fingerprint set as a reusable DuckDB CTE body:
+#: ``SELECT DISTINCT doc_id, fp_pos, fp_hash`` over ``documents``.
+#: Shared by ``winnowing_fingerprints`` and the alignment-invariant
+#: substring-dup audit (``dedup.substring_dup_unaligned``).
+WINNOW_ORACLE_CORE = f"""
     WITH n AS (
       SELECT doc_id,
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
@@ -1032,28 +1033,21 @@ WINNOW_W = 4
              AS fp_pos,
            substr(wkey, 1, 32) AS fp_hash
     FROM win WHERE cnt = {WINNOW_W}
-    """,
-)
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (the MOSS algorithm): per document, the minimal
-    3-gram hash of every {WINNOW_W}-window of consecutive positions,
-    ties broken to the RIGHTMOST position — the robust fingerprint set
-    whose guarantee exact dedup lacks and MinHash only approximates:
-    any shared run of ≥ {WINNOW_W}+2 tokens between two documents
-    SHARES a fingerprint, deterministically.
+"""
 
-    Cross-engine determinism trick: "minimal hash, rightmost position"
-    is restated as a plain string MIN over ``md5(shingle) ||
-    lpad(999999 - pos)`` — md5 hex is fixed-width, so the
-    lexicographic min is (hash asc, pos desc), no engine-specific
-    arg_min tie-break anywhere. Plan: one narrow projection builds
-    positional shingle hashes (shifted ``zip_with``, never indexed
-    lambdas — no CSE in higher-order functions), one window pass
-    selects, one aggregate dedups; work is linear in corpus tokens,
-    and the window is partition-local — fingerprinting shards
-    perfectly at 100 TB.
+
+def winnow_fp_set(d: DataFrame) -> DataFrame:
+    """The winnowing fingerprint set of ``documents`` frame ``d``:
+    distinct ``(doc_id, fp_pos, fp_hash)``, fp = the minimal 3-gram
+    md5 of every {WINNOW_W}-window (ties to the rightmost position).
+
+    Content-defined anchoring: the selected positions depend only on
+    the LOCAL token content, never on absolute offsets, so two copies
+    of the same passage select the same fingerprints regardless of
+    where each copy sits in its document — the alignment invariance
+    the strided byte scans lack. Shared Spark-side core of
+    ``winnowing_fingerprints`` and ``dedup.substring_dup_unaligned``.
     """
-    d = t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.split(norm, " ")
     s12 = F.zip_with(
@@ -1089,6 +1083,29 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("fp_pos"),
         F.substring("wkey", 1, 32).alias("fp_hash"),
     ).distinct()
+
+
+@query("winnowing_fingerprints", oracle=WINNOW_ORACLE_CORE)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS algorithm): per document, the minimal
+    3-gram hash of every {WINNOW_W}-window of consecutive positions,
+    ties broken to the RIGHTMOST position — the robust fingerprint set
+    whose guarantee exact dedup lacks and MinHash only approximates:
+    any shared run of ≥ {WINNOW_W}+2 tokens between two documents
+    SHARES a fingerprint, deterministically.
+
+    Cross-engine determinism trick: "minimal hash, rightmost position"
+    is restated as a plain string MIN over ``md5(shingle) ||
+    lpad(999999 - pos)`` — md5 hex is fixed-width, so the
+    lexicographic min is (hash asc, pos desc), no engine-specific
+    arg_min tie-break anywhere. Plan: one narrow projection builds
+    positional shingle hashes (shifted ``zip_with``, never indexed
+    lambdas — no CSE in higher-order functions), one window pass
+    selects, one aggregate dedups; work is linear in corpus tokens,
+    and the window is partition-local — fingerprinting shards
+    perfectly at 100 TB.
+    """
+    return winnow_fp_set(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
