@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..io.catalog import load_table as t
+from .dedup import _norm_text as _dedup_norm_text
 from .profiling import TRAIN_PCT, VAL_PCT, _bucket_sql, _hex_val_duck, _hex_val_spark
 from .registry import query
 
@@ -79,6 +80,100 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= DOMAIN_QUOTA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-grain pre-filter: content dedup within domain, then quota.
+# ---------------------------------------------------------------------------
+@query(
+    "domain_prefilter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    dd AS (
+      SELECT doc_id, source, h,
+             row_number() OVER (PARTITION BY source, fp
+                                ORDER BY h, doc_id) AS dup_rn
+      FROM d
+    ),
+    surv AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h, doc_id) AS rk
+      FROM dd WHERE dup_rn = 1
+    )
+    SELECT dd.doc_id, dd.source,
+           CASE WHEN dd.dup_rn > 1 THEN 'dropped_dup'
+                WHEN s.rk <= {DOMAIN_QUOTA} THEN 'kept'
+                ELSE 'dropped_quota' END AS stage,
+           CASE WHEN s.rk <= {DOMAIN_QUOTA} THEN CAST(s.rk AS INT) END
+             AS sample_rank
+    FROM dd LEFT JOIN surv s USING (doc_id)
+    """,
+)
+def domain_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl-style domain-grain PRE-FILTER, composed: stage 1
+    keeps one capture per (domain, content fingerprint) — the
+    URL-grain dedup rule restated for a corpus whose identity columns
+    are (source, text); stage 2 applies the per-domain quota
+    (``domain_quota_sample``'s md5-ordered rule) to the dedup
+    SURVIVORS only, so boilerplate copies can no longer crowd real
+    pages out of a domain's budget. Every document gets a disposition:
+    ``dropped_dup`` | ``dropped_quota`` | ``kept`` (+ its within-domain
+    sample rank) — the per-doc attribution a pipeline audit needs,
+    not just the kept list.
+
+    Both keep-rules are md5-of-primary-key ordered: deterministic,
+    engine-neutral, stable under corpus growth (no RNG re-roll ever
+    evicts a kept doc in favor of a later-hashing one).
+
+    Scale: two shuffles, zero joins — one on (source, fp) for the dup
+    rank (content hashes are uniform, no skew), one on source where
+    the survivor rank is a CONDITIONAL RUNNING COUNT of survivors in
+    (h, doc_id) order, so no filtered-subset self-join is needed. The
+    windows cannot use a group-limit pushdown because every row keeps
+    a label (the audit IS the output); for a giant-domain corpus the
+    quota stage inherits ``domain_quota_sample``'s AQE-skew note.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(_dedup_norm_text()).alias("fp"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    dd = d.select(
+        "doc_id",
+        "source",
+        "h",
+        F.row_number()
+        .over(W.partitionBy("source", "fp").orderBy("h", "doc_id"))
+        .alias("dup_rn"),
+    )
+    run = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = dd.select(
+        "doc_id",
+        "source",
+        "dup_rn",
+        F.sum(F.when(F.col("dup_rn") == 1, 1)).over(run).alias("rk"),
+    )
+    kept = (F.col("dup_rn") == 1) & (F.col("rk") <= DOMAIN_QUOTA)
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.when(F.col("dup_rn") > 1, F.lit("dropped_dup"))
+        .when(kept, F.lit("kept"))
+        .otherwise(F.lit("dropped_quota"))
+        .alias("stage"),
+        F.when(kept, F.col("rk").cast("int")).alias("sample_rank"),
     )
 
 
