@@ -352,6 +352,107 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Multi-corpus contamination matrix: cross-source fingerprint overlap.
+# ---------------------------------------------------------------------------
+def _contamination_matrix_oracle() -> str:
+    from .text import WINNOW_ORACLE_CORE
+
+    return f"""
+    WITH fs AS (
+      SELECT DISTINCT d.source, f.fp_hash
+      FROM ({WINNOW_ORACLE_CORE}) f
+      JOIN documents d USING (doc_id)
+    ),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fs GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+      FROM fs a JOIN fs b ON a.fp_hash = b.fp_hash AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared_fps,
+           p.n_shared_fps
+             / CAST(ta.n_fps + tb.n_fps - p.n_shared_fps AS DOUBLE)
+             AS fp_jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    """
+
+
+@query("contamination_matrix", oracle=_contamination_matrix_oracle)
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CORPUS contamination matrix: for every unordered pair of
+    source corpora, the number of winnowing fingerprints
+    (``text.winnow_fp_set`` — content-defined, alignment-invariant)
+    present in BOTH, and the Jaccard of the two fingerprint sets. The
+    corpus-grain twin of ``decontamination_ngram_overlap``: that query
+    answers "which TRAIN DOCS leak into eval"; this one answers "which
+    SOURCES share verbatim material with which" — the audit run before
+    mixing N crawls/dumps whose provenance overlaps (re-crawls, mirror
+    sites, dataset re-releases).
+
+    Scale: fingerprints collapse to (source, fp_hash) grain FIRST
+    (one groupBy on the uniform md5 key), so the self-join on fp_hash
+    is bounded per fingerprint by the SOURCE CATALOG size S — pair
+    rows ≤ C(S,2) per fingerprint, never doc×doc — and the totals
+    join is an S-row broadcast. With S in the tens-to-hundreds (a
+    source catalog, not a key space) this is linear in corpus tokens
+    end to end. The (source, fp_hash) frame is localCheckpointed: it
+    feeds BOTH self-join sides and the totals, and without the pin
+    the whole fingerprinting subtree would execute four times.
+    """
+    from .text import winnow_fp_set
+
+    d = t(spark, sf_dir, "documents")
+    fs = (
+        winnow_fp_set(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "fp_hash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tot = fs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_fps")
+    )
+    a = fs.alias("a")
+    b = fs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("source_a"),
+                                F.col("n_fps").alias("na")))
+    tb = F.broadcast(tot.select(F.col("source").alias("source_b"),
+                                F.col("n_fps").alias("nb")))
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fps",
+            (
+                F.col("n_shared_fps").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared_fps")).cast(
+                    "double"
+                )
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: fixed-token-budget training sequences.
 # ---------------------------------------------------------------------------
 #: tokens per packed training sequence.
