@@ -104,6 +104,11 @@ HEADLINE = [
     "mixture_epoch_plan",
     "substring_dup_ratio",
     "quality_weighted_mixture",
+    # round-9 additions (compare cross-round on the common prefix)
+    "substring_dup_unaligned",
+    "domain_prefilter",
+    "contamination_matrix",
+    "domain_token_budget",
 ]
 
 

@@ -45,6 +45,11 @@ from .registry import query
 #: max documents kept per source domain.
 DOMAIN_QUOTA = 10
 
+#: training-mix token budget to apportion across sources (shared by
+#: token_budget_apportionment and domain_token_budget; defined here,
+#: above both oracle f-strings).
+MIX_BUDGET = 100_000
+
 
 @query(
     "domain_quota_sample",
@@ -448,6 +453,188 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "double"
                 )
             ).alias("fp_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain token budgets: dedup -> apportion -> token-gated admission.
+# ---------------------------------------------------------------------------
+@query(
+    "domain_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    surv AS (
+      SELECT doc_id, source, h, n_tokens
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY source, fp
+                                     ORDER BY h, doc_id) AS dup_rn
+        FROM d
+      ) WHERE dup_rn = 1
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_surv,
+             CAST(SUM(n_tokens) AS BIGINT) AS surv_tokens
+      FROM surv GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(surv_tokens) AS BIGINT) AS total FROM s),
+    base AS (
+      SELECT source, n_surv, surv_tokens,
+             ({MIX_BUDGET} * surv_tokens) // t.total AS base_alloc,
+             ({MIX_BUDGET} * surv_tokens) % t.total AS remainder
+      FROM s CROSS JOIN tot t
+    ),
+    alloc AS (
+      SELECT source, n_surv, surv_tokens,
+             CAST(base_alloc
+                  + CASE WHEN row_number() OVER (ORDER BY remainder DESC,
+                                                 source)
+                              <= {MIX_BUDGET} - SUM(base_alloc) OVER ()
+                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM base
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM surv
+    ),
+    adm AS (
+      SELECT r.source,
+             CAST(COUNT(*) AS BIGINT) AS n_admitted,
+             CAST(SUM(r.n_tokens) AS BIGINT) AS tokens_admitted
+      FROM ranked r JOIN alloc a USING (source)
+      WHERE r.cum_tokens <= a.alloc
+      GROUP BY r.source
+    )
+    SELECT a.source, a.n_surv, a.surv_tokens, a.alloc,
+           CAST(coalesce(m.n_admitted, 0) AS BIGINT) AS n_admitted,
+           CAST(coalesce(m.tokens_admitted, 0) AS BIGINT)
+             AS tokens_admitted
+    FROM alloc a LEFT JOIN adm m USING (source)
+    """,
+)
+def domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN token budgets, composed end to end: (1) within-domain
+    content dedup (``domain_prefilter`` stage 1 — copies must not buy
+    budget), (2) Hamilton apportionment of the global {MIX_BUDGET}-token
+    budget across domains proportional to SURVIVOR token mass
+    (``token_budget_apportionment``'s exact-integer rule), (3) within
+    each domain, hash-ordered admission of survivors while the running
+    token sum stays inside the domain's allocation
+    (``token_budget_admission``'s gate, with the per-domain allocation
+    replacing the global constant). Surface: per domain, survivors,
+    survivor tokens, allocation, and the admitted count/tokens.
+
+    This replaces the doc-COUNT quota with the budget a training mix
+    actually spends — tokens — while keeping every determinism rule:
+    md5-ordered admission (stable unbiased prefix under corpus
+    growth), exact bigint arithmetic (no float anywhere), allocations
+    that sum to the budget exactly.
+
+    Scale: the dedup rank and the running sum are the same two
+    source-partitioned windows as ``domain_prefilter`` (uniform md5
+    dup keys; the audit needs every survivor row); the apportionment
+    operates on the DOMAIN-grain table (catalog-sized) and rejoins as
+    a broadcast. NULL-text survivors carry NULL token counts; their
+    cumulative sum is NULL, so the admission gate excludes them on
+    both engines identically.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")),
+    ).cast("bigint")
+    base_cols = d.select(
+        "doc_id",
+        "source",
+        F.md5(_dedup_norm_text()).alias("fp"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        n_tokens.alias("n_tokens"),
+    )
+    surv = (
+        base_cols.withColumn(
+            "dup_rn",
+            F.row_number().over(
+                W.partitionBy("source", "fp").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn", "fp")
+        .localCheckpoint(eager=False)  # feeds totals AND the admission scan
+    )
+    s = surv.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_surv"),
+        F.sum("n_tokens").cast("bigint").alias("surv_tokens"),
+    )
+    tot = s.agg(F.sum("surv_tokens").cast("bigint").alias("total"))
+    b = F.lit(MIX_BUDGET).cast("bigint")
+    base = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_surv",
+        "surv_tokens",
+        F.expr(f"(CAST({MIX_BUDGET} AS BIGINT) * surv_tokens) DIV total")
+        .cast("bigint")
+        .alias("base_alloc"),
+        ((b * F.col("surv_tokens")) % F.col("total")).alias("remainder"),
+    )
+    alloc = base.select(
+        "source",
+        "n_surv",
+        "surv_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(
+                F.row_number().over(
+                    W.orderBy(F.col("remainder").desc(), "source")
+                )
+                <= b - F.sum("base_alloc").over(W.partitionBy()),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    run = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = surv.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(run).cast("bigint").alias("cum_tokens"),
+    )
+    adm = (
+        ranked.join(F.broadcast(alloc.select("source", "alloc")), "source")
+        .filter(F.col("cum_tokens") <= F.col("alloc"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_admitted"),
+        )
+    )
+    return (
+        alloc.join(adm, "source", "left")
+        .select(
+            "source",
+            "n_surv",
+            "surv_tokens",
+            "alloc",
+            F.coalesce("n_admitted", F.lit(0)).cast("bigint")
+            .alias("n_admitted"),
+            F.coalesce("tokens_admitted", F.lit(0)).cast("bigint")
+            .alias("tokens_admitted"),
         )
     )
 
@@ -1459,10 +1646,6 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Token-budget apportionment (largest-remainder / Hamilton method).
 # ---------------------------------------------------------------------------
-#: training-mix token budget to apportion across sources.
-MIX_BUDGET = 100_000
-
-
 #: total training-token budget the mixture plan apportions (spans
 #: multiple corpus epochs by design — the data-constrained regime).
 TRAIN_BUDGET = 1_000_000

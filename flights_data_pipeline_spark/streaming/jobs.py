@@ -1516,3 +1516,94 @@ def split_leakage_from_store(spark, store_path: str) -> DataFrame:
             .alias("n_pairs_j50"),
         )
     )
+
+
+def domain_prefilter_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming fixed point of ``curation.domain_prefilter``'s KEPT
+    set: as documents arrive, maintain per (source, content
+    fingerprint) the group's WINNER — the smallest ``(md5(doc_id),
+    doc_id)`` — so the batch pre-filter's kept rows are derivable from
+    the store at any prefix of the stream
+    (``domain_prefilter_from_store``).
+
+    The merge is a pure MIN-REDUCE on (source, fp): union the batch
+    with the store, take ``min(struct(h, doc_id))`` per group. Min is
+    idempotent, commutative, and associative, so the store is
+    order-invariant and replay-safe BY CONSTRUCTION — no tiebreak
+    columns, no first-wins ordering trick needed (contrast
+    ``token_budget_stream``, whose running-sum gate forces a
+    rejected-boundary state). An arriving copy that hashes later than
+    its group's winner is a no-op; one that hashes earlier evicts it,
+    exactly like the batch rule re-run on the grown corpus.
+
+    State is metadata-only (source, fp, h, doc_id — never text),
+    one row per distinct content per domain: the same asymptotic
+    state the exact-dedup ingest store already keeps. The quota is
+    NOT applied inside the state — group winner keys only ever
+    decrease, so cutting to the top-``quota`` rows per source would
+    discard groups that a future eviction could promote back into
+    the sample; the cut belongs at read time. Returns the started
+    ``StreamingQuery`` (availableNow trigger).
+    """
+    keyed = stream.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("__fp"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        from ..operators.merge import _swap_in
+
+        try:
+            combined = spark.read.parquet(store_path).unionByName(batch)
+        except Exception as exc:  # first batch: no store yet
+            if "PATH_NOT_FOUND" not in str(exc) and (
+                "Path does not exist" not in str(exc)
+            ):
+                raise
+            combined = batch
+        winners = (
+            combined.groupBy("source", "__fp")
+            .agg(F.min(F.struct("__h", "doc_id")).alias("__w"))
+            .select(
+                F.col("__w.doc_id").alias("doc_id"),
+                "source",
+                "__fp",
+                F.col("__w.__h").alias("__h"),
+            )
+        )
+        _swap_in(spark, winners, store_path)
+
+    writer = keyed.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def domain_prefilter_from_store(
+    spark, store_path: str, quota: int = 10
+) -> DataFrame:
+    """Derive the batch ``domain_prefilter`` KEPT rows (doc_id, source,
+    sample_rank) from the streaming winner store: rank each source's
+    group winners by (h, doc_id) and keep rank ≤ quota — the twin the
+    equivalence tests compare against the batch query's
+    ``stage = 'kept'`` rows."""
+    from pyspark.sql.window import Window as W
+
+    store = spark.read.parquet(store_path)
+    w = W.partitionBy("source").orderBy("__h", "doc_id")
+    return (
+        store.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+        .select("doc_id", "source", F.col("sample_rank").cast("int"))
+    )
