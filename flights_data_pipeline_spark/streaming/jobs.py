@@ -1607,3 +1607,100 @@ def domain_prefilter_from_store(
         .filter(F.col("sample_rank") <= quota)
         .select("doc_id", "source", F.col("sample_rank").cast("int"))
     )
+
+
+def contamination_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of the ``curation.contamination_matrix``
+    state: as documents arrive, keep the distinct set of (source,
+    winnowing-fingerprint) pairs seen so far, so the cross-source
+    contamination matrix is derivable from the store at any prefix of
+    the stream (``contamination_from_store``).
+
+    The merge is a pure SET UNION on (source, fp_hash) — like the
+    domain-prefilter winner store's min-reduce, union is idempotent,
+    commutative, and associative, so arrival order, batch boundaries,
+    and at-least-once replays cannot change the store. State is
+    metadata-only (source + 32-hex fingerprint, never text) at
+    distinct-fingerprint-per-source grain — the same asymptotic
+    footprint the batch query's checkpointed (source, fp) frame has.
+
+    Fingerprinting runs INSIDE ``foreachBatch`` (winnowing needs a
+    per-doc ordered window, which Structured Streaming forbids on the
+    unbounded stream but is fine on the static micro-batch — each
+    document's fingerprints depend only on its own text, so per-batch
+    extraction is exact). Returns the started ``StreamingQuery``.
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        from ..operators.merge import _swap_in
+        from ..queries.text import winnow_fp_set
+
+        fps = (
+            winnow_fp_set(batch.select("doc_id", "text"))
+            .join(batch.select("doc_id", "source"), "doc_id")
+            .select("source", "fp_hash")
+            .distinct()
+        )
+        try:
+            combined = spark.read.parquet(store_path).unionByName(fps)
+        except Exception as exc:  # first batch: no store yet
+            if "PATH_NOT_FOUND" not in str(exc) and (
+                "Path does not exist" not in str(exc)
+            ):
+                raise
+            combined = fps
+        _swap_in(spark, combined.distinct(), store_path)
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def contamination_from_store(spark, store_path: str) -> DataFrame:
+    """Derive the batch ``contamination_matrix`` surface (source_a,
+    source_b, n_shared_fps, fp_jaccard) from the streaming (source,
+    fp_hash) store — the twin the equivalence tests compare."""
+    fs = spark.read.parquet(store_path).localCheckpoint(eager=False)
+    tot = fs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_fps"))
+    a, b = fs.alias("a"), fs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
+    )
+    ta = F.broadcast(
+        tot.select(F.col("source").alias("source_a"), F.col("n_fps").alias("na"))
+    )
+    tb = F.broadcast(
+        tot.select(F.col("source").alias("source_b"), F.col("n_fps").alias("nb"))
+    )
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fps",
+            (
+                F.col("n_shared_fps").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared_fps")).cast(
+                    "double"
+                )
+            ).alias("fp_jaccard"),
+        )
+    )
