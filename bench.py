@@ -109,6 +109,7 @@ HEADLINE = [
     "domain_prefilter",
     "contamination_matrix",
     "domain_token_budget",
+    "split_contamination_matrix",
 ]
 
 

@@ -698,6 +698,124 @@ def substring_dup_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-split contamination matrix: fingerprint-grain split overlap.
+# ---------------------------------------------------------------------------
+def _split_contamination_oracle() -> str:
+    from .profiling import TRAIN_PCT, VAL_PCT, _bucket_sql, _hex_val_duck
+    from .text import WINNOW_ORACLE_CORE
+
+    return f"""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN {_bucket_sql(_hex_val_duck)} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_bucket_sql(_hex_val_duck)} < {VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+    ),
+    fs AS (
+      SELECT DISTINCT sp.split, f.fp_hash
+      FROM ({WINNOW_ORACLE_CORE}) f
+      JOIN sp USING (doc_id)
+    ),
+    tot AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fs GROUP BY split
+    ),
+    pairs AS (
+      SELECT a.split AS split_a, b.split AS split_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+      FROM fs a JOIN fs b ON a.fp_hash = b.fp_hash AND a.split < b.split
+      GROUP BY 1, 2
+    )
+    SELECT p.split_a, p.split_b, p.n_shared_fps,
+           p.n_shared_fps
+             / CAST(ta.n_fps + tb.n_fps - p.n_shared_fps AS DOUBLE)
+             AS fp_jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.split = p.split_a
+    JOIN tot tb ON tb.split = p.split_b
+    """
+
+
+@query("split_contamination_matrix", oracle=_split_contamination_oracle)
+def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINGERPRINT-grain cross-split contamination: for every pair of
+    train/val/test splits (the same hashed-doc_id buckets as
+    ``train_test_split``), the count of winnowing fingerprints present
+    in BOTH splits and the Jaccard of the two fingerprint sets.
+
+    The complement of ``split_leakage_report``: that audit finds
+    DOCUMENT pairs whose whole-doc MinHash similarity straddles the
+    cut; this one counts shared verbatim MATERIAL (≥ WINNOW_W+2-token
+    runs, alignment-invariant) even when no document pair is globally
+    similar — quoted passages, shared boilerplate, duplicated
+    snippets leaking benchmark text into train. Train↔test is the row
+    an eval owner reads first.
+
+    Same plan as ``contamination_matrix`` with the source catalog
+    replaced by the 3-value split label: (split, fp) grain first, the
+    fp self-join bounded by 3 labels per fingerprint, totals attached
+    by broadcast. The split is a pure function of doc_id — no side
+    table, no state.
+    """
+    from .profiling import TRAIN_PCT, VAL_PCT, _bucket_sql, _hex_val_spark
+    from .text import winnow_fp_set
+
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_sql(_hex_val_spark))
+    sp = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    fs = (
+        winnow_fp_set(d)
+        .join(sp, "doc_id")
+        .select("split", "fp_hash")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both join sides + totals
+    )
+    tot = fs.groupBy("split").agg(F.count("*").cast("bigint").alias("n_fps"))
+    a, b = fs.alias("a"), fs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
+    )
+    ta = F.broadcast(
+        tot.select(F.col("split").alias("split_a"), F.col("n_fps").alias("na"))
+    )
+    tb = F.broadcast(
+        tot.select(F.col("split").alias("split_b"), F.col("n_fps").alias("nb"))
+    )
+    return (
+        pairs.join(ta, "split_a")
+        .join(tb, "split_b")
+        .select(
+            "split_a",
+            "split_b",
+            "n_shared_fps",
+            (
+                F.col("n_shared_fps").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared_fps")).cast(
+                    "double"
+                )
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split-leakage audit: near-dup pairs straddling the train/val/test cut.
 # ---------------------------------------------------------------------------
 def _split_leakage_oracle() -> str:
