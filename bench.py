@@ -110,6 +110,7 @@ HEADLINE = [
     "contamination_matrix",
     "domain_token_budget",
     "split_contamination_matrix",
+    "longest_shared_run",
 ]
 
 

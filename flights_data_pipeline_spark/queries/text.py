@@ -1036,18 +1036,12 @@ WINNOW_ORACLE_CORE = f"""
 """
 
 
-def winnow_fp_set(d: DataFrame) -> DataFrame:
-    """The winnowing fingerprint set of ``documents`` frame ``d``:
-    distinct ``(doc_id, fp_pos, fp_hash)``, fp = the minimal 3-gram
-    md5 of every {WINNOW_W}-window (ties to the rightmost position).
-
-    Content-defined anchoring: the selected positions depend only on
-    the LOCAL token content, never on absolute offsets, so two copies
-    of the same passage select the same fingerprints regardless of
-    where each copy sits in its document — the alignment invariance
-    the strided byte scans lack. Shared Spark-side core of
-    ``winnowing_fingerprints`` and ``dedup.substring_dup_unaligned``.
-    """
+def positional_gram_hashes(d: DataFrame) -> DataFrame:
+    """``(doc_id, pos, h)``: the md5 of each 1-based positional 3-token
+    gram of the whitespace-normalized text — the positional gram table
+    winnowing selects from and the longest-shared-run diagonal scan
+    matches on. Shifted ``zip_with`` construction (no indexed lambdas —
+    no CSE in higher-order functions, see ``dedup._shingles``)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.split(norm, " ")
     s12 = F.zip_with(
@@ -1060,14 +1054,33 @@ def winnow_fp_set(d: DataFrame) -> DataFrame:
         F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda xy, z: F.when(z.isNotNull(), F.concat_ws(" ", xy, z)),
     )
-    g = d.select(
+    return d.select(
         "doc_id", F.posexplode(F.filter(grams, lambda s: s.isNotNull()))
     ).select(
         "doc_id",
         (F.col("pos") + 1).alias("pos"),
+        F.md5("col").alias("h"),
+    )
+
+
+def winnow_fp_set(d: DataFrame) -> DataFrame:
+    """The winnowing fingerprint set of ``documents`` frame ``d``:
+    distinct ``(doc_id, fp_pos, fp_hash)``, fp = the minimal 3-gram
+    md5 of every {WINNOW_W}-window (ties to the rightmost position).
+
+    Content-defined anchoring: the selected positions depend only on
+    the LOCAL token content, never on absolute offsets, so two copies
+    of the same passage select the same fingerprints regardless of
+    where each copy sits in its document — the alignment invariance
+    the strided byte scans lack. Shared Spark-side core of
+    ``winnowing_fingerprints`` and ``dedup.substring_dup_unaligned``.
+    """
+    g = positional_gram_hashes(d).select(
+        "doc_id",
+        "pos",
         F.concat(
-            F.md5("col"),
-            F.lpad((F.lit(999999) - F.col("pos") - 1).cast("string"), 6, "0"),
+            F.col("h"),
+            F.lpad((F.lit(999999) - F.col("pos")).cast("string"), 6, "0"),
         ).alias("key"),
     )
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
