@@ -18,20 +18,31 @@ def test_oracle_match(spark, sf_dir, name):
     compare_query(spark, sf_dir, q.fn, q.oracle_text(), name=name)
 
 
-@pytest.mark.parametrize("name", WEAK_QUERIES)
-def test_runs_and_stable_schema(spark, sf_dir, name):
-    """Non-SQL-expressible ops: runs, returns rows, schema is stable.
+if WEAK_QUERIES:
 
-    Rows-only surfaces still cross the driver's canonicalizer, so the
-    driver-safe surface lint applies to them too (test_surface_safety).
-    """
-    from .oracle_utils import assert_driver_safe_surface
+    @pytest.mark.parametrize("name", WEAK_QUERIES)
+    def test_runs_and_stable_schema(spark, sf_dir, name):
+        """Non-SQL-expressible ops: runs, returns rows, schema stable.
 
-    q = REGISTRY[name]
-    df = q.fn(spark, sf_dir)
-    assert df.columns, name
-    assert_driver_safe_surface(df, name)
-    df.collect()
+        Rows-only surfaces still cross the driver's canonicalizer, so
+        the driver-safe surface lint applies to them too
+        (test_surface_safety).
+        """
+        from .oracle_utils import assert_driver_safe_surface
+
+        q = REGISTRY[name]
+        df = q.fn(spark, sf_dir)
+        assert df.columns, name
+        assert_driver_safe_surface(df, name)
+        df.collect()
+
+else:
+
+    def test_registry_fully_oracle_gated():
+        """Since round 9 every registered query carries a DuckDB oracle
+        (the sketch queries via envelope oracles) — pin that state so a
+        future no-oracle query is a conscious choice, not drift."""
+        assert WEAK_QUERIES == []
 
 
 def test_entry_smoke(spark):
