@@ -514,7 +514,7 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_admitted,
              CAST(SUM(r.n_tokens) AS BIGINT) AS tokens_admitted
       FROM ranked r JOIN alloc a USING (source)
-      WHERE r.cum_tokens <= a.alloc
+      WHERE r.cum_tokens <= a.alloc AND r.n_tokens IS NOT NULL
       GROUP BY r.source
     )
     SELECT a.source, a.n_surv, a.surv_tokens, a.alloc,
@@ -546,9 +546,13 @@ def domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-partitioned windows as ``domain_prefilter`` (uniform md5
     dup keys; the audit needs every survivor row); the apportionment
     operates on the DOMAIN-grain table (catalog-sized) and rejoins as
-    a broadcast. NULL-text survivors carry NULL token counts; their
-    cumulative sum is NULL, so the admission gate excludes them on
-    both engines identically.
+    a broadcast. NULL-text survivors carry NULL token counts; a
+    window SUM *skips* NULLs (both engines), so such a survivor
+    inherits the previous running sum rather than going NULL — the
+    admission gate therefore excludes them EXPLICITLY
+    (``n_tokens IS NOT NULL``, mirrored in the oracle): a document
+    with no measurable tokens never counts as admitted, while the
+    running sum over real tokens is unaffected either way.
     """
     d = t(spark, sf_dir, "documents")
     n_tokens = F.when(
@@ -617,7 +621,10 @@ def domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adm = (
         ranked.join(F.broadcast(alloc.select("source", "alloc")), "source")
-        .filter(F.col("cum_tokens") <= F.col("alloc"))
+        .filter(
+            (F.col("cum_tokens") <= F.col("alloc"))
+            & F.col("n_tokens").isNotNull()
+        )
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_admitted"),

@@ -733,11 +733,19 @@ def _longest_shared_run_oracle() -> str:
     runs AS (
       SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS run_len
       FROM isl GROUP BY a_id, b_id, diag, island
+    ),
+    agg AS (
+      SELECT a_id, b_id,
+             CAST(MAX(run_len) + 2 AS BIGINT) AS longest_run_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_runs
+      FROM runs GROUP BY a_id, b_id
     )
-    SELECT a_id, b_id,
-           CAST(MAX(run_len) + 2 AS BIGINT) AS longest_run_tokens,
-           CAST(COUNT(*) AS BIGINT) AS n_runs
-    FROM runs GROUP BY a_id, b_id
+    SELECT p.a_id, p.b_id,
+           CAST(coalesce(g.longest_run_tokens, 0) AS BIGINT)
+             AS longest_run_tokens,
+           CAST(coalesce(g.n_runs, 0) AS BIGINT) AS n_runs
+    FROM (SELECT a_id, b_id FROM pairs) p
+    LEFT JOIN agg g USING (a_id, b_id)
     """
 
 
@@ -749,7 +757,10 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. report per duplicate ('documents sharing a 50-token span')
     that a Jaccard score only hints at. A near-dup verdict drops a
     doc; a long-run verdict TRIMS the span — different action, needs
-    this different evidence.
+    this different evidence. "Every" is literal: a candidate pair
+    sharing no 3-gram at all still gets a row, with
+    ``longest_run_tokens = 0`` and ``n_runs = 0`` (left join back
+    from the candidate set) — absence of a row is never a signal.
 
     Exact without suffix automata: join the two docs' positional
     3-gram hashes on hash, then longest run = largest gaps-and-islands
@@ -807,11 +818,24 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = isl.groupBy("a_id", "b_id", "diag", "island").agg(
         F.count("*").cast("bigint").alias("run_len")
     )
-    return runs.groupBy("a_id", "b_id").agg(
+    agg = runs.groupBy("a_id", "b_id").agg(
         (F.max("run_len") + F.lit(2)).cast("bigint").alias(
             "longest_run_tokens"
         ),
         F.count("*").cast("bigint").alias("n_runs"),
+    )
+    # EVERY candidate pair gets a row (round-9 ADVICE): pairs sharing
+    # no positional 3-gram at all fall out of the inner gram join, so
+    # left-join back from the candidate set and report 0/0 for them —
+    # a consumer iterating the LSH candidate list reads "no shared
+    # run ≥ 3 tokens", not a missing row.
+    return cand.join(agg, ["a_id", "b_id"], "left").select(
+        "a_id",
+        "b_id",
+        F.coalesce("longest_run_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("longest_run_tokens"),
+        F.coalesce("n_runs", F.lit(0)).cast("bigint").alias("n_runs"),
     )
 
 

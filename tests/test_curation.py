@@ -116,3 +116,56 @@ def test_training_shards_invariants(spark, sf_dir):
         assert a.last_hash < b.first_hash or (
             a.last_hash == b.first_hash  # duplicate hash split at boundary
         )
+
+
+def test_domain_token_budget_null_text_never_admitted(spark, tmp_path):
+    """A NULL-text survivor must NOT be admitted (round-9 ADVICE): a
+    window SUM skips NULLs in both engines, so without the explicit
+    ``n_tokens IS NOT NULL`` gate the NULL-text row inherits the
+    previous running sum and is counted in n_admitted while buying no
+    tokens. Pins the gate on a fixture the corpus lacks (no NULL text
+    in testdata), and pins Spark == DuckDB on the same fixture."""
+    import duckdb as _duck
+
+    from flights_data_pipeline_spark.queries.curation import MIX_BUDGET
+    from tests.oracle_utils import rows_to_multiset
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5", "en", "a", 14),
+            (2, "u1 u2 u3 u4 u5", "en", "a", 14),
+            (3, "v1 v2 v3 v4 v5", "en", "a", 14),
+            (4, None, "en", "a", 0),  # NULL text: must never be admitted
+            (5, "w1 w2 w3 w4 w5 w6 w7", "en", "b", 20),
+            (6, "x1 x2 x3 x4 x5 x6 x7", "en", "b", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    q = REGISTRY["domain_token_budget"]
+    sdf = q.fn(spark, str(tmp_path))
+    rows = {r["source"]: r.asDict() for r in sdf.collect()}
+    # total tokens (29) << MIX_BUDGET, so every NON-NULL survivor is
+    # admitted; the NULL-text doc is a survivor (distinct fp) but must
+    # be excluded from the admitted count
+    assert MIX_BUDGET > 29
+    assert rows["a"]["n_surv"] == 4  # NULL-text row IS a survivor
+    assert rows["a"]["n_admitted"] == 3  # ...but never admitted
+    assert rows["a"]["tokens_admitted"] == 15
+    assert rows["b"]["n_admitted"] == 2
+    assert rows["b"]["tokens_admitted"] == 14
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(q.oracle_text())
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    con.close()
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert rows_to_multiset(s_rows, sdf.columns) == rows_to_multiset(
+        o_rows, o_cols
+    )

@@ -52,5 +52,33 @@ def test_longest_run_equals_token_lcs(spark):
     }
     for (a, b), (run, n_runs) in got.items():
         want = _lcs_tokens(_toks(texts[a]), _toks(texts[b]))
-        assert run == want, (a, b, run, want)
-        assert run >= 3 and n_runs >= 1
+        if run == 0:
+            # no shared 3-gram ⇒ the true LCS is under 3 tokens (a
+            # span of L ≥ 3 would have produced a gram match)
+            assert want < 3 and n_runs == 0, (a, b, want, n_runs)
+        else:
+            assert run == want, (a, b, run, want)
+            assert run >= 3 and n_runs >= 1
+
+
+def test_every_candidate_pair_gets_a_row(spark):
+    """Round-9 ADVICE: the output covers the candidate set exactly —
+    a pair with no shared 3-gram appears with 0/0, never as a missing
+    row."""
+    from flights_data_pipeline_spark.queries.dedup import (
+        _lsh_candidates,
+        _minhash_per_doc,
+    )
+
+    per_doc = _minhash_per_doc(spark, SF_DIR)
+    cand = {
+        (r["a_id"], r["b_id"])
+        for r in _lsh_candidates(per_doc)
+        .select("a_id", "b_id")
+        .collect()  # scale-ok: sf0.001 candidate list for a set-equality pin
+    }
+    out = {
+        (r["a_id"], r["b_id"])
+        for r in longest_shared_run(spark, SF_DIR).collect()
+    }
+    assert out == cand
