@@ -25,6 +25,28 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def store_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe for a parquet store directory.
+
+    Replaces the old first-load pattern of attempting the read and
+    string-matching "PATH_NOT_FOUND" in the exception text (round-9
+    ADVICE): on an engine/version whose error message differs, that
+    pattern misclassifies unrelated read failures (corruption,
+    permissions) as "store not created yet" and silently starts over.
+    The Hadoop FileSystem probe answers the actual question — works
+    for bare local paths and any configured scheme — and lets every
+    real read error propagate."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet(path)`` if the store exists, else ``None``
+    (first load). Read errors on an EXISTING store propagate."""
+    return spark.read.parquet(path) if store_exists(spark, path) else None
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -119,15 +141,12 @@ def merge_parquet(
     The swap is the same snapshot-flip a table format performs on
     commit, done here at directory granularity.
     """
-    try:
-        target = spark.read.parquet(target_path)
-        merged = merge_upsert(
-            target, source, keys, delete_condition=delete_condition
-        )
-    except Exception as exc:  # first load: no target yet
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        merged = source
+    target = read_store_or_none(spark, target_path)
+    merged = (
+        source
+        if target is None  # first load: no target yet
+        else merge_upsert(target, source, keys, delete_condition=delete_condition)
+    )
     return _swap_in(spark, merged, target_path)
 
 
@@ -149,13 +168,8 @@ def merge_latest_parquet(
     ``order_cols`` should be a deterministic total order per key (e.g.
     event time + a unique id as tiebreak).
     """
-    try:
-        target = spark.read.parquet(target_path)
-        combined = target.unionByName(source)
-    except Exception as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        combined = source
+    target = read_store_or_none(spark, target_path)
+    combined = source if target is None else target.unionByName(source)
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
@@ -191,13 +205,12 @@ def merge_additive_parquet(
             f"merge_additive: increment columns {sorted(increment.columns)} "
             f"!= keys+sums {sorted(cols)}"
         )
-    try:
-        target = spark.read.parquet(target_path).select(*cols)
-        combined = target.unionByName(increment.select(*cols))
-    except Exception as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        combined = increment.select(*cols)
+    target = read_store_or_none(spark, target_path)
+    combined = (
+        increment.select(*cols)
+        if target is None
+        else target.select(*cols).unionByName(increment.select(*cols))
+    )
     merged = combined.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
@@ -390,12 +403,7 @@ def merge_scd2_parquet(
     """``merge_scd2`` against the parquet table at ``target_path``
     (created on first load), swapped in atomically like the other
     parquet merges; returns the resulting row count."""
-    try:
-        target = spark.read.parquet(target_path)
-    except Exception as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        target = None
+    target = read_store_or_none(spark, target_path)
     merged = merge_scd2(
         target, source, keys, load_ts=load_ts, tracked_cols=tracked_cols
     )

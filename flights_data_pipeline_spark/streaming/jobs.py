@@ -1088,17 +1088,12 @@ def quota_sample_stream(
         spark = batch.sparkSession
         from pyspark.sql.window import Window as W
 
-        from ..operators.merge import _swap_in
+        from ..operators.merge import _swap_in, read_store_or_none
 
-        try:
-            store = spark.read.parquet(store_path)
-            combined = store.unionByName(batch).dropDuplicates(["doc_id"])
-        except Exception as exc:  # first batch: no store yet
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
-                exc
-            ):
-                raise
-            combined = batch.dropDuplicates(["doc_id"])
+        store = read_store_or_none(spark, store_path)
+        combined = (
+            batch if store is None else store.unionByName(batch)
+        ).dropDuplicates(["doc_id"])
         w = W.partitionBy("source").orderBy("__h", "doc_id")
         kept = (
             combined.withColumn("__rk", F.row_number().over(w))
@@ -1246,25 +1241,15 @@ def token_budget_stream(
     admitted_path = f"{store_path}/admitted"
     cut_path = f"{store_path}/cut"
 
-    def _read_or_none(spark, path):
-        try:
-            return spark.read.parquet(path)
-        except Exception as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
-                exc
-            ):
-                raise
-            return None
-
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns or batch.isEmpty():
             return
         spark = batch.sparkSession
         from pyspark.sql.window import Window as W
 
-        from ..operators.merge import _swap_in
+        from ..operators.merge import _swap_in, read_store_or_none
 
-        store = _read_or_none(spark, admitted_path)
+        store = read_store_or_none(spark, admitted_path)
         # Deterministic duplicate resolution (round-8 ADVICE): when a
         # doc_id re-arrives with different text/n_toks, the STORED row
         # wins (first-seen semantics — matches replay, where the store
@@ -1288,7 +1273,7 @@ def token_budget_stream(
                 F.col("__r.__h").alias("__h"),
             )
         )
-        cuts = _read_or_none(spark, cut_path)
+        cuts = read_store_or_none(spark, cut_path)
         if cuts is not None:
             combined = combined.join(
                 F.broadcast(cuts), "source", "left"
@@ -1562,16 +1547,10 @@ def domain_prefilter_stream(
         if not batch.columns or batch.isEmpty():
             return
         spark = batch.sparkSession
-        from ..operators.merge import _swap_in
+        from ..operators.merge import _swap_in, read_store_or_none
 
-        try:
-            combined = spark.read.parquet(store_path).unionByName(batch)
-        except Exception as exc:  # first batch: no store yet
-            if "PATH_NOT_FOUND" not in str(exc) and (
-                "Path does not exist" not in str(exc)
-            ):
-                raise
-            combined = batch
+        store = read_store_or_none(spark, store_path)
+        combined = batch if store is None else store.unionByName(batch)
         winners = (
             combined.groupBy("source", "__fp")
             .agg(F.min(F.struct("__h", "doc_id")).alias("__w"))
@@ -1609,6 +1588,12 @@ def domain_prefilter_from_store(
     )
 
 
+#: compact the contamination store once its delta appends exceed this
+#: many parquet files — bounds reader file counts without rewriting
+#: the (monotone, append-only) store on every batch.
+CONTAMINATION_COMPACT_FILES = 64
+
+
 def contamination_stream(
     stream: DataFrame,
     store_path: str,
@@ -1628,6 +1613,17 @@ def contamination_stream(
     distinct-fingerprint-per-source grain — the same asymptotic
     footprint the batch query's checkpointed (source, fp) frame has.
 
+    Store I/O is APPEND+COMPACT, not rewrite (round-9 ADVICE): set
+    union is monotone, so each batch appends only the pairs not
+    already present (anti-join delta) — O(new) written per batch
+    instead of rewriting the whole store, with a file-count-triggered
+    compaction bounding small-file accumulation. The store stays
+    exactly the distinct set at every commit (the delta is disjoint
+    from it by construction), so readers never need a dedup pass.
+    This is the long-lived-stream pattern; the min-reduce stores keep
+    the swap-in rewrite because eviction can REPLACE arbitrary
+    existing rows, which append-only cannot express.
+
     Fingerprinting runs INSIDE ``foreachBatch`` (winnowing needs a
     per-doc ordered window, which Structured Streaming forbids on the
     unbounded stream but is fine on the static micro-batch — each
@@ -1639,7 +1635,7 @@ def contamination_stream(
         if not batch.columns or batch.isEmpty():
             return
         spark = batch.sparkSession
-        from ..operators.merge import _swap_in
+        from ..operators.merge import _swap_in, read_store_or_none
         from ..queries.text import winnow_fp_set
 
         fps = (
@@ -1648,15 +1644,26 @@ def contamination_stream(
             .select("source", "fp_hash")
             .distinct()
         )
-        try:
-            combined = spark.read.parquet(store_path).unionByName(fps)
-        except Exception as exc:  # first batch: no store yet
-            if "PATH_NOT_FOUND" not in str(exc) and (
-                "Path does not exist" not in str(exc)
-            ):
-                raise
-            combined = fps
-        _swap_in(spark, combined.distinct(), store_path)
+        store = read_store_or_none(spark, store_path)
+        if store is None:
+            _swap_in(spark, fps, store_path)
+            return
+        # delta append: only pairs absent from the store; materialize
+        # BEFORE appending so the write never reads the files it is
+        # adding to
+        new_rows = fps.join(
+            store, ["source", "fp_hash"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new_rows.isEmpty():
+            return
+        new_rows.coalesce(1).write.mode("append").parquet(store_path)
+        import glob as _glob
+
+        if (
+            len(_glob.glob(f"{store_path}/*.parquet"))
+            > CONTAMINATION_COMPACT_FILES
+        ):
+            _swap_in(spark, spark.read.parquet(store_path), store_path)
 
     writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("append")
     if checkpoint_dir is not None:
