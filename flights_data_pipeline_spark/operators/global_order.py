@@ -80,11 +80,14 @@ def _cols(order_by) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
-def _use_naive(df: DataFrame) -> bool:
-    """True when the plain unpartitioned window is the better physical
-    plan for ``df`` — see the module docstring.
+def plan_size_small(df: DataFrame, max_bytes: int) -> bool:
+    """True when ``df`` is CONFIDENTLY estimated at or below
+    ``max_bytes`` — the shared driver-side (no jobs) size signal behind
+    every size-adaptive dispatch in this engine (the global-order
+    naive/two-phase switch here; the candidate-set broadcast gate in
+    ``operators/candidate_join``).
 
-    Two driver-side signals, no jobs:
+    Two signals:
 
     1. the top-of-plan estimate — trustworthy when SMALL (without CBO
        joins estimate as the product of their children, so joins only
@@ -93,20 +96,16 @@ def _use_naive(df: DataFrame) -> bool:
     2. when the top estimate is join-inflated, the sum of the exact
        LEAF scan sizes (file-based, accurate) — a plan with no
        row-expanding Generate/explode node cannot produce more bytes
-       than its scans read, so a small leaf sum still means naive.
+       than its scans read, so a small leaf sum still means small.
 
-    Any failure to read the estimates chooses the scalable path, as
-    does an ExistingRDD leaf (checkpointed input — its stat is the
-    session default, effectively infinite)."""
-    if FORCE == "naive":
-        return True
-    if FORCE == "two-phase":
-        return False
+    Any failure to read the estimates returns False ("not confidently
+    small"), as does an ExistingRDD leaf (checkpointed input — its
+    stat is the session default, effectively infinite)."""
     try:
         jplan = df._jdf.queryExecution().optimizedPlan()
         # py4j renders scala BigInt as int; str() covers both forms
         top = int(str(jplan.stats().sizeInBytes()))
-        if top <= NAIVE_MAX_BYTES:
+        if top <= max_bytes:
             return True
         if "Generate " in jplan.toString():
             return False  # leaf sum under-counts post-explode bytes
@@ -114,11 +113,22 @@ def _use_naive(df: DataFrame) -> bool:
         it, leaf_sum = leaves.iterator(), 0
         while it.hasNext():
             leaf_sum += int(str(it.next().stats().sizeInBytes()))
-            if leaf_sum > NAIVE_MAX_BYTES:
+            if leaf_sum > max_bytes:
                 return False
         return True
-    except Exception:  # estimate unavailable → never risk the funnel
+    except Exception:  # estimate unavailable → not confidently small
         return False
+
+
+def _use_naive(df: DataFrame) -> bool:
+    """True when the plain unpartitioned window is the better physical
+    plan for ``df`` — see the module docstring and
+    :func:`plan_size_small` (the shared estimate)."""
+    if FORCE == "naive":
+        return True
+    if FORCE == "two-phase":
+        return False
+    return plan_size_small(df, NAIVE_MAX_BYTES)
 
 
 def _ranged(df: DataFrame, order_by, sort: bool = False) -> DataFrame:

@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..io.catalog import load_table as t
+from ..operators.candidate_join import (
+    filter_by_keys,
+    join_candidates,
+    use_broadcast,
+)
 from .registry import query
 
 #: number of MinHash permutations — the 8 disjoint 4-hex-char slices of
@@ -368,30 +373,34 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
        sides, both verify sides) reuses;
     2. candidates come from ONE equi-join on (band, key) — linear
        shuffle, per-bucket pairs, never an all-pairs cartesian;
-    3. verification broadcasts only the id/count candidate rows (a few
-       hundred, no arrays); the hash-set-carrying side then reaches
-       the pair join via SHUFFLE_HASH, never through the driver.
-       (Both prior spike modes were array payloads crossing the
-       driver: round 1 auto-broadcast the corpus-wide shingle arrays
-       (~15 MB collects), and the first fix still broadcast candidate
-       rows carrying their collect_set arrays — intermittent GC spikes
-       under session memory pressure. A full no-array variant —
-       re-shingle candidate docs, equi-join on (b_id, hash) — was
-       measured 2-3× slower here because the candidate pipeline loses
-       exchange reuse; the production note at 100 TB is to semi-filter
-       the set side by the candidate id list before the shuffle.)
+    3. verification attaches the id/count candidate rows (no arrays)
+       through the SIZE-GATED dispatch in
+       ``operators/candidate_join``: confidently-small candidate
+       frames broadcast, large/unknown ones take the semi-filter +
+       shuffle plan — so a dup-dense corpus whose candidate set is
+       GBs degrades to a shuffle instead of OOMing the driver. The
+       hash-set-carrying side reaches the pair join via SHUFFLE_HASH
+       either way, never through the driver. (Both prior spike modes
+       were array payloads crossing the driver: round 1 auto-broadcast
+       the corpus-wide shingle arrays (~15 MB collects), and the first
+       fix still broadcast candidate rows carrying their collect_set
+       arrays — intermittent GC spikes under session memory pressure.
+       A full no-array variant — re-shingle candidate docs, equi-join
+       on (b_id, hash) — was measured 2-3× slower here because the
+       candidate pipeline loses exchange reuse.)
     """
     per_doc = _minhash_per_doc(spark, sf_dir)
     cand = _lsh_candidates(per_doc)
     sha = per_doc.select(F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a"))
     shb = per_doc.select(F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b"))
-    # candidate side broadcast (tiny, id/count columns only); the
-    # array-carrying `paired` side joins via SHUFFLE_HASH — an
-    # array-payload broadcast would round-trip the hash sets through
-    # the driver (the residual GC-spike source under session memory
-    # pressure; per_doc's exchange is reused by sha/shb/bands, so the
-    # corpus pass still runs once)
-    paired = sha.join(F.broadcast(cand), "a_id")
+    # size-gated candidate attach (round-9 VERDICT): small candidate
+    # frames broadcast (tiny, id/count columns only — an array-payload
+    # broadcast would round-trip the hash sets through the driver);
+    # large/unestimatable ones take the semi-filter + SHUFFLE_HASH
+    # plan so a dup-dense 100 TB corpus degrades to a shuffle instead
+    # of OOMing the driver. per_doc's exchange is reused by
+    # sha/shb/bands either way, so the corpus pass still runs once.
+    paired = join_candidates(sha, cand, "a_id", scale_df=per_doc)
     both = shb.join(paired.hint("shuffle_hash"), "b_id")
     n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("bigint")
     return both.select(
@@ -769,18 +778,20 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive matching 3-grams spans R + 2 tokens.
 
     Scale: gram matching happens ONLY for candidate-pair documents —
-    the gram table is semi-joined down to candidate doc_ids (broadcast
-    id list) before the hash equi-join, so the quadratic surface is
-    bounded by the LSH candidate set exactly like the Jaccard verify
-    kernel; the diagonal windows partition by (pair, diag) — many
-    small partitions, no corpus-grain window anywhere.
+    the gram table is semi-joined down to candidate doc_ids (id list
+    broadcast when the size gate certifies it small, shuffled
+    otherwise — ``operators/candidate_join``) before the hash
+    equi-join, so the quadratic surface is bounded by the LSH
+    candidate set exactly like the Jaccard verify kernel; the
+    diagonal windows partition by (pair, diag) — many small
+    partitions, no corpus-grain window anywhere.
     """
     per_doc = _minhash_per_doc(spark, sf_dir)
-    cand = (
-        _lsh_candidates(per_doc)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)  # feeds id filter + the pair join
-    )
+    cand = _lsh_candidates(per_doc).select("a_id", "b_id")
+    # dispatch BEFORE the checkpoint (a checkpointed plan is
+    # unestimatable and would always route to the shuffle path)
+    bcast = use_broadcast(cand, per_doc)
+    cand = cand.localCheckpoint(eager=False)  # feeds id filter + pair join
     from .text import positional_gram_hashes
 
     ids = (
@@ -788,8 +799,11 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    g = positional_gram_hashes(t(spark, sf_dir, "documents")).join(
-        F.broadcast(ids), "doc_id"
+    g = filter_by_keys(
+        positional_gram_hashes(t(spark, sf_dir, "documents")),
+        ids,
+        "doc_id",
+        broadcast=bcast,
     )
     ga = g.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "h"
@@ -797,10 +811,8 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = g.select(
         F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"), "h"
     )
-    m = (
-        F.broadcast(cand)
-        .join(ga, "a_id")
-        .join(gb, ["b_id", "h"])
+    m = join_candidates(ga, cand, "a_id", broadcast=bcast).join(
+        gb, ["b_id", "h"]
     )
     isl = m.select(
         "a_id",
@@ -1857,9 +1869,10 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shb = per_doc.select(
         F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b")
     )
-    # same broadcast discipline as minhash_lsh_candidates: tiny id-only
-    # candidate rows broadcast; array-carrying sides join SHUFFLE_HASH
-    paired = sha.join(F.broadcast(cand), "a_id")
+    # same size-gated discipline as minhash_lsh_candidates: small
+    # id-only candidate frames broadcast, large/unknown ones take the
+    # semi-filter + shuffle plan; array sides always join SHUFFLE_HASH
+    paired = join_candidates(sha, cand, "a_id", scale_df=per_doc)
     both = shb.join(paired.hint("shuffle_hash"), "b_id")
     ver = both.select(
         "b_id",
