@@ -35,6 +35,7 @@ TRANSFORM_ORDER = [
     "dim_passenger",
     "dim_seat",
     "dim_date",
+    "dim_time",
     "fct_boarding_pass",
     "fct_booking_ticket",
     "fct_flight_activity",
@@ -143,6 +144,40 @@ def dim_date(spark: SparkSession, stg: str) -> DataFrame:
                                       interval 1 day)) AS date_key)
         """
     )
+
+
+#: Spark-side body of the time-of-day dim — shared by the pipeline
+#: transform and the ``calendar_time_dim`` registry query so the two
+#: surfaces cannot drift.
+DIM_TIME_SQL = """
+    SELECT CAST(m AS INT) AS time_key,
+           CAST(m DIV 60 AS INT) AS hour,
+           CAST(m % 60 AS INT) AS minute,
+           lpad(CAST(m DIV 60 AS STRING), 2, '0') || ':' ||
+             lpad(CAST(m % 60 AS STRING), 2, '0') AS hhmm,
+           CASE WHEN m DIV 60 < 12 THEN 'AM' ELSE 'PM' END AS am_pm,
+           CAST(CASE WHEN (m DIV 60) % 12 = 0 THEN 12
+                     ELSE (m DIV 60) % 12 END AS INT) AS hour_12,
+           CASE WHEN m DIV 60 BETWEEN 5 AND 11 THEN 'morning'
+                WHEN m DIV 60 BETWEEN 12 AND 16 THEN 'afternoon'
+                WHEN m DIV 60 BETWEEN 17 AND 21 THEN 'evening'
+                ELSE 'night' END AS day_part,
+           m DIV 60 BETWEEN 9 AND 16 AS is_business_hour
+    FROM (SELECT explode(sequence(0, 1439)) AS m)
+"""
+
+
+def dim_time(spark: SparkSession, stg: str) -> DataFrame:
+    """Time-of-day calendar dim (SURVEY.md §1.4/§2.9 [inferred]: the
+    17 KB ``warehouse_init.sql`` implies dim_date/dim_time calendar
+    dims; reference ``include/warehouse_init.sql:3``, LFS pointer).
+
+    Minute grain — exactly 1440 rows, time_key = minutes since
+    midnight, so any fact joins on
+    ``hour(ts) * 60 + minute(ts)``. Attributes cover the analysis
+    axes a time dim exists for: 24h/12h clock, AM/PM, day-part
+    buckets, business-hours flag."""
+    return spark.sql(DIM_TIME_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +329,7 @@ DIM_KEYS = {
     "dim_passenger": ["passenger_id"],
     "dim_seat": ["aircraft_code", "seat_no"],
     "dim_date": ["date_key"],
+    "dim_time": ["time_key"],
 }
 
 
@@ -321,6 +357,7 @@ TRANSFORMS = {
     "dim_passenger": dim_passenger,
     "dim_seat": dim_seat,
     "dim_date": dim_date,
+    "dim_time": dim_time,
     "fct_booking_ticket": fct_booking_ticket,
     "fct_flight_activity": fct_flight_activity,
     "fct_boarding_pass": fct_boarding_pass,
@@ -381,6 +418,22 @@ ORACLES: dict[str, str] = {
         FROM (SELECT unnest(generate_series(DATE '2025-01-01',
                                             DATE '2026-12-31',
                                             INTERVAL 1 DAY)) AS d)
+    """,
+    "dim_time": """
+        SELECT CAST(m AS INT) AS time_key,
+               CAST(m // 60 AS INT) AS hour,
+               CAST(m % 60 AS INT) AS minute,
+               lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
+                 lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS hhmm,
+               CASE WHEN m // 60 < 12 THEN 'AM' ELSE 'PM' END AS am_pm,
+               CAST(CASE WHEN (m // 60) % 12 = 0 THEN 12
+                         ELSE (m // 60) % 12 END AS INT) AS hour_12,
+               CASE WHEN m // 60 BETWEEN 5 AND 11 THEN 'morning'
+                    WHEN m // 60 BETWEEN 12 AND 16 THEN 'afternoon'
+                    WHEN m // 60 BETWEEN 17 AND 21 THEN 'evening'
+                    ELSE 'night' END AS day_part,
+               m // 60 BETWEEN 9 AND 16 AS is_business_hour
+        FROM (SELECT unnest(generate_series(0, 1439)) AS m)
     """,
     "fct_booking_ticket": f"""
         SELECT {_dsk('tf.ticket_no', 'tf.flight_id')} AS booking_ticket_sk,
