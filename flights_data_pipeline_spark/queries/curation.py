@@ -577,17 +577,28 @@ def domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("dup_rn", "fp")
         .localCheckpoint(eager=False)  # feeds totals AND the admission scan
     )
+    return token_budget_allocation_surface(surv, MIX_BUDGET)
+
+
+def token_budget_allocation_surface(surv: DataFrame, budget: int) -> DataFrame:
+    """Hamilton apportionment + hash-ordered admission over a survivor
+    frame ``(doc_id, source, h, n_tokens)`` — the shared core of the
+    batch ``domain_token_budget`` query and the streaming readout
+    (``streaming/jobs.domain_token_budget_from_store``), so the two
+    surfaces cannot drift. Exact bigint arithmetic throughout; the
+    admission gate excludes NULL token counts explicitly (a window
+    SUM would silently skip them — see ``domain_token_budget``)."""
     s = surv.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_surv"),
         F.sum("n_tokens").cast("bigint").alias("surv_tokens"),
     )
     tot = s.agg(F.sum("surv_tokens").cast("bigint").alias("total"))
-    b = F.lit(MIX_BUDGET).cast("bigint")
+    b = F.lit(budget).cast("bigint")
     base = s.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_surv",
         "surv_tokens",
-        F.expr(f"(CAST({MIX_BUDGET} AS BIGINT) * surv_tokens) DIV total")
+        F.expr(f"(CAST({int(budget)} AS BIGINT) * surv_tokens) DIV total")
         .cast("bigint")
         .alias("base_alloc"),
         ((b * F.col("surv_tokens")) % F.col("total")).alias("remainder"),

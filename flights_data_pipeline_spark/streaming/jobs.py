@@ -1588,6 +1588,107 @@ def domain_prefilter_from_store(
     )
 
 
+def domain_token_budget_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of ``curation.domain_token_budget``'s
+    sufficient statistic: the per-(source, content-fingerprint) dedup
+    WINNER carrying its token count.
+
+    Why the state is the winner store and not the admitted set: the
+    batch rule re-apportions every domain's allocation from the
+    GLOBAL survivor token mass on each change, so a new batch in
+    domain A can shrink domain B's allocation and evict
+    previously-admitted B documents — admission is NOT monotone, and
+    no rejected-boundary cut (the global token gate's trick in
+    ``token_budget_stream``) survives re-apportionment. What is both
+    incrementally maintainable and sufficient is the dedup winner set
+    with token counts: survivors and their token masses determine the
+    apportionment and the admission order exactly, so the full batch
+    surface is derivable from the store at any stream prefix
+    (``domain_token_budget_from_store`` re-runs the catalog-grain
+    apportionment + admission on read, through the batch query's own
+    ``token_budget_allocation_surface`` core).
+
+    The merge is a pure MIN-REDUCE on (source, fp):
+    ``min(struct(h, doc_id, n_tokens))`` — idempotent, commutative,
+    associative, so the store is order- and replay-invariant BY
+    CONSTRUCTION, exactly like ``domain_prefilter_stream``'s winner
+    store (same state grain: one metadata row per distinct content
+    per domain; the token count rides in the struct, and since two
+    rows tie on (h, doc_id) only when the same doc_id re-arrives with
+    the same fingerprint — hence the same token count — the n_tokens
+    field never decides a comparison). Returns the started
+    ``StreamingQuery`` (availableNow trigger).
+    """
+    keyed = stream.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("__fp"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        )
+        .cast("bigint")
+        .alias("__nt"),
+    )
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        from ..operators.merge import _swap_in, read_store_or_none
+
+        store = read_store_or_none(spark, store_path)
+        combined = batch if store is None else store.unionByName(batch)
+        winners = (
+            combined.groupBy("source", "__fp")
+            .agg(F.min(F.struct("__h", "doc_id", "__nt")).alias("__w"))
+            .select(
+                F.col("__w.doc_id").alias("doc_id"),
+                "source",
+                "__fp",
+                F.col("__w.__h").alias("__h"),
+                F.col("__w.__nt").alias("__nt"),
+            )
+        )
+        _swap_in(spark, winners, store_path)
+
+    writer = keyed.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def domain_token_budget_from_store(
+    spark, store_path: str, budget: int | None = None
+) -> DataFrame:
+    """Derive the batch ``domain_token_budget`` surface (source,
+    n_surv, surv_tokens, alloc, n_admitted, tokens_admitted) from the
+    streaming winner store — the twin the equivalence tests compare.
+    Shares ``token_budget_allocation_surface`` with the batch query,
+    so apportionment and admission cannot drift."""
+    from ..queries.curation import (
+        MIX_BUDGET,
+        token_budget_allocation_surface,
+    )
+
+    surv = spark.read.parquet(store_path).select(
+        "doc_id",
+        "source",
+        F.col("__h").alias("h"),
+        F.col("__nt").alias("n_tokens"),
+    )
+    return token_budget_allocation_surface(
+        surv, MIX_BUDGET if budget is None else budget
+    )
+
+
 #: compact the contamination store once its delta appends exceed this
 #: many parquet files — bounds reader file counts without rewriting
 #: the (monotone, append-only) store on every batch.
