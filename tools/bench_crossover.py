@@ -9,7 +9,16 @@ scan costs are realistic), then times the ``percentile_exact`` core
 (grouped row_number over o_orderpriority — 5 huge groups) and a global
 rank under both ``FORCE`` settings.
 
-Usage: python tools/bench_crossover.py [--mults 1,10,40]
+Usage: python tools/bench_crossover.py [--mults 1,10,40] [--stats]
+
+``--stats`` (round-9 VERDICT task 6) re-measures with CBO ON over
+ANALYZE'd catalog copies of the scaled tables: every row then also
+reports the CALIBRATED top-of-plan estimate (rowCount defined —
+the signal ``global_order._use_naive`` trusts for the tighter
+``NAIVE_MAX_BYTES_CALIBRATED`` threshold) next to the true byte size,
+so the threshold can sit at the measured crossover instead of a 10×
+safety margin above it.
+
 Output: a markdown table (paste into BASELINE.md) + one JSON line.
 """
 
@@ -66,15 +75,37 @@ def timed(fn, reps: int = 3) -> float:
     return sorted(ts)[reps // 2]
 
 
-def grouped_rank_run(spark, path: str) -> None:
-    df = spark.read.parquet(path)
+def load(spark, path: str, stats: bool):
+    """Read the scaled table — as an ANALYZE'd catalog table when
+    measuring the calibrated-estimate path, else as a raw path scan."""
+    if not stats:
+        return spark.read.parquet(path)
+    name = "xo_" + Path(path).stem.replace(".", "_")
+    if name not in [t.name for t in spark.catalog.listTables()]:
+        spark.read.parquet(path).write.mode("overwrite").saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return spark.table(name)
+
+
+def estimates(df) -> dict:
+    """What the dispatch sees: top-of-plan sizeInBytes + rowCount
+    (defined only under CBO with column stats — the calibration
+    signal)."""
+    st = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = st.rowCount()
+    return {
+        "est_bytes": int(str(st.sizeInBytes())),
+        "est_rows": int(str(rc.get())) if rc.isDefined() else None,
+    }
+
+
+def grouped_rank_run(spark, df) -> None:
     global_order.grouped_row_number(
         df, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], out="rn"
     ).selectExpr("max(rn)").collect()
 
 
-def global_rank_run(spark, path: str) -> None:
-    df = spark.read.parquet(path)
+def global_rank_run(spark, df) -> None:
     global_order.global_row_number(
         df, ["o_totalprice", "o_orderkey"], out="rn"
     ).selectExpr("max(rn)").collect()
@@ -84,15 +115,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,10,40")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
     spark = get_spark("go-crossover", cpus=32, shuffle_partitions=32)
+    if args.stats:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
     results = []
     for mult in mults:
         path = scaled_orders(spark, mult)
-        rows = spark.read.parquet(path).count()
-        row = {"mult": mult, "rows": rows}
+        df = load(spark, path, args.stats)
+        rows = df.count()
+        row = {"mult": mult, "rows": rows, **estimates(df)}
         for shape, run in [
             ("grouped_rank", grouped_rank_run),
             ("global_rank", global_rank_run),
@@ -101,18 +136,23 @@ def main() -> None:
                 global_order.FORCE = mode
                 try:
                     row[f"{shape}_{mode}"] = round(
-                        timed(lambda: run(spark, path)), 2
+                        timed(lambda: run(spark, df)), 2
                     )
                 finally:
                     global_order.FORCE = None
         results.append(row)
         print(row, flush=True)
 
-    print("\n| rows | grouped naive | grouped two-phase | global naive | global two-phase |")
-    print("|---|---|---|---|---|")
+    print(
+        "\n| rows | est bytes (rowCount) | grouped naive | grouped two-phase"
+        " | global naive | global two-phase |"
+    )
+    print("|---|---|---|---|---|---|")
     for r in results:
+        rc = f" ({r['est_rows']:,})" if r.get("est_rows") else ""
         print(
-            f"| {r['rows']:,} | {r['grouped_rank_naive']} s "
+            f"| {r['rows']:,} | {r['est_bytes']:,}{rc} "
+            f"| {r['grouped_rank_naive']} s "
             f"| {r['grouped_rank_two-phase']} s | {r['global_rank_naive']} s "
             f"| {r['global_rank_two-phase']} s |"
         )
