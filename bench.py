@@ -111,6 +111,9 @@ HEADLINE = [
     "domain_token_budget",
     "split_contamination_matrix",
     "longest_shared_run",
+    # round-10 additions
+    "lm_surprisal_filter",
+    "cluster_representatives",
 ]
 
 

@@ -468,6 +468,88 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-based cluster representative selection (which copy to KEEP).
+# ---------------------------------------------------------------------------
+def _cluster_reps_oracle() -> str:
+    from .registry import REGISTRY
+
+    comp = REGISTRY["near_dup_clusters"].oracle_text()
+    return f"""
+    WITH comp AS ({comp}),
+    q AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.n_tokens,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.n_tokens DESC, c.doc_id) AS rk
+      FROM comp c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT component AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS rep_doc_id,
+           CAST(MIN(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT)
+             AS rep_n_tokens,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY component
+    """
+
+
+@query("cluster_representatives", oracle=_cluster_reps_oracle)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP decision per near-dup cluster: for every connected
+    component of the LSH candidate graph, the member that survives is
+    the highest-QUALITY copy — longest token count, doc_id tiebreak —
+    not the arbitrary min-id label ``near_dup_clusters`` flags. This
+    is the policy step real dedup pipelines run between clustering
+    and deletion (truncated/stripped copies of a page hash into the
+    same cluster; keeping the longest retains the most content).
+
+    Composes the oracle-matched closure verbatim and adds one
+    component-partitioned window over cluster members plus a
+    cluster-grain aggregate — clusters are small (bounded by dup
+    group size), so the window partitions are many and tiny; scale
+    posture is exactly ``near_dup_clusters``'s.
+    """
+    from .registry import REGISTRY
+
+    comp = REGISTRY["near_dup_clusters"].fn(spark, sf_dir)
+    q = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    ranked = comp.join(q, "doc_id").select(
+        "component",
+        "doc_id",
+        "n_tokens",
+        F.row_number()
+        .over(
+            W.partitionBy("component").orderBy(
+                F.col("n_tokens").desc(), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("rep_doc_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("rep_n_tokens"),
+        (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+    ).withColumnRenamed("component", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
 # LSH banding precision: the measured S-curve the banding dial is set by.
 # ---------------------------------------------------------------------------
 @query(

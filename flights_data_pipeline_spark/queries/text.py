@@ -793,6 +793,161 @@ def bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LM-perplexity-style quality filter: quantized bigram surprisal.
+# ---------------------------------------------------------------------------
+#: per-doc average surprisal (bits/bigram) above HIGH = improbable,
+#: garbled, or out-of-domain text (the CCNet "high perplexity" drop
+#: tail); below LOW = near-deterministic/boilerplate. Like C4's
+#: quality constants these are corpus-calibration parameters, re-fit
+#: per corpus: the synthetic corpus distributes avg_bits in
+#: ~[4.17, 4.90] (p5 4.37 / median 4.52 / p95 4.65 at sf0.01), so the
+#: cuts sit at its 5% tails — each flag fires on a real slice.
+SURPRISAL_HIGH_BITS = 4.64
+SURPRISAL_LOW_BITS = 4.37
+
+
+@query(
+    "lm_surprisal_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(toks))) t(i)
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM counts
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(length(bin(t.c1 + vocab.v))
+                  - length(bin(c.c12 + 1)) AS BIGINT) AS bits
+      FROM bg b
+      JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN totals t ON b.w1 = t.w1
+      CROSS JOIN vocab
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(bits) AS BIGINT) AS total_bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(p.total_bits, 0) AS BIGINT) AS total_bits,
+           CAST(p.total_bits AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+             AS avg_bits,
+           coalesce(CAST(p.total_bits AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+                    > {SURPRISAL_HIGH_BITS}, FALSE) AS is_high_surprisal,
+           coalesce(CAST(p.total_bits AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+                    < {SURPRISAL_LOW_BITS}, FALSE) AS is_low_surprisal
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter, transcendental-free: per document
+    the average QUANTIZED bigram surprisal under an add-one-smoothed
+    corpus bigram model — the CCNet/KenLM perplexity gate restated so
+    both engines hash-match bit for bit.
+
+    Real perplexity needs log(); ln is not bit-identical across
+    engines (the repo's no-transcendentals-in-gated-floats rule), so
+    the surprisal of bigram (w1,w2) is quantized to whole bits via
+    integer bit-lengths:
+
+        bits = len(bin(c1 + V)) − len(bin(c12 + 1))
+             = ⌊log2(c1+V)⌋ − ⌊log2(c12+1)⌋  ∈  log2((c1+V)/(c12+1)) ± 1
+
+    — exact integer arithmetic (``bin()`` on both engines), summed
+    exactly per doc; the only float is the final bigint/bigint
+    division. High average bits = text the corpus LM finds improbable
+    (garbled/out-of-domain, the filter's drop tail); very low bits =
+    near-deterministic boilerplate. Every document gets a row (0
+    bigrams → NULL avg, flags false).
+
+    Scale: bigram extraction is one narrow pass (shifted-array
+    zip_with, no self-join); the model tables are two keyed aggregates
+    with map-side partials; scoring re-joins the doc bigrams on
+    (w1,w2) and w1 — corpus-linear shuffles on uniformly-hashed token
+    keys, vocabulary broadcast as one row. No per-doc state exceeds
+    its own bigram list; nothing is corpus-quadratic.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2").filter(F.col("w2").isNotNull())
+    counts = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    totals = counts.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    vocab = counts.agg(
+        F.countDistinct("w2").cast("bigint").alias("v")
+    )
+    scored = (
+        bg.join(counts, ["w1", "w2"])
+        .join(totals, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.col("c1") + F.col("v")))
+                - F.length(F.bin(F.col("c12") + 1))
+            )
+            .cast("bigint")
+            .alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+    )
+    avg = F.col("total_bits").cast("double") / F.col("n_bigrams").cast(
+        "double"
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.coalesce("total_bits", F.lit(0)).cast("bigint").alias(
+                "total_bits"
+            ),
+            avg.alias("avg_bits"),
+            F.coalesce(avg > SURPRISAL_HIGH_BITS, F.lit(False)).alias(
+                "is_high_surprisal"
+            ),
+            F.coalesce(avg < SURPRISAL_LOW_BITS, F.lit(False)).alias(
+                "is_low_surprisal"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Feature hashing (the hashing trick) — fixed-width sparse featurization.
 # ---------------------------------------------------------------------------
 #: hashed feature-vector width (buckets).
