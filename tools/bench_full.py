@@ -4,7 +4,7 @@
 The driver bench times the 31 headline queries; this tool times all of
 them (same protocol as bench.py: 2 warmups + 3 timed runs, median,
 noop sink) so each round leaves a complete per-query timing artifact.
-The iterative-closure family runs LAST with doubled warmups — see
+The iterative-closure family runs LAST with tripled warmups — see
 ``CLOSURE_FAMILY`` below for the tiered-JIT mechanism that otherwise
 inflates one of its rows per sweep.
 
@@ -42,13 +42,24 @@ def materialize(df) -> None:
 #: alphabetical sweep one family member draws an inflated row per
 #: sweep (a different one each time). Protocol fix (round-9 VERDICT
 #: task 2): time these LAST, after the rest of the registry has fully
-#: heated the JVM, with doubled per-query warmups — the published row
-#: then reflects the warm level an operator actually runs at.
+#: heated the JVM, with tripled per-query warmups (fresh-session probes
+#: show the deepest member, cluster_representatives, only reaches its
+#: warm plateau on run ~5-6) — the published row then reflects the
+#: warm level an operator actually runs at.
 CLOSURE_FAMILY = [
+    # iterative-closure core
     "dedup_keep_list",
     "dedup_rate_by_source",
     "incremental_neardup_ingest",
     "near_dup_clusters",
+    # composers that re-run the closure / LSH-verify subtree — the
+    # first r10 sweep showed that moving only the core four to the
+    # tail makes whichever of THESE runs earliest draw the JIT bill
+    # instead (cluster_representatives 18.3 s vs 3.45 s warm)
+    "cluster_representatives",
+    "cross_source_neardup_matrix",
+    "lsh_band_precision",
+    "longest_shared_run",
 ]
 
 
@@ -64,17 +75,33 @@ def main() -> None:
     order = sorted(n for n in REGISTRY if n not in CLOSURE_FAMILY) + [
         n for n in CLOSURE_FAMILY if n in REGISTRY
     ]
+    def _gc() -> None:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     for name in order:
         q = REGISTRY[name]
-        n_warm = 4 if name in CLOSURE_FAMILY else 2
+        fam = name in CLOSURE_FAMILY
+        n_warm = 6 if fam else 2
         try:
             for _ in range(n_warm):  # codegen + C2 JIT + footer cache
                 materialize(q.fn(spark, sf_dir))
+                if fam:
+                    # closure executions pin ~44 localCheckpoint label
+                    # blocks EACH; ContextCleaner frees them only after
+                    # a driver GC, so 9 back-to-back runs of one family
+                    # query accumulate enough executor state to inflate
+                    # its own timed window 2-5x (the residual
+                    # one-slow-draw mechanism — the per-query GC below
+                    # never fires between a single query's runs)
+                    _gc()
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 materialize(q.fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
+                if fam:
+                    _gc()
             timings[name] = round(statistics.median(runs), 4)
         except Exception as exc:  # pragma: no cover - keep sweeping
             print(f"bench_full: {name} failed: {exc}", file=sys.stderr)
