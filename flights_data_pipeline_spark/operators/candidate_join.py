@@ -13,31 +13,54 @@ broadcast then OOMs the driver instead of degrading to a shuffle.
 
 This module puts the dispatch the global-order operator already has
 (``operators/global_order.plan_size_small`` — driver-side Catalyst
-estimate, no jobs) in front of every candidate broadcast:
+estimate, no jobs) in front of every candidate broadcast. Three-way
+dispatch (:func:`dispatch`), because the two frames involved scale
+DIFFERENTLY in the corpus:
 
-* **small / confidently estimable** → ``payload.join(F.broadcast(cand))``
-  — one broadcast, zero shuffles of the payload;
-* **large or unknown** → the production plan the dedup docstrings
-  describe: LEFT-SEMI filter the payload down to candidate ids first
-  (no broadcast hint — AQE converts the semi join to a broadcast at
-  runtime if the id list measures small, and keeps a shuffle join if
-  not, which degrades instead of OOMing), then a SHUFFLE_HASH equi
-  join against the candidate frame. The semi join and the pair join
-  hash-partition on the same key, so the filtered payload is not
-  re-shuffled between them.
+* ``"broadcast"`` — the candidate PAIR frame itself is confidently
+  estimated small → ``payload.join(F.broadcast(cand))``: one
+  broadcast, zero shuffles of the payload.
+* ``"semi-broadcast"`` — the pair frame cannot self-certify (the LSH
+  candidate plan contains a ``stack`` Generate, which defeats the
+  leaf-sum fallback), but a Generate-free corpus proxy (``scale_df``,
+  the per-doc signature frame) certifies the CORPUS small. A small
+  corpus bounds the candidate **id list** (≤ one id per corpus row —
+  linear), so the distinct id list broadcasts into the semi filter;
+  the PAIR frame does **not** broadcast — pair cardinality is
+  quadratic in duplicate density, not bounded by corpus bytes (a
+  dup-dense ≤64 MB corpus of ~100k near-identical tiny docs yields
+  O(n²) ≈ GBs of pairs — the round-10 ADVICE hole). The pair join
+  runs SHUFFLE_HASH on the semi-filtered payload, which at that point
+  holds only candidate rows.
+* ``"shuffle"`` — neither certifies (or the input is checkpointed,
+  i.e. unestimatable): LEFT-SEMI filter with no broadcast hint (AQE
+  converts it to a broadcast at runtime if the id list MEASURES
+  small, and keeps a shuffle join if not, degrading instead of
+  OOMing), then the SHUFFLE_HASH pair join. The semi join and the
+  pair join hash-partition on the same key, so the filtered payload
+  is not re-shuffled between them. No ``distinct`` on the semi
+  right side — a semi join already ignores right-side duplicates,
+  and the dedup exchange+aggregate would be pure overhead when
+  nothing is broadcast.
 
-The candidate frame is typically the output of a self-join + groupBy,
-whose top-of-plan estimate is join-inflated; ``plan_size_small`` then
-falls back to the leaf-scan sum — candidates derived from a ≤64 MB
-corpus slice broadcast, anything bigger (or checkpointed, i.e.
-unestimatable) takes the shuffle plan. Like the global-order
-threshold, 64 MB sits deliberately above the true crossover because
-un-analyzed estimates are conservative upward; a misroute inside the
-band costs a bounded extra shuffle, never a driver OOM.
+Like the global-order threshold, 64 MB sits deliberately above the
+true crossover because un-analyzed estimates are conservative upward;
+a misroute inside the band costs a bounded extra shuffle, never a
+driver OOM.
 
-``FORCE`` pins a path for tests: equivalence tests run both paths on
+``FORCE`` pins a path for tests: equivalence tests run all paths on
 the same input; the plan pin asserts the shuffle path contains no
-BroadcastExchange of the candidate subtree.
+BroadcastExchange at all and the semi-broadcast path broadcasts only
+the id list (exactly one BroadcastExchange under disabled
+auto-broadcast).
+
+Dispatch decisions are memoizable per (session, caller key): the
+driver-side ``optimizedPlan()`` walk costs ~0.2-0.3 s on a large
+composed plan (measured on ``incremental_neardup_ingest``, BASELINE
+round-10), constant in data size but repeated when composers re-run —
+callers whose inputs are immutable within a session (the registry
+queries: everything derives from the sf_dir parquet) pass
+``cache_key`` and pay it once, the ``_kmeans_cached`` pattern.
 """
 
 from __future__ import annotations
@@ -47,42 +70,68 @@ from pyspark.sql import functions as F
 
 from .global_order import plan_size_small
 
-#: dispatch override: ``None`` = size-adaptive, ``"broadcast"`` /
-#: ``"shuffle"`` force a path.
+#: dispatch override: ``None`` = size-adaptive; ``"broadcast"`` /
+#: ``"semi-broadcast"`` / ``"shuffle"`` force a path.
 FORCE: str | None = None
 
 #: candidate frames confidently estimated at or below this broadcast;
-#: everything larger or unestimatable takes the semi-filter + shuffle
-#: plan. Same calibration posture as ``global_order.NAIVE_MAX_BYTES``.
+#: corpus proxies at or below this certify the (linear) id list for
+#: the semi-broadcast path. Same calibration posture as
+#: ``global_order.NAIVE_MAX_BYTES``.
 CAND_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+#: memoized dispatch decisions, keyed (applicationId, caller key).
+#: Only consulted when the caller passes ``cache_key`` — the caller
+#: asserts its (cand, scale_df) plans are a pure function of the key
+#: within a session (true for registry queries: immutable parquet in).
+_DECISIONS: dict[tuple[str, object], str] = {}
+
+
+def dispatch(
+    cand: DataFrame,
+    scale_df: DataFrame | None = None,
+    cache_key: object | None = None,
+) -> str:
+    """Three-way dispatch decision for a candidate frame —
+    ``"broadcast"`` | ``"semi-broadcast"`` | ``"shuffle"`` (see module
+    docstring). Call BEFORE ``localCheckpoint`` — a checkpointed plan
+    is an ExistingRDD leaf whose stat is the session default, which
+    would always route to the shuffle path.
+
+    Only the pair frame's OWN estimate can certify ``"broadcast"``:
+    the corpus proxy bounds ids (linear) but never pairs (quadratic in
+    duplicate density), so ``scale_df`` certifying small yields
+    ``"semi-broadcast"`` — broadcast the id list, shuffle the pairs.
+    """
+    if FORCE is not None:
+        return FORCE
+    if cache_key is not None:
+        key = (cand.sparkSession.sparkContext.applicationId, cache_key)
+        hit = _DECISIONS.get(key)
+        if hit is not None:
+            return hit
+    if plan_size_small(cand, CAND_BROADCAST_MAX_BYTES):
+        mode = "broadcast"
+    elif scale_df is not None and plan_size_small(
+        scale_df, CAND_BROADCAST_MAX_BYTES
+    ):
+        mode = "semi-broadcast"
+    else:
+        mode = "shuffle"
+    if cache_key is not None:
+        _DECISIONS[key] = mode
+    return mode
 
 
 def use_broadcast(cand: DataFrame, scale_df: DataFrame | None = None) -> bool:
-    """Dispatch decision for a candidate frame. Call BEFORE
-    ``localCheckpoint`` — a checkpointed plan is an ExistingRDD leaf
-    whose stat is the session default, which would always route to
-    the shuffle path.
-
-    ``scale_df`` is an optional Generate-free proxy for corpus scale
-    (the per-doc signature frame): the LSH candidate plan contains a
-    ``stack`` Generate (the band fan-out), which makes the leaf-sum
-    fallback refuse to certify it, so on its own it would never
-    broadcast. A corpus slice confidently under the threshold keeps
-    the candidate frame broadcastable in every non-pathological case
-    (the id/count rows are narrower than the documents they index); a
-    pathological all-duplicates corpus that blows the pair count up
-    quadratically is exactly the case the shuffle path exists for,
-    and it is reached the moment the corpus itself outgrows the
-    threshold."""
-    if FORCE == "broadcast":
-        return True
-    if FORCE == "shuffle":
-        return False
-    if plan_size_small(cand, CAND_BROADCAST_MAX_BYTES):
-        return True
-    return scale_df is not None and plan_size_small(
-        scale_df, CAND_BROADCAST_MAX_BYTES
-    )
+    """Back-compat boolean view of :func:`dispatch` for callers that
+    only distinguish "may broadcast the ID LIST" from "must shuffle":
+    True for both ``broadcast`` and ``semi-broadcast`` (the id list is
+    linear-bounded under either certificate). NEVER use this to gate a
+    pair-frame broadcast — that is exactly the quadratic-blowup hole
+    the three-way dispatch closes; use :func:`dispatch` or
+    :func:`join_candidates` instead."""
+    return dispatch(cand, scale_df) != "shuffle"
 
 
 def join_candidates(
@@ -90,22 +139,32 @@ def join_candidates(
     cand: DataFrame,
     on: str | list[str],
     *,
-    broadcast: bool | None = None,
+    mode: str | None = None,
     scale_df: DataFrame | None = None,
+    cache_key: object | None = None,
 ) -> DataFrame:
     """Inner-join ``cand`` (id/count rows, no arrays) into ``payload``
-    (the array-carrying side) on ``on``, choosing broadcast vs
-    semi-filter + shuffle by the size dispatch.
+    (the array-carrying side) on ``on``, choosing the physical plan by
+    the three-way size dispatch.
 
-    ``broadcast`` overrides the decision for callers that must decide
-    on a pre-checkpoint plan (pass ``use_broadcast(cand)`` computed
-    before the checkpoint)."""
-    if broadcast is None:
-        broadcast = use_broadcast(cand, scale_df)
-    if broadcast:
+    ``mode`` overrides the decision for callers that must decide on a
+    pre-checkpoint plan (pass ``dispatch(cand, ...)`` computed before
+    the checkpoint)."""
+    if mode is None:
+        mode = dispatch(cand, scale_df, cache_key)
+    if mode == "broadcast":
         return payload.join(F.broadcast(cand), on)
     keys = [on] if isinstance(on, str) else list(on)
-    filtered = payload.join(cand.select(*keys).distinct(), keys, "left_semi")
+    if mode == "semi-broadcast":
+        # the DISTINCT id list is linear in the corpus (≤1 id per doc),
+        # so the corpus certificate covers it; distinct here shrinks
+        # the broadcast payload, unlike the shuffle path below
+        ids = F.broadcast(cand.select(*keys).distinct())
+    else:
+        # semi join ignores right-side duplicates; no distinct, no
+        # broadcast hint — AQE picks broadcast-vs-shuffle at runtime
+        ids = cand.select(*keys)
+    filtered = payload.join(ids, keys, "left_semi")
     return filtered.join(cand.hint("shuffle_hash"), keys)
 
 
@@ -114,16 +173,19 @@ def filter_by_keys(
     keys_df: DataFrame,
     on: str | list[str],
     *,
-    broadcast: bool | None = None,
+    mode: str | None = None,
+    scale_df: DataFrame | None = None,
 ) -> DataFrame:
     """Restrict ``payload`` to rows whose ``on`` keys appear in
-    ``keys_df`` (a distinct key list), size-gated the same way: small
-    key lists broadcast into the semi join, large/unknown ones join
-    un-hinted so AQE picks broadcast-vs-shuffle at runtime."""
-    if broadcast is None:
-        broadcast = use_broadcast(keys_df)
+    ``keys_df``, size-gated the same way. A key list is LINEAR in the
+    corpus, so both non-shuffle modes broadcast the distinct key list
+    into the semi join; ``"shuffle"`` joins un-hinted (no distinct)
+    so AQE picks broadcast-vs-shuffle at runtime."""
+    if mode is None:
+        mode = dispatch(keys_df, scale_df)
     keys = [on] if isinstance(on, str) else list(on)
-    right = keys_df.select(*keys).distinct()
-    if broadcast:
-        right = F.broadcast(right)
+    if mode == "shuffle":
+        right = keys_df.select(*keys)
+    else:
+        right = F.broadcast(keys_df.select(*keys).distinct())
     return payload.join(right, keys, "left_semi")

@@ -166,6 +166,28 @@ DIM_TIME_SQL = """
     FROM (SELECT explode(sequence(0, 1439)) AS m)
 """
 
+#: DuckDB twin of :data:`DIM_TIME_SQL` — shared by the transform
+#: oracle (``ORACLES['dim_time']``) and the ``calendar_time_dim``
+#: registry oracle so the two ORACLE copies cannot drift either
+#: (round-10 ADVICE: the Spark body was already shared; the DuckDB
+#: body was duplicated verbatim in two places).
+DIM_TIME_ORACLE_SQL = """
+    SELECT CAST(m AS INT) AS time_key,
+           CAST(m // 60 AS INT) AS hour,
+           CAST(m % 60 AS INT) AS minute,
+           lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS hhmm,
+           CASE WHEN m // 60 < 12 THEN 'AM' ELSE 'PM' END AS am_pm,
+           CAST(CASE WHEN (m // 60) % 12 = 0 THEN 12
+                     ELSE (m // 60) % 12 END AS INT) AS hour_12,
+           CASE WHEN m // 60 BETWEEN 5 AND 11 THEN 'morning'
+                WHEN m // 60 BETWEEN 12 AND 16 THEN 'afternoon'
+                WHEN m // 60 BETWEEN 17 AND 21 THEN 'evening'
+                ELSE 'night' END AS day_part,
+           m // 60 BETWEEN 9 AND 16 AS is_business_hour
+    FROM (SELECT unnest(generate_series(0, 1439)) AS m)
+"""
+
 
 def dim_time(spark: SparkSession, stg: str) -> DataFrame:
     """Time-of-day calendar dim (SURVEY.md §1.4/§2.9 [inferred]: the
@@ -173,8 +195,10 @@ def dim_time(spark: SparkSession, stg: str) -> DataFrame:
     dims; reference ``include/warehouse_init.sql:3``, LFS pointer).
 
     Minute grain — exactly 1440 rows, time_key = minutes since
-    midnight, so any fact joins on
-    ``hour(ts) * 60 + minute(ts)``. Attributes cover the analysis
+    midnight; ``fct_flight_activity.dep_time_key`` carries the FK
+    (``hour(ts) * 60 + minute(ts)``) and
+    ``queries/flights.flights_delay_by_day_part`` exercises the join
+    end-to-end. Attributes cover the analysis
     axes a time dim exists for: 24h/12h clock, AM/PM, day-part
     buckets, business-hours flag."""
     return spark.sql(DIM_TIME_SQL)
@@ -233,6 +257,12 @@ def fct_flight_activity(
         "flight_id",
         "flight_no",
         F.to_date("scheduled_departure").alias("flight_date_key"),
+        # minutes-since-midnight FK into dim_time (minute grain):
+        # the consumer the time dim exists for (round-10 ADVICE —
+        # a dim no fact can join is free-standing)
+        (F.hour("scheduled_departure") * 60 + F.minute("scheduled_departure"))
+        .cast("int")
+        .alias("dep_time_key"),
         "departure_airport",
         "arrival_airport",
         _sk("aircraft_code").alias("aircraft_sk"),
@@ -419,22 +449,7 @@ ORACLES: dict[str, str] = {
                                             DATE '2026-12-31',
                                             INTERVAL 1 DAY)) AS d)
     """,
-    "dim_time": """
-        SELECT CAST(m AS INT) AS time_key,
-               CAST(m // 60 AS INT) AS hour,
-               CAST(m % 60 AS INT) AS minute,
-               lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
-                 lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS hhmm,
-               CASE WHEN m // 60 < 12 THEN 'AM' ELSE 'PM' END AS am_pm,
-               CAST(CASE WHEN (m // 60) % 12 = 0 THEN 12
-                         ELSE (m // 60) % 12 END AS INT) AS hour_12,
-               CASE WHEN m // 60 BETWEEN 5 AND 11 THEN 'morning'
-                    WHEN m // 60 BETWEEN 12 AND 16 THEN 'afternoon'
-                    WHEN m // 60 BETWEEN 17 AND 21 THEN 'evening'
-                    ELSE 'night' END AS day_part,
-               m // 60 BETWEEN 9 AND 16 AS is_business_hour
-        FROM (SELECT unnest(generate_series(0, 1439)) AS m)
-    """,
+    "dim_time": DIM_TIME_ORACLE_SQL,
     "fct_booking_ticket": f"""
         SELECT {_dsk('tf.ticket_no', 'tf.flight_id')} AS booking_ticket_sk,
                t.book_ref, tf.ticket_no, tf.flight_id,
@@ -453,6 +468,8 @@ ORACLES: dict[str, str] = {
     "fct_flight_activity": f"""
         SELECT {_dsk('flight_id')} AS flight_sk, flight_id, flight_no,
                CAST(scheduled_departure AS DATE) AS flight_date_key,
+               CAST(hour(scheduled_departure) * 60
+                    + minute(scheduled_departure) AS INT) AS dep_time_key,
                departure_airport, arrival_airport,
                {_dsk('aircraft_code')} AS aircraft_sk, status,
                scheduled_departure, actual_departure,

@@ -29,9 +29,9 @@ from pyspark.sql.window import Window as W
 
 from ..io.catalog import load_table as t
 from ..operators.candidate_join import (
+    dispatch as cand_dispatch,
     filter_by_keys,
     join_candidates,
-    use_broadcast,
 )
 from .registry import query
 
@@ -400,7 +400,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan so a dup-dense 100 TB corpus degrades to a shuffle instead
     # of OOMing the driver. per_doc's exchange is reused by
     # sha/shb/bands either way, so the corpus pass still runs once.
-    paired = join_candidates(sha, cand, "a_id", scale_df=per_doc)
+    # cache_key: all inputs derive from the immutable sf_dir parquet,
+    # so the ~0.2 s driver-side plan walk is paid once per session.
+    paired = join_candidates(
+        sha,
+        cand,
+        "a_id",
+        scale_df=per_doc,
+        cache_key=("minhash_lsh_candidates", sf_dir),
+    )
     both = shb.join(paired.hint("shuffle_hash"), "b_id")
     n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("bigint")
     return both.select(
@@ -872,7 +880,9 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _lsh_candidates(per_doc).select("a_id", "b_id")
     # dispatch BEFORE the checkpoint (a checkpointed plan is
     # unestimatable and would always route to the shuffle path)
-    bcast = use_broadcast(cand, per_doc)
+    mode = cand_dispatch(
+        cand, per_doc, cache_key=("longest_shared_run", sf_dir)
+    )
     cand = cand.localCheckpoint(eager=False)  # feeds id filter + pair join
     from .text import positional_gram_hashes
 
@@ -885,7 +895,7 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         positional_gram_hashes(t(spark, sf_dir, "documents")),
         ids,
         "doc_id",
-        broadcast=bcast,
+        mode=mode,
     )
     ga = g.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "h"
@@ -893,7 +903,7 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = g.select(
         F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"), "h"
     )
-    m = join_candidates(ga, cand, "a_id", broadcast=bcast).join(
+    m = join_candidates(ga, cand, "a_id", mode=mode).join(
         gb, ["b_id", "h"]
     )
     isl = m.select(
@@ -1953,8 +1963,17 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same size-gated discipline as minhash_lsh_candidates: small
     # id-only candidate frames broadcast, large/unknown ones take the
-    # semi-filter + shuffle plan; array sides always join SHUFFLE_HASH
-    paired = join_candidates(sha, cand, "a_id", scale_df=per_doc)
+    # semi-filter + shuffle plan; array sides always join SHUFFLE_HASH.
+    # cache_key memoizes the ~0.2-0.3 s driver-side plan walk this
+    # query's large composed plan pays (BASELINE round-10) — inputs
+    # are the immutable sf_dir parquet, so once per session.
+    paired = join_candidates(
+        sha,
+        cand,
+        "a_id",
+        scale_df=per_doc,
+        cache_key=("incremental_neardup_ingest", sf_dir),
+    )
     both = shb.join(paired.hint("shuffle_hash"), "b_id")
     ver = both.select(
         "b_id",

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import derive
 from ..pipeline.runner import run_pipeline
-from ..pipeline.transforms import ORACLES
+from ..pipeline.transforms import DIM_TIME_ORACLE_SQL, ORACLES
 from .registry import query
 
 _WAREHOUSES: dict[str, str] = {}
@@ -150,6 +150,57 @@ def flights_boarding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         *[c for c in f.columns if c != "amount"],
         F.col("amount").cast("double").alias("amount_dbl"),
+    )
+
+
+@query(
+    "flights_delay_by_day_part",
+    oracle=derive.oracle_with(
+        f"""
+        WITH ffa AS ({ORACLES["fct_flight_activity"]}),
+             dtm AS ({DIM_TIME_ORACLE_SQL})
+        SELECT dtm.day_part, dtm.is_business_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_flights,
+               CAST(SUM(CASE WHEN ffa.dep_delay_sec_floor > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_delayed,
+               CAST(SUM(COALESCE(ffa.dep_delay_sec_floor, 0)) AS BIGINT)
+                 AS sum_dep_delay_sec
+        FROM ffa JOIN dtm ON ffa.dep_time_key = dtm.time_key
+        GROUP BY dtm.day_part, dtm.is_business_hour
+        """
+    ),
+)
+def flights_delay_by_day_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Departure-delay rollup by time-of-day bucket — the consumer
+    ``dim_time`` exists for (round-10 ADVICE: a dim no fact joins is
+    free-standing): ``fct_flight_activity.dep_time_key`` (minutes
+    since midnight, stamped by the transform) joins the minute-grain
+    time dim, and delays roll up by (day_part, business-hours flag).
+
+    Physical shape: the 1440-row dim BROADCASTS into the fact (J5),
+    then one partial+final aggregate over ≤8 groups — the canonical
+    star-join rollup, zero fact-side pre-shuffle."""
+    wh = _warehouse(spark, sf_dir)
+    fct = spark.read.parquet(f"{wh}/fct_flight_activity")
+    dtm = spark.read.parquet(f"{wh}/dim_time").select(
+        F.col("time_key").alias("dep_time_key"),
+        "day_part",
+        "is_business_hour",
+    )
+    return (
+        fct.join(F.broadcast(dtm), "dep_time_key")
+        .groupBy("day_part", "is_business_hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_flights"),
+            F.sum(
+                F.when(F.col("dep_delay_sec_floor") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_delayed"),
+            F.sum(F.coalesce("dep_delay_sec_floor", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_dep_delay_sec"),
+        )
     )
 
 

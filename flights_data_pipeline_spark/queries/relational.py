@@ -36,6 +36,7 @@ from pyspark.sql.window import Window as W
 from ..functions.scalars import money as dec
 from ..functions.scalars import money_out as dec_out
 from ..io.catalog import load_table as t
+from ..pipeline.transforms import DIM_TIME_ORACLE_SQL, DIM_TIME_SQL
 from .registry import query
 
 
@@ -617,35 +618,16 @@ def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "calendar_time_dim",
-    oracle="""
-    SELECT CAST(m AS INT) AS time_key,
-           CAST(m // 60 AS INT) AS hour,
-           CAST(m % 60 AS INT) AS minute,
-           lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
-             lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS hhmm,
-           CASE WHEN m // 60 < 12 THEN 'AM' ELSE 'PM' END AS am_pm,
-           CAST(CASE WHEN (m // 60) % 12 = 0 THEN 12
-                     ELSE (m // 60) % 12 END AS INT) AS hour_12,
-           CASE WHEN m // 60 BETWEEN 5 AND 11 THEN 'morning'
-                WHEN m // 60 BETWEEN 12 AND 16 THEN 'afternoon'
-                WHEN m // 60 BETWEEN 17 AND 21 THEN 'evening'
-                ELSE 'night' END AS day_part,
-           m // 60 BETWEEN 9 AND 16 AS is_business_hour
-    FROM (SELECT unnest(generate_series(0, 1439)) AS m)
-    """,
-)
+@query("calendar_time_dim", oracle=DIM_TIME_ORACLE_SQL)
 def calendar_time_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dim_time — the time-of-day calendar dim at minute grain
     (SURVEY §1.4/§2.9 [inferred from the reference's 17 KB
     ``warehouse_init.sql``, LFS pointer]): 1440 rows, time_key =
     minutes since midnight, 24h/12h clock, AM/PM, day-part buckets,
-    business-hours flag. Shares its SQL body with the pipeline
-    transform (``pipeline/transforms.dim_time``) so the registry
-    surface and the warehouse dim cannot drift."""
-    from ..pipeline.transforms import DIM_TIME_SQL
-
+    business-hours flag. Shares BOTH bodies with the pipeline
+    transform (``pipeline/transforms.DIM_TIME_SQL`` /
+    ``DIM_TIME_ORACLE_SQL``) so neither the Spark surface nor the
+    DuckDB oracle can drift between the two consumers."""
     return spark.sql(DIM_TIME_SQL)
 
 

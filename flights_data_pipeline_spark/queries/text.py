@@ -876,27 +876,60 @@ def lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-deterministic boilerplate. Every document gets a row (0
     bigrams → NULL avg, flags false).
 
-    Scale: bigram extraction is one narrow pass (shifted-array
-    zip_with, no self-join); the model tables are two keyed aggregates
-    with map-side partials; scoring re-joins the doc bigrams on
-    (w1,w2) and w1 — corpus-linear shuffles on uniformly-hashed token
-    keys, vocabulary broadcast as one row. No per-doc state exceeds
-    its own bigram list; nothing is corpus-quadratic.
+    Scale: bigram extraction (shifted-array zip_with, no self-join)
+    runs ONCE — the per-doc (doc_id, w1, w2, n) count frame is
+    localCheckpointed and feeds both the model aggregates and the
+    scoring join (round-10 ADVICE: un-checkpointed, the corpus explode
+    re-executed for scoring). The checkpointed frame is bounded by the
+    corpus token count (distinct bigram types per doc), distributed
+    across executors like every other per-doc checkpoint here. Model
+    tables are two keyed aggregates with map-side partials; scoring
+    re-joins on (w1,w2) and w1 — corpus-linear shuffles on
+    uniformly-hashed token keys, vocabulary broadcast as one row. No
+    per-doc state exceeds its own bigram list; nothing is
+    corpus-quadratic. The model/score core is factored out
+    (:func:`lm_surprisal_surface`) so the streaming maintenance twin
+    re-derives the identical surface from its bigram-count store.
     """
     d = t(spark, sf_dir, "documents")
+    dbg = doc_bigram_counts(d).localCheckpoint(eager=False)
+    return lm_surprisal_surface(d.select("doc_id"), dbg)
+
+
+def doc_bigram_counts(docs: DataFrame) -> DataFrame:
+    """Per-document bigram TYPE counts ``(doc_id, w1, w2, n)`` from
+    whitespace tokenization — the sufficient statistic for the
+    surprisal model AND readout (counts aggregate to the corpus model;
+    ``n``-weighted bits aggregate to doc scores). One narrow explode +
+    one map-side-combinable aggregate; rows bounded by corpus tokens."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    bg = d.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                toks,
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2").filter(F.col("w2").isNotNull())
-    counts = bg.groupBy("w1", "w2").agg(
-        F.count("*").cast("bigint").alias("c12")
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .filter(F.col("w2").isNotNull())
+    )
+    return bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def lm_surprisal_surface(doc_ids: DataFrame, dbg: DataFrame) -> DataFrame:
+    """The surprisal model + readout over a per-doc bigram-count frame
+    ``dbg`` (``doc_id, w1, w2, n``) — shared verbatim by the batch
+    query and the streaming twin's store readout so the two surfaces
+    cannot drift. ``doc_ids`` supplies the every-doc-gets-a-row
+    contract (0 bigrams → NULL avg, flags false)."""
+    counts = dbg.groupBy("w1", "w2").agg(
+        F.sum("n").cast("bigint").alias("c12")
     )
     totals = counts.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1")
@@ -905,28 +938,32 @@ def lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("w2").cast("bigint").alias("v")
     )
     scored = (
-        bg.join(counts, ["w1", "w2"])
+        dbg.join(counts, ["w1", "w2"])
         .join(totals, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "n",
             (
-                F.length(F.bin(F.col("c1") + F.col("v")))
-                - F.length(F.bin(F.col("c12") + 1))
+                F.col("n")
+                * (
+                    F.length(F.bin(F.col("c1") + F.col("v")))
+                    - F.length(F.bin(F.col("c12") + 1))
+                )
             )
             .cast("bigint")
             .alias("bits"),
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("n").cast("bigint").alias("n_bigrams"),
         F.sum("bits").cast("bigint").alias("total_bits"),
     )
     avg = F.col("total_bits").cast("double") / F.col("n_bigrams").cast(
         "double"
     )
     return (
-        d.select("doc_id")
+        doc_ids.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
