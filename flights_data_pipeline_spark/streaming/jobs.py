@@ -1812,3 +1812,109 @@ def contamination_from_store(spark, store_path: str) -> DataFrame:
             ).alias("fp_jaccard"),
         )
     )
+
+
+#: compact the surprisal bigram store once its delta appends exceed
+#: this many parquet files (same posture as the contamination store).
+LM_SURPRISAL_COMPACT_FILES = 64
+
+
+def lm_surprisal_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of ``text.lm_surprisal_filter``'s
+    sufficient statistic: per-document bigram TYPE counts
+    ``(doc_id, w1, w2, n)`` plus one sentinel row per document
+    (``w1/w2 NULL, n 0`` — the every-doc-gets-a-row contract for
+    zero-bigram documents).
+
+    Why the state is the bigram store and not per-doc scores: a doc's
+    average surprisal depends on the CURRENT corpus model (c1, c12,
+    V), and every arriving batch shifts all three globally — no
+    previously-computed doc score survives any batch, so there is no
+    incrementally-maintainable score store (the same non-monotonicity
+    argument as ``domain_token_budget_stream``'s re-apportionment).
+    What IS maintainable is the additive sufficient statistic: the
+    model aggregates are sums over the per-doc bigram counts, and the
+    readout is an n-weighted join against them — so the store holds
+    exactly those counts, and ``lm_surprisal_from_store`` re-derives
+    the full surface through the batch query's own
+    ``lm_surprisal_surface`` core (factored out so the two surfaces
+    cannot drift).
+
+    Store I/O is APPEND+COMPACT (the ``contamination_stream``
+    pattern): documents are immutable and their bigram counts are a
+    pure function of their text, so the store is grow-only keyed by
+    doc_id — each batch appends only rows for UNSEEN doc_ids
+    (anti-join delta, O(new) written per batch), which also makes
+    at-least-once replays idempotent; a file-count-triggered
+    compaction bounds small-file accumulation. State grain: one row
+    per distinct (doc_id, bigram type) plus one per doc — bounded by
+    corpus tokens, never corpus-quadratic. Returns the started
+    ``StreamingQuery`` (availableNow trigger).
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        from ..operators.merge import _swap_in, read_store_or_none
+        from ..queries.text import doc_bigram_counts
+
+        # winner-dedup within the batch (min-struct, deterministic),
+        # then keep only UNSEEN docs — the store is grow-only by doc_id
+        docs = (
+            batch.groupBy("doc_id")
+            .agg(F.min(F.struct("text")).alias("__w"))
+            .select("doc_id", F.col("__w.text").alias("text"))
+        )
+        store = read_store_or_none(spark, store_path)
+        if store is not None:
+            docs = docs.join(store.select("doc_id"), "doc_id", "left_anti")
+        # materialize BEFORE writing so the append never reads the
+        # files it is adding to
+        docs = docs.localCheckpoint(eager=True)
+        if docs.isEmpty():
+            return
+        rows = doc_bigram_counts(docs).unionByName(
+            docs.select(
+                "doc_id",
+                F.lit(None).cast("string").alias("w1"),
+                F.lit(None).cast("string").alias("w2"),
+                F.lit(0).cast("bigint").alias("n"),
+            )
+        )
+        if store is None:
+            _swap_in(spark, rows, store_path)
+            return
+        rows.coalesce(1).write.mode("append").parquet(store_path)
+        import glob as _glob
+
+        if (
+            len(_glob.glob(f"{store_path}/*.parquet"))
+            > LM_SURPRISAL_COMPACT_FILES
+        ):
+            _swap_in(spark, spark.read.parquet(store_path), store_path)
+
+    keyed = stream.select("doc_id", "text")
+    writer = keyed.writeStream.foreachBatch(_merge_batch).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def lm_surprisal_from_store(spark, store_path: str) -> DataFrame:
+    """Derive the batch ``lm_surprisal_filter`` surface (doc_id,
+    n_bigrams, total_bits, avg_bits, is_high/low_surprisal) from the
+    streaming bigram store — the twin the equivalence tests compare.
+    The model (c1/c12/V) is recomputed from the store's counts through
+    the shared ``lm_surprisal_surface`` core, exactly as the batch
+    query computes it from its one-pass bigram frame."""
+    from ..queries.text import lm_surprisal_surface
+
+    st = spark.read.parquet(store_path).localCheckpoint(eager=False)
+    doc_ids = st.filter(F.col("w1").isNull()).select("doc_id")
+    dbg = st.filter(F.col("w1").isNotNull())
+    return lm_surprisal_surface(doc_ids, dbg)
