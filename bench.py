@@ -114,6 +114,9 @@ HEADLINE = [
     # round-10 additions
     "lm_surprisal_filter",
     "cluster_representatives",
+    # round-11 additions
+    "surprisal_span_localization",
+    "dedup_token_savings_by_source",
 ]
 
 

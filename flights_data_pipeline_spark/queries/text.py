@@ -2170,3 +2170,209 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("double") / F.count("*").cast("double")
         ).alias("mean_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level surprisal localization: WHERE a doc is high-perplexity.
+# ---------------------------------------------------------------------------
+#: sliding-window width in bigrams for span localization — wide enough
+#: to span a sentence-ish run, narrow enough to point at it. Docs with
+#: fewer bigrams use their full length as the (single) window.
+SURPRISAL_SPAN_WINDOW = 16
+
+
+@query(
+    "surprisal_span_localization",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS w1,
+             toks[i + 1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(toks))) t(i)
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM counts
+    ),
+    pb AS (
+      SELECT b.doc_id, b.pos,
+             CAST(length(bin(t.c1 + vocab.v))
+                  - length(bin(c.c12 + 1)) AS BIGINT) AS bits
+      FROM bg b
+      JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN totals t ON b.w1 = t.w1
+      CROSS JOIN vocab
+    ),
+    cum AS (
+      SELECT doc_id, pos,
+             CAST(SUM(bits) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_bits,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_bigrams
+      FROM pb
+    ),
+    wins AS (
+      SELECT e.doc_id, e.n_bigrams,
+             LEAST({SURPRISAL_SPAN_WINDOW}, e.n_bigrams) AS win_len,
+             e.pos - LEAST({SURPRISAL_SPAN_WINDOW}, e.n_bigrams) + 1
+               AS win_start,
+             e.cum_bits - COALESCE(p.cum_bits, 0) AS win_bits
+      FROM cum e
+      LEFT JOIN cum p
+        ON p.doc_id = e.doc_id
+       AND p.pos = e.pos - LEAST({SURPRISAL_SPAN_WINDOW}, e.n_bigrams)
+      WHERE e.pos >= LEAST({SURPRISAL_SPAN_WINDOW}, e.n_bigrams)
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY win_bits DESC,
+                                            win_start ASC) AS rn
+      FROM wins
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(win_len AS BIGINT) AS win_len,
+           CAST(win_start AS BIGINT) AS win_start,
+           CAST(win_bits AS BIGINT) AS win_bits,
+           CAST(win_bits AS DOUBLE) / CAST(win_len AS DOUBLE)
+             AS win_avg_bits
+    FROM best WHERE rn = 1
+    """,
+)
+def surprisal_span_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE a document is improbable, not just THAT it is: the
+    maximum-total-surprisal sliding window of
+    {SURPRISAL_SPAN_WINDOW} consecutive bigrams per document (ties →
+    earliest start), under the same quantized add-one-smoothed corpus
+    bigram model as ``lm_surprisal_filter`` — the actionable version
+    of the perplexity gate (a gate DROPS the doc; this names the span
+    to TRIM, the same drop-vs-trim distinction ``longest_shared_run``
+    draws for near-dup verdicts). Docs shorter than the window use
+    their full bigram length as the single window; docs with zero
+    bigrams have no span to localize and emit no row.
+
+    Windowing is restated as cumulative-sum differences so both
+    engines compute it identically with FIXED frames: win_bits(start)
+    = cum[start+L−1] − cum[start−1], with the L-offset row attached by
+    a doc-partitioned self-equi-join on (doc_id, pos−L) — no
+    variable-width frame (which SQL window frames cannot express) and
+    no per-row array building.
+
+    Scale: bits per POSITION come from the same corpus-linear model
+    joins as the filter (keyed aggregates, one-row vocabulary
+    broadcast); everything after is partitioned BY doc_id — the
+    cumulative window, the offset self-join, and the argmax
+    row_number all run inside doc-grain partitions (bounded by doc
+    length, never corpus-grain). Nothing is corpus-quadratic.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pos_bg = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("pos"),
+            F.col("col.w1").alias("w1"),
+            F.col("col.w2").alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    counts = pos_bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    totals = counts.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    vocab = counts.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    pb = (
+        pos_bg.join(counts, ["w1", "w2"])
+        .join(totals, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.length(F.bin(F.col("c1") + F.col("v")))
+                - F.length(F.bin(F.col("c12") + 1))
+            )
+            .cast("bigint")
+            .alias("bits"),
+        )
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    cum = pb.select(
+        "doc_id",
+        "pos",
+        F.sum("bits")
+        .over(wd.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_bits"),
+        F.count("*")
+        .over(W.partitionBy("doc_id"))
+        .cast("bigint")
+        .alias("n_bigrams"),
+    ).localCheckpoint(eager=False)  # both self-join sides reuse one pass
+    win_len = F.least(F.lit(SURPRISAL_SPAN_WINDOW), F.col("n_bigrams"))
+    ends = cum.filter(F.col("pos") >= win_len).select(
+        "doc_id",
+        "n_bigrams",
+        win_len.alias("win_len"),
+        (F.col("pos") - win_len + 1).alias("win_start"),
+        "pos",
+        "cum_bits",
+    )
+    prev = cum.select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("pos").alias("p_pos"),
+        F.col("cum_bits").alias("p_cum"),
+    )
+    wins = ends.join(
+        prev,
+        (F.col("doc_id") == F.col("p_doc"))
+        & (F.col("p_pos") == F.col("pos") - F.col("win_len")),
+        "left",
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "win_len",
+        "win_start",
+        (F.col("cum_bits") - F.coalesce(F.col("p_cum"), F.lit(0))).alias(
+            "win_bits"
+        ),
+    )
+    best = wins.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("win_bits").desc(), F.col("win_start").asc()
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("win_len").cast("bigint").alias("win_len"),
+        F.col("win_start").cast("bigint").alias("win_start"),
+        F.col("win_bits").cast("bigint").alias("win_bits"),
+        (F.col("win_bits").cast("double") / F.col("win_len").cast("double"))
+        .alias("win_avg_bits"),
+    )
