@@ -150,3 +150,66 @@ def oracle_sql_map() -> dict[str, str]:
         if text is not None:
             out[name] = text
     return out
+
+
+#: the shared heavy subtrees whose composers need special sweep
+#: treatment (see :func:`lsh_composer_clan`): the MinHash/LSH
+#: candidate pipeline and the winnowing fingerprint pass.
+_CLAN_SEED_HELPERS = frozenset(
+    {"_minhash_per_doc", "_lsh_candidates", "winnow_fp_set"}
+)
+
+
+def _called_names(fn) -> set[str]:
+    """Names invoked by ``fn``: direct calls (``helper(...)``/
+    ``other_query(...)``) plus registry compositions
+    (``REGISTRY["name"].fn(...)``) — docstrings and comments never
+    match (the substring-scan false-positive class)."""
+    import ast
+    import inspect
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError):
+        return set()
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name):
+                out.add(f.id)
+            elif isinstance(f, ast.Attribute):
+                out.add(f.attr)
+        if (
+            isinstance(node, ast.Subscript)
+            and isinstance(node.value, ast.Name)
+            and node.value.id == "REGISTRY"
+            and isinstance(node.slice, ast.Constant)
+            and isinstance(node.slice.value, str)
+        ):
+            out.add(node.slice.value)
+    return out
+
+
+def lsh_composer_clan() -> list[str]:
+    """Every registered query that (transitively) composes the
+    MinHash/LSH candidate pipeline or the winnowing fingerprint
+    subtree — the family whose executions pin deep tiered-JIT +
+    localCheckpoint state and therefore need the sweep-tail + GC
+    protocol in ``tools/bench_full.py``.
+
+    Discovered from the registry by AST call-graph inspection (direct
+    helper calls, composed-query calls by name, and
+    ``REGISTRY["..."].fn`` compositions), closed to a fixpoint — a new
+    composer joins the clan the day it is registered, instead of
+    rotating the sweep's one inflated draw onto itself (the round-10
+    VERDICT's structural-fix mandate; the hand-maintained list missed
+    ``split_leakage_report`` exactly this way)."""
+    deps = {name: _called_names(q.fn) for name, q in REGISTRY.items()}
+    clan = {n for n, d in deps.items() if d & _CLAN_SEED_HELPERS}
+    while True:
+        grown = clan | {n for n, d in deps.items() if d & clan}
+        if grown == clan:
+            return sorted(clan)
+        clan = grown

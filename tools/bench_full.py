@@ -46,21 +46,19 @@ def materialize(df) -> None:
 #: show the deepest member, cluster_representatives, only reaches its
 #: warm plateau on run ~5-6) — the published row then reflects the
 #: warm level an operator actually runs at.
-CLOSURE_FAMILY = [
-    # iterative-closure core
-    "dedup_keep_list",
-    "dedup_rate_by_source",
-    "incremental_neardup_ingest",
-    "near_dup_clusters",
-    # composers that re-run the closure / LSH-verify subtree — the
-    # first r10 sweep showed that moving only the core four to the
-    # tail makes whichever of THESE runs earliest draw the JIT bill
-    # instead (cluster_representatives 18.3 s vs 3.45 s warm)
-    "cluster_representatives",
-    "cross_source_neardup_matrix",
-    "lsh_band_precision",
-    "longest_shared_run",
-]
+#:
+#: Round-11 structural fix (round-10 VERDICT "what's wrong" #1): the
+#: family is DISCOVERED from the registry by AST call-graph closure
+#: (``registry.lsh_composer_clan`` — every query that transitively
+#: composes the MinHash/LSH or winnowing subtrees), not hand-named.
+#: The r10 hand-list tailed only 8 names, so the one inflated draw per
+#: sweep rotated onto whichever un-tailed composer ran latest
+#: (``split_leakage_report`` 9.72 s vs 3.15 s isolated in
+#: BENCH_full_r10); discovery also means a newly-registered composer
+#: joins the tail the day it lands.
+from flights_data_pipeline_spark.queries.registry import lsh_composer_clan
+
+CLOSURE_FAMILY = lsh_composer_clan()
 
 
 def main() -> None:
