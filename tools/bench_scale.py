@@ -159,7 +159,9 @@ def run_pass(spark, sf_dir: str, base, app_id) -> dict:
             print(f"bench_scale: {name}@{sf_dir} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
         finally:
-            sc.clearJobGroup()
+            # PySpark's SparkContext has no clearJobGroup; resetting
+            # the local property detaches subsequent jobs
+            sc.setLocalProperty("spark.jobGroup.id", None)
         try:
             io[name] = _group_metrics(base, app_id, group)
         except Exception:
