@@ -117,6 +117,8 @@ HEADLINE = [
     # round-11 additions
     "surprisal_span_localization",
     "dedup_token_savings_by_source",
+    "span_trim_plan",
+    "trim_savings_by_source",
 ]
 
 

@@ -800,6 +800,74 @@ def substring_dup_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Longest shared token run per candidate pair (diagonal islands).
 # ---------------------------------------------------------------------------
+def _candidate_runs(spark: SparkSession, sf_dir: str):
+    """Shared diagonal-scan kernel for the span-grain dedup family
+    (``longest_shared_run``, ``span_trim_plan``): returns
+    ``(cand, runs)`` where ``cand`` is the checkpointed LSH
+    candidate-pair frame and ``runs`` has one row per MAXIMAL shared
+    3-gram run per pair — ``(a_id, b_id, run_len, start_pb)``,
+    ``start_pb`` being the run's first gram position (1-based) in the
+    b document.
+
+    Scale posture (unchanged from longest_shared_run, which this was
+    factored from): gram matching happens ONLY for candidate-pair
+    documents — the gram table is semi-joined down to candidate
+    doc_ids through the size-gated dispatch
+    (``operators/candidate_join``), so the quadratic surface is
+    bounded by the LSH candidate set; the diagonal windows partition
+    by (pair, diag) — many small partitions, no corpus-grain window.
+    """
+    per_doc = _minhash_per_doc(spark, sf_dir)
+    cand = _lsh_candidates(per_doc).select("a_id", "b_id")
+    # dispatch BEFORE the checkpoint (a checkpointed plan is
+    # unestimatable and would always route to the shuffle path)
+    mode = cand_dispatch(
+        cand, per_doc, cache_key=("candidate_runs", sf_dir)
+    )
+    cand = cand.localCheckpoint(eager=False)  # feeds id filter + pair join
+    from .text import positional_gram_hashes
+
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    g = filter_by_keys(
+        positional_gram_hashes(t(spark, sf_dir, "documents")),
+        ids,
+        "doc_id",
+        mode=mode,
+    )
+    ga = g.select(
+        F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "h"
+    )
+    gb = g.select(
+        F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"), "h"
+    )
+    m = join_candidates(ga, cand, "a_id", mode=mode).join(
+        gb, ["b_id", "h"]
+    )
+    isl = m.select(
+        "a_id",
+        "b_id",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (
+            F.col("pa")
+            - F.row_number().over(
+                W.partitionBy("a_id", "b_id", F.col("pa") - F.col("pb"))
+                .orderBy("pa")
+            )
+        ).alias("island"),
+    )
+    runs = isl.groupBy("a_id", "b_id", "diag", "island").agg(
+        F.count("*").cast("bigint").alias("run_len"),
+        F.min("pb").cast("bigint").alias("start_pb"),
+    )
+    return cand, runs
+
+
 def _longest_shared_run_oracle() -> str:
     return f"""
     WITH pairs AS ({_minhash_oracle()}),
@@ -876,52 +944,7 @@ def longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagonal windows partition by (pair, diag) — many small
     partitions, no corpus-grain window anywhere.
     """
-    per_doc = _minhash_per_doc(spark, sf_dir)
-    cand = _lsh_candidates(per_doc).select("a_id", "b_id")
-    # dispatch BEFORE the checkpoint (a checkpointed plan is
-    # unestimatable and would always route to the shuffle path)
-    mode = cand_dispatch(
-        cand, per_doc, cache_key=("longest_shared_run", sf_dir)
-    )
-    cand = cand.localCheckpoint(eager=False)  # feeds id filter + pair join
-    from .text import positional_gram_hashes
-
-    ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    g = filter_by_keys(
-        positional_gram_hashes(t(spark, sf_dir, "documents")),
-        ids,
-        "doc_id",
-        mode=mode,
-    )
-    ga = g.select(
-        F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "h"
-    )
-    gb = g.select(
-        F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"), "h"
-    )
-    m = join_candidates(ga, cand, "a_id", mode=mode).join(
-        gb, ["b_id", "h"]
-    )
-    isl = m.select(
-        "a_id",
-        "b_id",
-        "pa",
-        (F.col("pa") - F.col("pb")).alias("diag"),
-        (
-            F.col("pa")
-            - F.row_number().over(
-                W.partitionBy("a_id", "b_id", F.col("pa") - F.col("pb"))
-                .orderBy("pa")
-            )
-        ).alias("island"),
-    )
-    runs = isl.groupBy("a_id", "b_id", "diag", "island").agg(
-        F.count("*").cast("bigint").alias("run_len")
-    )
+    cand, runs = _candidate_runs(spark, sf_dir)
     agg = runs.groupBy("a_id", "b_id").agg(
         (F.max("run_len") + F.lit(2)).cast("bigint").alias(
             "longest_run_tokens"
@@ -2270,4 +2293,166 @@ def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
                 kept_tokens.cast("double") / seen_tokens.cast("double"),
             ).alias("token_keep_rate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-grain curation: the TRIM plan (merged shared-run intervals).
+# ---------------------------------------------------------------------------
+#: shared runs shorter than this many tokens are not worth trimming
+#: (Lee et al. trim 50-token spans at web scale; the synthetic corpus
+#: is built from short templated docs, so the threshold sits where a
+#: run is clearly verbatim reuse rather than collocation).
+MIN_TRIM_RUN_TOKENS = 8
+
+
+def _span_trim_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+    g AS (
+      SELECT doc_id, pos,
+             md5(toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2])
+               AS h
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+            FROM tok)
+    ),
+    m AS (
+      SELECT p.a_id, p.b_id, ga.pos AS pa, gb.pos AS pb
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.a_id
+      JOIN g gb ON gb.doc_id = p.b_id AND gb.h = ga.h
+    ),
+    isl AS (
+      SELECT a_id, b_id, pb,
+             pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+                                     ORDER BY pa) AS island,
+             pa - pb AS diag
+      FROM m
+    ),
+    runs AS (
+      SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+             CAST(MIN(pb) AS BIGINT) AS start_pb
+      FROM isl GROUP BY a_id, b_id, diag, island
+    ),
+    spans AS (
+      SELECT b_id AS doc_id, a_id, start_pb AS s,
+             start_pb + run_len + 1 AS e
+      FROM runs WHERE run_len + 2 >= {MIN_TRIM_RUN_TOKENS}
+    ),
+    flagged AS (
+      SELECT doc_id, a_id, s, e,
+             CASE WHEN s > COALESCE(
+                    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e, a_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM spans
+    ),
+    grp AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s, e, a_id
+                                  ROWS UNBOUNDED PRECEDING) AS isle
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
+           CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_sources
+    FROM grp GROUP BY doc_id, isle
+    """
+
+
+@query("span_trim_plan", oracle=_span_trim_oracle())
+def span_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIM action the span-grain evidence exists for
+    (``longest_shared_run`` measures; this decides): for every LSH
+    candidate pair, every shared verbatim run of at least
+    {MIN_TRIM_RUN_TOKENS} tokens becomes a removal interval in the
+    LOWER-priority document (the ``b`` side — candidates are oriented
+    a_id < b_id, matching the keep-lowest-doc_id dedup policy), and
+    per-document overlapping-or-adjacent intervals are MERGED
+    (gaps-and-islands on a running max-end), so the plan is a set of
+    disjoint token spans per doc: (span_start, span_end, span_tokens,
+    n_sources). Intervals are in 1-based normalized-token
+    coordinates; a run of R matching 3-grams starting at position p
+    covers tokens p .. p+R+1.
+
+    Scale: the run kernel is the candidate-bounded diagonal scan
+    shared with ``longest_shared_run`` (``_candidate_runs``); the
+    merge windows partition BY DOCUMENT — bounded by one doc's span
+    count, never corpus-grain. The merge is order-invariant (running
+    max-end over a (start, end)-sorted frame), so the surface is
+    deterministic cross-engine.
+    """
+    _, runs = _candidate_runs(spark, sf_dir)
+    spans = runs.filter(
+        F.col("run_len") + 2 >= MIN_TRIM_RUN_TOKENS
+    ).select(
+        F.col("b_id").alias("doc_id"),
+        "a_id",
+        F.col("start_pb").alias("s"),
+        (F.col("start_pb") + F.col("run_len") + 1).alias("e"),
+    )
+    wo = W.partitionBy("doc_id").orderBy("s", "e", "a_id")
+    prev_max = F.max("e").over(wo.rowsBetween(W.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") > F.coalesce(prev_max, F.lit(-2)) + 1, 1
+        ).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "isle", F.sum("is_new").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        grp.groupBy("doc_id", "isle")
+        .agg(
+            F.min("s").cast("bigint").alias("span_start"),
+            F.max("e").cast("bigint").alias("span_end"),
+            (F.max("e") - F.min("s") + 1).cast("bigint").alias(
+                "span_tokens"
+            ),
+            F.countDistinct("a_id").cast("bigint").alias("n_sources"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_sources"
+        )
+    )
+
+
+def _trim_savings_oracle() -> str:
+    return f"""
+    WITH plan AS ({_span_trim_oracle()})
+    SELECT d.source,
+           CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_docs_trimmed,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(p.span_tokens) AS BIGINT) AS tokens_trimmed
+    FROM plan p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("trim_savings_by_source", oracle=_trim_savings_oracle())
+def trim_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of the span trim plan — what span-grain
+    curation SAVES, beside what doc-grain dedup drops
+    (``dedup_token_savings_by_source``): documents touched, disjoint
+    spans, and total tokens the trim removes. A source heavy here but
+    light in doc-grain near-drops is syndicating FRAGMENTS
+    (boilerplate headers, quoted passages) rather than whole
+    documents — a different remediation. Pure composition on the
+    oracle-matched ``span_trim_plan`` + one provenance join + a
+    map-side-combinable rollup."""
+    plan = span_trim_plan(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return plan.join(d, "doc_id").groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_trimmed"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("tokens_trimmed"),
     )

@@ -156,7 +156,15 @@ def oracle_sql_map() -> dict[str, str]:
 #: treatment (see :func:`lsh_composer_clan`): the MinHash/LSH
 #: candidate pipeline and the winnowing fingerprint pass.
 _CLAN_SEED_HELPERS = frozenset(
-    {"_minhash_per_doc", "_lsh_candidates", "winnow_fp_set"}
+    {
+        "_minhash_per_doc",
+        "_lsh_candidates",
+        "winnow_fp_set",
+        # non-registry helper that wraps the LSH kernel — queries that
+        # compose through it (longest_shared_run, span_trim_plan)
+        # never call the seeds directly, so it must seed the closure
+        "_candidate_runs",
+    }
 )
 
 
