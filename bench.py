@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_token_savings_by_source",
     "span_trim_plan",
     "trim_savings_by_source",
+    "lm_surprisal_heldout",
 ]
 
 

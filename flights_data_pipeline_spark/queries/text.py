@@ -2376,3 +2376,214 @@ def surprisal_span_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("win_bits").cast("double") / F.col("win_len").cast("double"))
         .alias("win_avg_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out trigram surprisal with stupid backoff (train-split model).
+# ---------------------------------------------------------------------------
+#: extra bits charged per backoff level (stupid backoff alpha = 0.5
+#: per level, i.e. exactly one bit — integer, engine-exact).
+BACKOFF_PENALTY_BITS = 1
+
+
+def _heldout_oracle() -> str:
+    from .profiling import TRAIN_PCT, _bucket_sql, _hex_val_duck
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    bg3 AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+      FROM toks, LATERAL unnest(range(1, len(toks) - 1)) t(i)
+    ),
+    sp AS (
+      SELECT doc_id
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+      WHERE {_bucket_sql(_hex_val_duck)} < {TRAIN_PCT}
+    ),
+    tr AS (SELECT bg3.* FROM bg3 JOIN sp USING (doc_id)),
+    c3 AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+      FROM tr GROUP BY w1, w2, w3
+    ),
+    cx12 AS (
+      SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12
+      FROM c3 GROUP BY w1, w2
+    ),
+    b2 AS (
+      SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS c23
+      FROM tr GROUP BY w2, w3
+    ),
+    cx2 AS (
+      SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2 FROM b2 GROUP BY w2
+    ),
+    v AS (SELECT CAST(COUNT(DISTINCT w3) AS BIGINT) AS v FROM b2),
+    scored AS (
+      SELECT g.doc_id,
+             CASE WHEN c3.c123 IS NOT NULL
+                  THEN length(bin(cx12.c12)) - length(bin(c3.c123))
+                  WHEN b2.c23 IS NOT NULL
+                  THEN {BACKOFF_PENALTY_BITS}
+                       + length(bin(cx2.c2)) - length(bin(b2.c23))
+                  ELSE {2 * BACKOFF_PENALTY_BITS} + length(bin(v.v))
+             END AS bits,
+             CASE WHEN c3.c123 IS NULL AND b2.c23 IS NOT NULL
+                  THEN 1 ELSE 0 END AS bo_bi,
+             CASE WHEN c3.c123 IS NULL AND b2.c23 IS NULL
+                  THEN 1 ELSE 0 END AS bo_uni
+      FROM bg3 g
+      LEFT JOIN c3 ON g.w1 = c3.w1 AND g.w2 = c3.w2 AND g.w3 = c3.w3
+      LEFT JOIN cx12 ON g.w1 = cx12.w1 AND g.w2 = cx12.w2
+      LEFT JOIN b2 ON g.w2 = b2.w2 AND g.w3 = b2.w3
+      LEFT JOIN cx2 ON g.w2 = cx2.w2
+      CROSS JOIN v
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(SUM(bits) AS BIGINT) AS total_bits,
+             CAST(SUM(bo_bi) AS BIGINT) AS n_backoff_bi,
+             CAST(SUM(bo_uni) AS BIGINT) AS n_backoff_uni
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(p.total_bits, 0) AS BIGINT) AS total_bits,
+           CAST(p.total_bits AS DOUBLE) / CAST(p.n_trigrams AS DOUBLE)
+             AS avg_bits,
+           CAST(COALESCE(p.n_backoff_bi, 0) AS BIGINT) AS n_backoff_bi,
+           CAST(COALESCE(p.n_backoff_uni, 0) AS BIGINT) AS n_backoff_uni
+    FROM documents d LEFT JOIN pd p USING (doc_id)
+    """
+
+
+@query("lm_surprisal_heldout", oracle=_heldout_oracle())
+def lm_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT trigram surprisal with stupid backoff — the eval-shaped
+    complement to ``lm_surprisal_filter`` (which scores the corpus
+    under its own model, so nothing is ever unseen): the model is
+    built ONLY from the deterministic train split (the
+    ``train_test_split`` hash — same expression, splits cannot
+    disagree), every document is scored against it, and trigrams the
+    train split never saw BACK OFF — trigram → bigram (+1 bit, stupid
+    backoff α=½) → uniform-over-vocab (+2 bits) — so val/test docs
+    pay a measurable out-of-vocabulary cost. Quantized to whole bits
+    via integer bit-lengths like the bigram filter (rule: no
+    transcendentals in gated floats): seen trigram costs
+    ⌊log2 c12⌋−⌊log2 c123⌋ bits, bigram fallback
+    1+⌊log2 c2⌋−⌊log2 c23⌋, uniform 2+⌊log2 V⌋. The backoff
+    counters per doc (n_backoff_bi / n_backoff_uni) are the
+    actionable OOD signal — a doc scoring high through many uniform
+    fallbacks is out-of-domain, one scoring high through seen
+    trigrams is improbable-but-in-domain.
+
+    Scale: one narrow trigram pass over the corpus (shifted-array
+    zips, no self-join); the split is a pure function of doc_id (no
+    split join); model tables are keyed aggregates with map-side
+    partials; scoring is four LEFT equi-joins on token keys plus a
+    one-row vocabulary broadcast — corpus-linear, nothing quadratic.
+    Bigram-backoff counts are defined over trigram INSTANCES (each
+    doc's last bigram carries no trigram), keeping every model table
+    a pure aggregate of one extraction pass.
+    """
+    from .profiling import TRAIN_PCT, _bucket_sql, _hex_val_spark
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tris = F.zip_with(
+        pairs,
+        F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    bg3 = (
+        d.select("doc_id", F.explode(tris).alias("g"))
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+        .filter(F.col("w3").isNotNull())
+    )
+    bucket = F.expr(
+        _bucket_sql(_hex_val_spark).replace(
+            "h", "md5(CAST(doc_id AS STRING))"
+        )
+    )
+    tr = bg3.filter(bucket < TRAIN_PCT)
+    c3 = tr.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("bigint").alias("c123")
+    )
+    cx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("bigint").alias("c12")
+    )
+    b2 = tr.groupBy("w2", "w3").agg(
+        F.count("*").cast("bigint").alias("c23")
+    )
+    cx2 = b2.groupBy("w2").agg(F.sum("c23").cast("bigint").alias("c2"))
+    vocab = b2.agg(F.countDistinct("w3").cast("bigint").alias("v"))
+    blen = lambda c: F.length(F.bin(c))  # noqa: E731 — ⌊log2⌋+1, exact
+    bits = (
+        F.when(
+            F.col("c123").isNotNull(), blen(F.col("c12")) - blen(F.col("c123"))
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(BACKOFF_PENALTY_BITS)
+            + blen(F.col("c2"))
+            - blen(F.col("c23")),
+        )
+        .otherwise(F.lit(2 * BACKOFF_PENALTY_BITS) + blen(F.col("v")))
+    )
+    scored = (
+        bg3.join(c3, ["w1", "w2", "w3"], "left")
+        .join(cx12, ["w1", "w2"], "left")
+        .join(b2, ["w2", "w3"], "left")
+        .join(cx2, ["w2"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            bits.cast("bigint").alias("bits"),
+            F.when(F.col("c123").isNull() & F.col("c23").isNotNull(), 1)
+            .otherwise(0)
+            .alias("bo_bi"),
+            F.when(F.col("c123").isNull() & F.col("c23").isNull(), 1)
+            .otherwise(0)
+            .alias("bo_uni"),
+        )
+    )
+    pd = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+        F.sum("bo_bi").cast("bigint").alias("n_backoff_bi"),
+        F.sum("bo_uni").cast("bigint").alias("n_backoff_uni"),
+    )
+    avg = F.col("total_bits").cast("double") / F.col("n_trigrams").cast(
+        "double"
+    )
+    return (
+        d.select("doc_id")
+        .join(pd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
+            ),
+            F.coalesce("total_bits", F.lit(0)).cast("bigint").alias(
+                "total_bits"
+            ),
+            avg.alias("avg_bits"),
+            F.coalesce("n_backoff_bi", F.lit(0)).cast("bigint").alias(
+                "n_backoff_bi"
+            ),
+            F.coalesce("n_backoff_uni", F.lit(0)).cast("bigint").alias(
+                "n_backoff_uni"
+            ),
+        )
+    )
