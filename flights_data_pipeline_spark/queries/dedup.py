@@ -2456,3 +2456,72 @@ def trim_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_spans"),
         F.sum("span_tokens").cast("bigint").alias("tokens_trimmed"),
     )
+
+
+def _post_trim_oracle() -> str:
+    return f"""
+    WITH plan AS ({_span_trim_oracle()}),
+    ptrim AS (
+      SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS t
+      FROM plan GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id,
+             COALESCE(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                           AS BIGINT), 0) AS n
+      FROM documents
+    )
+    SELECT tok.doc_id,
+           CAST(n AS BIGINT) AS tokens_before,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS tokens_trimmed,
+           CAST(n - COALESCE(p.t, 0) AS BIGINT) AS tokens_after,
+           CASE WHEN n > 0
+                THEN CAST(COALESCE(p.t, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS trim_ratio
+    FROM tok LEFT JOIN ptrim p USING (doc_id)
+    """
+
+
+@query("post_trim_token_counts", oracle=_post_trim_oracle())
+def post_trim_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting AFTER the span trim plan — the
+    frame a token-budget admission stage would consume downstream of
+    trimming (``domain_token_budget`` admits on tokens; this is what
+    those tokens become once `span_trim_plan`'s disjoint intervals are
+    removed). Every document gets a row; untrimmed docs carry
+    tokens_trimmed = 0 and NULL-text docs 0/0/0 with a NULL ratio.
+
+    The trim plan's spans are in NORMALIZED token coordinates, which
+    count exactly like the repo's whitespace token convention
+    (collapsing interior whitespace never changes the token count),
+    and merged spans are DISJOINT per doc, so tokens_after =
+    tokens_before − Σ span_tokens is exact — no double subtraction.
+    One doc_id-grain join over the candidate-bounded plan; nothing
+    corpus-quadratic."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.coalesce(
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    tok = d.select("doc_id", n_tokens.alias("tokens_before"))
+    ptrim = (
+        span_trim_plan(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("bigint").alias("t"))
+    )
+    trimmed = F.coalesce("t", F.lit(0)).cast("bigint")
+    return tok.join(ptrim, "doc_id", "left").select(
+        "doc_id",
+        "tokens_before",
+        trimmed.alias("tokens_trimmed"),
+        (F.col("tokens_before") - trimmed).cast("bigint").alias(
+            "tokens_after"
+        ),
+        F.when(
+            F.col("tokens_before") > 0,
+            trimmed.cast("double") / F.col("tokens_before").cast("double"),
+        ).alias("trim_ratio"),
+    )
