@@ -2587,3 +2587,52 @@ def lm_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _oov_rate_oracle() -> str:
+    return f"""
+    WITH h AS ({_heldout_oracle()})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h.n_trigrams) AS BIGINT) AS n_trigrams,
+           CAST(SUM(h.n_backoff_bi) AS BIGINT) AS n_backoff_bi,
+           CAST(SUM(h.n_backoff_uni) AS BIGINT) AS n_backoff_uni,
+           CASE WHEN SUM(h.n_trigrams) > 0
+                THEN CAST(SUM(h.n_backoff_bi + h.n_backoff_uni) AS DOUBLE)
+                     / CAST(SUM(h.n_trigrams) AS DOUBLE)
+           END AS oov_rate,
+           CAST(SUM(h.total_bits) AS DOUBLE)
+             / CAST(SUM(h.n_trigrams) AS DOUBLE) AS avg_bits
+    FROM h JOIN documents d ON h.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("oov_rate_by_source", oracle=_oov_rate_oracle())
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary pressure under the held-out
+    trigram model — the drift monitor a corpus intake pipeline reads
+    per crawl/provenance: how often each source's trigrams back off
+    (bigram + uniform fallbacks over total trigram scores) and its
+    corpus-mass-weighted average surprisal. A source whose oov_rate
+    climbs release-over-release is drifting away from the training
+    distribution before any quality score moves. Pure composition on
+    the oracle-matched ``lm_surprisal_heldout`` + one provenance join
+    + a map-side-combinable rollup; zero-trigram sources report a
+    NULL rate."""
+    h = lm_surprisal_heldout(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    tri = F.sum("n_trigrams").cast("bigint")
+    backoffs = F.sum(F.col("n_backoff_bi") + F.col("n_backoff_uni"))
+    return h.join(d, "doc_id").groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        tri.alias("n_trigrams"),
+        F.sum("n_backoff_bi").cast("bigint").alias("n_backoff_bi"),
+        F.sum("n_backoff_uni").cast("bigint").alias("n_backoff_uni"),
+        F.when(tri > 0, backoffs.cast("double") / tri.cast("double")).alias(
+            "oov_rate"
+        ),
+        (F.sum("total_bits").cast("double") / tri.cast("double")).alias(
+            "avg_bits"
+        ),
+    )
