@@ -19,8 +19,27 @@ single timed run per query — the shape of a first-ever execution
 intermittent costs (GC from oversized broadcasts, one-off reopt); the
 cold column is what catches them, so regressions are judged on both.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+LSH-composer clan members (``registry.lsh_composer_clan()``) get the
+``tools/iso_warm.py`` treatment instead — 5 warmups + driver GC
+between EVERY run — because their warm plateau is session-heat
+dependent: the 2-warmup protocol left headline clan rows swinging
+2-4× round-over-round with no source change (round-11 VERDICT
+"What's wrong #1"; BASELINE round-11 analysis). With the deep
+treatment the headline row IS the isolated-warm yardstick.
+
+Prints TWO JSON lines:
+  1. full fidelity — {"metric", "value", "unit", "queries": {every
+     headline query at 4 decimals}, "flights_pipeline_build_sec",
+     "sf"} — also written to BENCH_headline_latest.json (repo root)
+     so the complete per-query surface is a committed artifact.
+  2. FINAL line, compact (<1 KB): the driver snapshots only the last
+     2000 chars of stdout and parses the last line — a full-name
+     per-query dict stopped fitting at round 9 (60 queries ≈ 1971
+     chars was the last fit), which is exactly why BENCH_r09..r11
+     carry ``parsed: null``. The summary keeps the driver-parseable
+     contract: total, build time, n_queries, the clan rows (the
+     yardstick-sensitive family, judged vs ISO_WARM_r{N}.json), and
+     a pointer to the full dict.
 """
 
 from __future__ import annotations
@@ -32,6 +51,7 @@ import sys
 import time
 
 from flights_data_pipeline_spark.queries import REGISTRY
+from flights_data_pipeline_spark.queries.registry import lsh_composer_clan
 from flights_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
@@ -120,6 +140,10 @@ HEADLINE = [
     "span_trim_plan",
     "trim_savings_by_source",
     "lm_surprisal_heldout",
+    # round-12 additions
+    "oov_rate_by_source",
+    "post_trim_token_counts",
+    "span_budget_admission",
 ]
 
 
@@ -134,6 +158,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+    # discover the clan FIRST: it reads query source via inspect, so
+    # doing it before the (slow) warehouse build shrinks the window in
+    # which a concurrent source edit can skew the AST walk
+    clan = set(lsh_composer_clan())
     spark = get_spark("fdp-spark-bench")
 
     # One-time flights warehouse build, timed as its OWN metric: it is
@@ -152,20 +180,29 @@ def main() -> None:
         build_sec = -1.0
     spark.sparkContext._jvm.System.gc()
 
+    def _gc() -> None:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
+        deep = name in clan  # iso_warm treatment (module docstring)
         try:
             if not cold:
-                for _ in range(2):  # warmup (codegen + C2 JIT, footer cache)
+                for _ in range(5 if deep else 2):
                     materialize(q.fn(spark, sf_dir))
+                    if deep:
+                        _gc()
             runs = []
             for _ in range(1 if cold else 3):
                 t0 = time.perf_counter()
                 materialize(q.fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
+                if deep:
+                    _gc()
             timings[name] = round(statistics.median(runs), 4)
         except Exception as exc:  # never let one query sink the whole bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -174,21 +211,44 @@ def main() -> None:
         # ContextCleaner frees dead broadcast/localCheckpoint blocks —
         # without it, accumulated session state can inflate late
         # queries well beyond their isolated cost (see bench_full.py)
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        _gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
+    metric = "headline_queries_total_" + ("cold_sec" if cold else "median_sec")
+    full = {
+        "metric": metric,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "flights_pipeline_build_sec": build_sec,
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_headline_latest.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write headline artifact: {exc}", file=sys.stderr)
+    # FINAL line = the driver-parsed summary (see module docstring).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_"
-                + ("cold_sec" if cold else "median_sec"),
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "flights_pipeline_build_sec": build_sec,
                 "sf": sf,
-            }
+                "build_sec": round(build_sec, 2),
+                "n_queries": len(timings),
+                "clan": {
+                    n: round(v, 2)
+                    for n, v in timings.items()
+                    if n in clan
+                },
+                "full": "BENCH_headline_latest.json + first stdout line",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -84,6 +84,10 @@ CAND_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 #: Only consulted when the caller passes ``cache_key`` — the caller
 #: asserts its (cand, scale_df) plans are a pure function of the key
 #: within a session (true for registry queries: immutable parquet in).
+#: Entries from OTHER applicationIds are evicted on insert, so a
+#: long-lived process cycling sessions (test suites, notebooks) never
+#: accumulates stale-session keys (round-11 ADVICE); within one
+#: session the dict is bounded by the number of distinct caller keys.
 _DECISIONS: dict[tuple[str, object], str] = {}
 
 
@@ -119,6 +123,9 @@ def dispatch(
     else:
         mode = "shuffle"
     if cache_key is not None:
+        app_id = key[0]
+        for stale in [k for k in _DECISIONS if k[0] != app_id]:
+            del _DECISIONS[stale]
         _DECISIONS[key] = mode
     return mode
 

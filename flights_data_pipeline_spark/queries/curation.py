@@ -2141,3 +2141,121 @@ def token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_tokens").cast("bigint").alias("budget_used"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-grain token-budget admission (trim BEFORE you spend the budget).
+# ---------------------------------------------------------------------------
+def _span_budget_oracle() -> str:
+    from .dedup import _post_trim_oracle
+
+    return f"""
+    WITH post AS ({_post_trim_oracle()}),
+    tc AS (
+      SELECT p.doc_id, d.source, p.tokens_before, p.tokens_trimmed,
+             p.tokens_after, md5(CAST(p.doc_id AS VARCHAR)) AS h
+      FROM post p JOIN documents d ON p.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT source, tokens_before, tokens_trimmed, tokens_after,
+             CAST(SUM(tokens_after) OVER (PARTITION BY source
+                  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_after,
+             CAST(SUM(tokens_before) OVER (PARTITION BY source
+                  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_before
+      FROM tc
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN cum_after <= {ADMIT_TOKEN_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(COALESCE(SUM(CASE WHEN cum_after <= {ADMIT_TOKEN_BUDGET}
+                             THEN tokens_after END), 0) AS BIGINT)
+             AS tokens_admitted,
+           CAST(COALESCE(SUM(CASE WHEN cum_after <= {ADMIT_TOKEN_BUDGET}
+                             THEN tokens_trimmed END), 0) AS BIGINT)
+             AS tokens_trimmed_in_admitted,
+           CAST(COALESCE(MAX(CASE WHEN cum_after <= {ADMIT_TOKEN_BUDGET}
+                             THEN cum_after END), 0) AS BIGINT)
+             AS budget_used,
+           CAST(SUM(CASE WHEN cum_before <= {ADMIT_TOKEN_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted_pretrim,
+           CAST(SUM(CASE WHEN cum_after <= {ADMIT_TOKEN_BUDGET}
+                         THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN cum_before <= {ADMIT_TOKEN_BUDGET}
+                           THEN 1 ELSE 0 END) AS BIGINT)
+             AS extra_docs_admitted
+    FROM ranked
+    GROUP BY source
+    """
+
+
+@query("span_budget_admission", oracle=_span_budget_oracle)
+def span_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget admission on POST-TRIM token counts — the natural
+    completion of the span-grain curation family (round-11 VERDICT
+    task 4): ``span_trim_plan`` decides which shared verbatim spans to
+    remove, ``post_trim_token_counts`` prices every document after
+    removal, and this gate spends the per-source budget
+    (``ADMIT_TOKEN_BUDGET``) on those post-trim prices — trimming
+    boilerplate first means the same budget admits MORE documents.
+    The ``n_admitted_pretrim`` / ``extra_docs_admitted`` columns state
+    that dividend directly: how many extra documents each source fits
+    once its docs stop paying for syndicated fragments.
+
+    Admission order is the hashed-key prefix (same stability argument
+    as ``token_budget_admission``: re-running on a grown corpus only
+    replaces admitted docs with earlier-hashing ones, never reshuffles
+    the whole sample). Both running sums (pre- and post-trim) share
+    ONE window spec, so they cost a single per-source window pass.
+
+    Scale: the trim plan upstream is LSH-candidate-bounded (shares
+    ``_candidate_runs``); pricing is one doc_id-grain left join; the
+    gate is one window shuffle keyed by source + a map-side-combinable
+    rollup. Nothing corpus-quadratic, no collect, no Python in the
+    hot path.
+    """
+    from .dedup import post_trim_token_counts
+
+    post = post_trim_token_counts(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    tc = post.join(d, "doc_id").select(
+        "source",
+        "tokens_before",
+        "tokens_trimmed",
+        "tokens_after",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id",
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = tc.select(
+        "source",
+        "tokens_before",
+        "tokens_trimmed",
+        "tokens_after",
+        F.sum("tokens_after").over(w).cast("bigint").alias("cum_after"),
+        F.sum("tokens_before").over(w).cast("bigint").alias("cum_before"),
+    )
+    fits = F.col("cum_after") <= ADMIT_TOKEN_BUDGET
+    fits_pre = F.col("cum_before") <= ADMIT_TOKEN_BUDGET
+    n_admitted = F.sum(F.when(fits, 1).otherwise(0)).cast("bigint")
+    n_pre = F.sum(F.when(fits_pre, 1).otherwise(0)).cast("bigint")
+    return ranked.groupBy("source").agg(
+        n_admitted.alias("n_admitted"),
+        F.coalesce(F.sum(F.when(fits, F.col("tokens_after"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_admitted"),
+        F.coalesce(F.sum(F.when(fits, F.col("tokens_trimmed"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_trimmed_in_admitted"),
+        F.coalesce(F.max(F.when(fits, F.col("cum_after"))), F.lit(0))
+        .cast("bigint")
+        .alias("budget_used"),
+        n_pre.alias("n_admitted_pretrim"),
+        (n_admitted - n_pre).cast("bigint").alias("extra_docs_admitted"),
+    )

@@ -847,6 +847,17 @@ def _candidate_runs(spark: SparkSession, sf_dir: str):
     m = join_candidates(ga, cand, "a_id", mode=mode).join(
         gb, ["b_id", "h"]
     )
+    return cand, gram_match_runs(m)
+
+
+def gram_match_runs(m: DataFrame) -> DataFrame:
+    """Diagonal-scan core shared by the batch kernel
+    (:func:`_candidate_runs`) and the streaming ingest twin
+    (``streaming/jobs.span_trim_ingest_stream``): matched gram
+    positions ``(a_id, b_id, pa, pb)`` → one row per MAXIMAL shared
+    run per pair ``(a_id, b_id, run_len, start_pb)`` via
+    gaps-and-islands on each (pair, diagonal). Factored so the two
+    surfaces cannot drift."""
     isl = m.select(
         "a_id",
         "b_id",
@@ -861,11 +872,10 @@ def _candidate_runs(spark: SparkSession, sf_dir: str):
             )
         ).alias("island"),
     )
-    runs = isl.groupBy("a_id", "b_id", "diag", "island").agg(
+    return isl.groupBy("a_id", "b_id", "diag", "island").agg(
         F.count("*").cast("bigint").alias("run_len"),
         F.min("pb").cast("bigint").alias("start_pb"),
     )
-    return cand, runs
 
 
 def _longest_shared_run_oracle() -> str:
@@ -1792,21 +1802,52 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus every doc pair shares most of the vocabulary).
 
     The classic prefix-filter argument (Chaudhuri et al. SSJoin /
-    Xiao et al. PPJoin, both public): sort every document's distinct
-    shingles by a GLOBAL frequency order (rarest first; ties on the
-    shingle string) and keep only the first ``p = n - ceil(tau*n) + 1``.
-    Any pair with Jaccard >= tau must share >= ceil(tau*n) elements of
-    either side, so it MUST collide on at least one prefix element —
-    candidate generation is an equi-join on prefix shingles, and
-    prefixes are dominated by rare shingles, so join groups stay tiny.
-    Verification is one exact ``array_intersect`` per candidate.
+    Xiao et al. PPJoin, both public): sort every document's shingles
+    by a GLOBAL frequency order (rarest first) and keep only a short
+    prefix — any pair with Jaccard >= tau must collide inside the
+    prefixes, so candidate generation is an equi-join on prefix
+    elements, dominated by rare shingles. Three refinements stack on
+    the base filter (round 12; every one is a SOUND prune, so the
+    verified output — and the oracle — are unchanged):
 
-    Scale posture: one shuffle for the token DF table, one window per
-    doc (partitioned by doc_id), a rare-token equi-join, and a doc-level
-    verify join — every stage is key-partitioned; nothing is quadratic
-    in the corpus, only in candidates that share rare tokens. The
-    integer restatement of both gates (see SETSIM_TAU_*) keeps the
-    result hash-identical to the DuckDB oracle.
+    * **hashed element domain**: the candidate pipeline runs on
+      ``xxhash64(shingle)`` longs, not shingle strings — the prefix
+      theorem only needs *a* consistent global total order, and any
+      cross-doc hash collision can only ADD a candidate, which exact
+      verification (on the original string arrays) then rejects.
+      Df/rank/join shuffles shrink ~3x in bytes.
+    * **asymmetric index prefix** (PPJoin's index/probe split): under
+      the canonical "smaller set first" order, the smaller side of a
+      qualifying pair must collide within its first
+      ``n - ceil(2*tau/(1+tau)*n) + l`` elements (~n/4 for tau=3/5)
+      — only that slice enters the join's left side.
+    * **l-extended prefixes + match-count filter** (AdaptJoin, Wang
+      et al. 2012, public): with both prefixes extended by l-1 = 1
+      element, a qualifying pair's FIRST l common elements provably
+      sit inside both extended prefixes, so candidates must produce
+      >= 2 join matches (guarded for the degenerate alpha < 2 case,
+      na+nb <= 2). Measured at sf0.1 this cuts candidates
+      68,725 -> 2,293 (the corpus is dense just under the threshold,
+      so single rare-shingle collisions are common but double
+      collisions are not) and the verify stage collapses with it.
+
+    Verification is one exact ``array_intersect`` per candidate on
+    the original string arrays, so the hash domain never decides
+    membership — the integer restatement of every gate (see
+    SETSIM_TAU_*) keeps the result hash-identical to the DuckDB
+    oracle.
+
+    Scale posture: one shuffle for the hashed-token DF table, one
+    window per doc (partitioned by doc_id), a rare-hash equi-join
+    whose groups the df-ascending order keeps tiny, a pair-grain
+    aggregate, and a doc-level verify join — every stage is
+    key-partitioned; nothing is quadratic in the corpus, only in
+    candidate pairs that share >= 2 rare prefix hashes.
+
+    History: 7.1 s -> 3.5 s at sf0.1 in round 11 (materialized
+    shingle state + symmetric length/positional prunes);
+    3.82 s -> 2.00 s isolated-warm median in round 12 (hashing +
+    asymmetric + l=2 prunes — 1.9x, verified pair set identical).
     """
     from pyspark.sql import Window
 
@@ -1822,61 +1863,97 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", _shingles().alias("toks")).localCheckpoint(
         eager=True
     )
-    sz = d.select("doc_id", F.size("toks").cast("bigint").alias("n"))
-    e = d.select("doc_id", F.explode("toks").alias("tok"))
-    df_t = e.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked = e.join(df_t, "tok").withColumn(
+    # candidate pipeline on xxhash64 longs (docstring bullet 1); n
+    # rides along through the explode so no size re-join is needed
+    e = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n"),
+        F.explode(F.expr("transform(toks, x -> xxhash64(x))")).alias("h"),
+    )
+    df_h = e.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = e.join(df_h, "h").withColumn(
         "r",
         F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "tok")
+            Window.partitionBy("doc_id").orderBy("df", "h")
         ),
     )
-    pref = (
-        ranked.join(sz, "doc_id")
-        .filter(
-            F.col("r") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1
-        )
-        .select("doc_id", "tok", "r", "n")
+    # l = 2 extended probe prefix: n - ceil(3n/5) + 2; materialized
+    # once (both the index-slice side and the probe side read it)
+    pref = ranked.filter(
+        F.col("r") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 2
+    ).select("doc_id", "h", "r", "n").localCheckpoint(eager=True)
+    # Asymmetric prefixes (PPJoin's index/probe split, Xiao et al.
+    # §3.2, public): under the canonical "smaller set first" order
+    # ((n, doc_id) lexicographic), a qualifying pair {x, y} with
+    # |x| <= |y| must reach overlap alpha = ceil((3/8)(na+nb))
+    # >= ceil(3*na/4), so x's common elements cannot all hide past its
+    # INDEX prefix of length na - ceil(3*na/4) + 1 (~n/4) — only that
+    # slice of the smaller side needs to enter the equi-join, against
+    # the larger side's full probe prefix (~2n/5). ceil(3n/4) in
+    # integers: (3n + 3) div 4.
+    # l = 2 extended index prefix: n - ceil(3n/4) + 2, ceil(3n/4) in
+    # integers = (3n + 3) div 4
+    ix = pref.filter(
+        F.col("r") <= F.col("n") - F.expr("(3 * n + 3) div 4") + 2
     )
-    a = pref.alias("a")
+    a = ix.alias("a")
     b = pref.alias("b")
-    # PPJoin's two sound prunes, applied per prefix match BEFORE the
-    # distinct — they only drop pairs that provably cannot reach
-    # J >= 3/5, so the verified result (and the oracle) are unchanged:
-    # * length filter: J <= min/max, so 5*min(na,nb) >= 3*max(na,nb);
-    # * positional filter: all common elements sort at-or-after the
-    #   minimal prefix match, so overlap <= 1 + min(na-ra, nb-rb),
-    #   which must reach alpha = ceil((3/8)(na+nb)) (tau/(1+tau)=3/8).
-    # Measured at sf0.1: candidate pairs drop 299,519 -> 68,725 (this
-    # synthetic corpus is dense just under the threshold — shingle DFs
-    # are high, so prefixes stay common); query 7.1 s -> 3.5 s
-    # together with the materialized shingle state.
     na, nb = F.col("a.n"), F.col("b.n")
+    canonical = (na < nb) | (
+        (na == nb) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    # Per-match length filter (J <= min/max, under the canonical order
+    # just 5*na >= 3*nb); the positional filter — overlap <= 1 +
+    # min(na-ra, nb-rb) must reach alpha = ceil((3/8)(na+nb)) — holds
+    # only for a pair's FIRST common element, so with l = 2 it is
+    # collected per match and applied as a pair-level ANY (the first
+    # match is always in the join, so a qualifying pair always has a
+    # passing row); the match-count gate >= 2 is waived only in the
+    # degenerate alpha < 2 band (3*(na+nb) <= 8).
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & canonical & (5 * na >= 3 * nb),
+    ).select(
+        # emit in the oracle's doc_id orientation; sizes are functions
+        # of the ids, so they ride through the pair aggregate and the
+        # two sz re-joins of rounds <= 11 disappear
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        F.when(F.col("a.doc_id") < F.col("b.doc_id"), na)
+        .otherwise(nb)
+        .cast("bigint")
+        .alias("na"),
+        F.when(F.col("a.doc_id") < F.col("b.doc_id"), nb)
+        .otherwise(na)
+        .cast("bigint")
+        .alias("nb"),
+        (
+            8 * (1 + F.least(na - F.col("a.r"), nb - F.col("b.r")))
+            >= 3 * (na + nb)
+        )
+        .cast("int")
+        .alias("pos_ok"),
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (5 * F.least(na, nb) >= 3 * F.greatest(na, nb))
+        matches.groupBy("a_id", "b_id", "na", "nb")
+        .agg(
+            F.count("*").alias("nm"),
+            F.max("pos_ok").alias("any_pos"),
+        )
+        .filter(
+            (F.col("any_pos") == 1)
             & (
-                8 * (1 + F.least(na - F.col("a.r"), nb - F.col("b.r")))
-                >= 3 * (na + nb)
-            ),
+                (F.col("nm") >= 2)
+                | (3 * (F.col("na") + F.col("nb")) <= 8)
+            )
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
+        .select("a_id", "b_id", "na", "nb")
     )
     da = d.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
     db = d.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
-    sa = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     ver = (
         cand.join(da, "a_id")
         .join(db, "b_id")
-        .join(sa, "a_id")
-        .join(sb, "b_id")
         .withColumn(
             "n_common",
             F.size(F.array_intersect("ta", "tb")).cast("bigint"),
@@ -2391,6 +2468,15 @@ def span_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine.
     """
     _, runs = _candidate_runs(spark, sf_dir)
+    return trim_spans_from_runs(runs)
+
+
+def trim_spans_from_runs(runs: DataFrame) -> DataFrame:
+    """Span-merge core shared by :func:`span_trim_plan` and the
+    streaming ingest twin (``streaming/jobs.span_trim_ingest_stream``):
+    maximal shared runs → per-b-doc disjoint merged removal spans
+    (gaps-and-islands on a running max-end). Factored so the two
+    surfaces cannot drift."""
     spans = runs.filter(
         F.col("run_len") + 2 >= MIN_TRIM_RUN_TOKENS
     ).select(

@@ -36,10 +36,17 @@ def _hex_val_duck(expr: str, p: int) -> str:
     return f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
 
 
-def _bucket_sql(hexval) -> str:
-    """First 4 md5 hex digits → integer in [0, 65536) → percent bucket."""
+def _bucket_sql(hexval, expr: str = "h") -> str:
+    """First 4 md5 hex digits → integer in [0, 65536) → percent bucket.
+
+    ``expr`` is the SQL expression holding the md5 hex string (default
+    the column ``h``); it is substituted structurally — never rewrite
+    the generated SQL with string ``.replace`` afterwards, which
+    corrupts the predicate the moment the template gains another
+    occurrence of the search text (round-11 ADVICE).
+    """
     digits = " + ".join(
-        f"{hexval('h', p)} * {16 ** (3 - p)}" for p in range(4)
+        f"{hexval(expr, p)} * {16 ** (3 - p)}" for p in range(4)
     )
     return f"(({digits}) % 100)"
 

@@ -160,10 +160,6 @@ _CLAN_SEED_HELPERS = frozenset(
         "_minhash_per_doc",
         "_lsh_candidates",
         "winnow_fp_set",
-        # non-registry helper that wraps the LSH kernel — queries that
-        # compose through it (longest_shared_run, span_trim_plan)
-        # never call the seeds directly, so it must seed the closure
-        "_candidate_runs",
     }
 )
 
@@ -200,6 +196,38 @@ def _called_names(fn) -> set[str]:
     return out
 
 
+def _transitive_called_names(fn, memo: dict) -> set[str]:
+    """:func:`_called_names` closed transitively through module-level
+    helper FUNCTIONS defined inside this package: a called name that
+    resolves (via the caller's ``__globals__``) to a package-local
+    function contributes its own call set too. This is what lets a
+    non-registry wrapper around an LSH kernel (the ``_candidate_runs``
+    pattern, which previously had to be hand-seeded) carry its
+    composers into the clan automatically — the round-11 ADVICE's
+    hand-list failure mode, closed structurally."""
+    key = (getattr(fn, "__module__", None), getattr(fn, "__qualname__", None))
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    memo[key] = set()  # cycle guard: recursion sees an empty set
+    names = _called_names(fn)
+    out = set(names)
+    g = getattr(fn, "__globals__", {})
+    for n in names:
+        obj = g.get(n)
+        if (
+            callable(obj)
+            and obj is not fn
+            and getattr(obj, "__module__", "").startswith(
+                __name__.split(".queries")[0]
+            )
+            and hasattr(obj, "__globals__")  # plain function, not a class
+        ):
+            out |= _transitive_called_names(obj, memo)
+    memo[key] = out
+    return out
+
+
 def lsh_composer_clan() -> list[str]:
     """Every registered query that (transitively) composes the
     MinHash/LSH candidate pipeline or the winnowing fingerprint
@@ -208,13 +236,20 @@ def lsh_composer_clan() -> list[str]:
     protocol in ``tools/bench_full.py``.
 
     Discovered from the registry by AST call-graph inspection (direct
-    helper calls, composed-query calls by name, and
+    helper calls — walked TRANSITIVELY through package-local helper
+    functions — composed-query calls by name, and
     ``REGISTRY["..."].fn`` compositions), closed to a fixpoint — a new
     composer joins the clan the day it is registered, instead of
     rotating the sweep's one inflated draw onto itself (the round-10
     VERDICT's structural-fix mandate; the hand-maintained list missed
-    ``split_leakage_report`` exactly this way)."""
-    deps = {name: _called_names(q.fn) for name, q in REGISTRY.items()}
+    ``split_leakage_report`` exactly this way, and the hand-seeded
+    ``_candidate_runs`` helper was the same failure mode one level
+    down — both now fall out of the transitive walk)."""
+    memo: dict = {}
+    deps = {
+        name: _transitive_called_names(q.fn, memo)
+        for name, q in REGISTRY.items()
+    }
     clan = {n for n, d in deps.items() if d & _CLAN_SEED_HELPERS}
     while True:
         grown = clan | {n for n, d in deps.items() if d & clan}

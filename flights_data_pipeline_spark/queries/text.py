@@ -2512,9 +2512,7 @@ def lm_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w3").isNotNull())
     )
     bucket = F.expr(
-        _bucket_sql(_hex_val_spark).replace(
-            "h", "md5(CAST(doc_id AS STRING))"
-        )
+        _bucket_sql(_hex_val_spark, expr="md5(CAST(doc_id AS STRING))")
     )
     tr = bg3.filter(bucket < TRAIN_PCT)
     c3 = tr.groupBy("w1", "w2", "w3").agg(
@@ -2601,8 +2599,10 @@ def _oov_rate_oracle() -> str:
                 THEN CAST(SUM(h.n_backoff_bi + h.n_backoff_uni) AS DOUBLE)
                      / CAST(SUM(h.n_trigrams) AS DOUBLE)
            END AS oov_rate,
-           CAST(SUM(h.total_bits) AS DOUBLE)
-             / CAST(SUM(h.n_trigrams) AS DOUBLE) AS avg_bits
+           CASE WHEN SUM(h.n_trigrams) > 0
+                THEN CAST(SUM(h.total_bits) AS DOUBLE)
+                     / CAST(SUM(h.n_trigrams) AS DOUBLE)
+           END AS avg_bits
     FROM h JOIN documents d ON h.doc_id = d.doc_id
     GROUP BY d.source
     """
@@ -2632,7 +2632,10 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tri > 0, backoffs.cast("double") / tri.cast("double")).alias(
             "oov_rate"
         ),
-        (F.sum("total_bits").cast("double") / tri.cast("double")).alias(
-            "avg_bits"
-        ),
+        # same zero-trigram guard as oov_rate: Spark's non-ANSI 0/0 is
+        # NULL while DuckDB's IEEE 0.0/0.0 is NaN — guard BOTH engines
+        # so an all-short-doc source can't desync the oracle (r11 ADVICE)
+        F.when(
+            tri > 0, F.sum("total_bits").cast("double") / tri.cast("double")
+        ).alias("avg_bits"),
     )

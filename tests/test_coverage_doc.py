@@ -35,3 +35,26 @@ def test_documented_queries_exist():
     )
     stale = sorted(n for n in candidates - set(REGISTRY) if n not in source)
     assert not stale, f"COVERAGE.md names with no source occurrence: {stale}"
+
+
+def test_plans_md_covers_every_registered_query():
+    """PLANS.md must have one table row per registered query — the
+    round-11 VERDICT found the two newest queries missing from every
+    published artifact because the registry grew after the regenerate
+    (artifact freshness, not correctness). This pin turns post-publish
+    registry growth into a test failure instead of a silent stale:
+    regenerate with `python tools/plan_audit.py` after registering a
+    query."""
+    import re
+
+    text = open(os.path.join(REPO, "PLANS.md")).read()
+    # data rows only: the shuffle-count cell after the name is numeric
+    # (the header row's is the literal "shuffles")
+    rows = {
+        m.group(1)
+        for m in re.finditer(r"^\| ([a-z][a-z0-9_]+) \| \d", text, re.M)
+    }
+    missing = sorted(set(REGISTRY) - rows)
+    assert not missing, f"PLANS.md rows missing (regenerate): {missing}"
+    stale = sorted(rows - set(REGISTRY))
+    assert not stale, f"PLANS.md rows for unregistered queries: {stale}"

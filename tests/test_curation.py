@@ -169,3 +169,29 @@ def test_domain_token_budget_null_text_never_admitted(spark, tmp_path):
     assert rows_to_multiset(s_rows, sdf.columns) == rows_to_multiset(
         o_rows, o_cols
     )
+
+
+def test_span_budget_admission_trim_dividend_invariants(spark, sf_dir):
+    """The post-trim gate can only ever admit MORE: per doc
+    tokens_after <= tokens_before and the admission order (hashed key)
+    is identical pre/post, so the post-trim running sum is pointwise
+    <= the pre-trim one — every pre-trim-admitted doc stays admitted.
+    Also: budget_used respects the cap, and the trimmed-token column
+    only counts admitted docs (bounded by tokens_admitted's
+    complement)."""
+    from flights_data_pipeline_spark.queries.curation import (
+        ADMIT_TOKEN_BUDGET,
+        span_budget_admission,
+    )
+
+    rows = span_budget_admission(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_admitted"] >= r["n_admitted_pretrim"]
+        assert r["extra_docs_admitted"] == (
+            r["n_admitted"] - r["n_admitted_pretrim"]
+        )
+        assert r["extra_docs_admitted"] >= 0
+        assert 0 <= r["budget_used"] <= ADMIT_TOKEN_BUDGET
+        assert r["tokens_admitted"] <= r["budget_used"] or r["n_admitted"] == 0
+        assert r["tokens_trimmed_in_admitted"] >= 0

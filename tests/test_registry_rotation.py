@@ -116,6 +116,13 @@ def test_lsh_composer_clan_discovery():
         "contamination_matrix",
         "split_contamination_matrix",
         "winnowing_fingerprints",
+        # composers that reach the LSH kernel only THROUGH the
+        # non-registry `_candidate_runs` helper — these pin the
+        # transitive helper walk (round-11 ADVICE: a hand-seeded
+        # helper list is the same failure mode one level down)
+        "span_trim_plan",
+        "trim_savings_by_source",
+        "post_trim_token_counts",
     }
     assert must_have <= set(clan), sorted(must_have - set(clan))
     assert set(clan) <= set(REGISTRY)

@@ -1,4 +1,12 @@
-"""Simulate the driver's correctness gate through the public __spark_entry__ surface."""
+"""Simulate the driver's correctness gate through the public __spark_entry__ surface.
+
+Usage: python tools/driver_sim.py [--sf DIR]
+Default DIR is /root/testdata/sf0.01 (the driver's own gate). Passing
+--sf /root/testdata/sf0.1 runs the SAME rows+schema+value-multiset
+compare at 10x the data — the at-scale certification the round-11
+VERDICT asked for (task 2): naturally-dispatched plans, not the
+FORCE-pinned small-SF twins, produce oracle-identical answers.
+"""
 import sys, json
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e
@@ -9,6 +17,8 @@ from decimal import Decimal
 import datetime as dt, math
 
 SF = "/root/testdata/sf0.01"
+if "--sf" in sys.argv:
+    SF = sys.argv[sys.argv.index("--sf") + 1]
 spark = get_spark("driver-sim", cpus=8, shuffle_partitions=8, driver_memory="8g")
 
 # 1. smoke: entry()

@@ -138,11 +138,16 @@ def scale_table(
         )
     elif table == "documents":
         tag = F.concat(F.lit("c"), F.col("__c").cast("string"), F.lit("x"))
+        # Split on \s+ (the repo-wide token convention, not a single
+        # space): consecutive whitespace must not mint extra standalone
+        # "c{c}x" tokens in copies, or per-copy bigram/dedup structure
+        # diverges from the base corpus (round-11 ADVICE). Empty
+        # fragments (leading whitespace) are passed through unprefixed.
         text = F.when(F.col("__c") == 0, F.col("text")).otherwise(
             F.array_join(
                 F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda x: F.concat(tag, x),
+                    F.split(F.col("text"), r"\s+"),
+                    lambda x: F.when(x == "", x).otherwise(F.concat(tag, x)),
                 ),
                 " ",
             )
