@@ -29,7 +29,16 @@ from collections import Counter
 from functools import lru_cache
 
 #: corpora the oracle gate runs against (TESTDATA.md driver contract).
-PINNED_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+#: The at-scale gate (tools/driver_sim.py --sf .../sf0.1) adds sf0.1
+#: via SPARK_GRAFT_PIN_SF01=1 — opt-in because building sf0.1 pins
+#: (CPython zlib over 50k docs, BPE train, kmeans reference on 20k
+#: vectors) costs minutes the driver's per-round sf0.01 gate should
+#: not pay.
+PINNED_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"] + (
+    ["/root/testdata/sf0.1"]
+    if os.environ.get("SPARK_GRAFT_PIN_SF01") == "1"
+    else []
+)
 
 
 @lru_cache(maxsize=None)
@@ -342,11 +351,15 @@ def _closure_sql(pairs_cte: str) -> str:
     )"""
 
 
-def _labels_values(k: int, top2: bool) -> str:
+def _labels_values(k_for_sf, top2: bool) -> str:
+    """Pinned (corpus_fp, vec_id, cluster_id) rows; ``k_for_sf`` maps a
+    corpus dir to ITS adaptive block count — sf0.001/sf0.01 share k=8
+    but sf0.1's 20k vectors block at k=32, so one global k cannot pin
+    every corpus (found by the round-12 sf0.1 gate)."""
     values = []
     for sf in _pinned_dirs():
         fp = _emb_fp(sf)
-        _, _, labels, top2_labels = _kmeans_pin(sf, k)
+        _, _, labels, top2_labels = _kmeans_pin(sf, k_for_sf(sf))
         for i in sorted(labels):
             blocks = top2_labels[i] if top2 else [labels[i]]
             for cid in blocks:
@@ -354,10 +367,8 @@ def _labels_values(k: int, top2: bool) -> str:
     return ", ".join(values)
 
 
-def _semantic_dedup_oracle(k_fn, top2: bool) -> str:
+def _semantic_dedup_oracle(k_for_sf, top2: bool) -> str:
     from .similarity import SEMANTIC_DUP_COSINE, _duck_dot
-
-    k = k_fn()
     dot_ab = _duck_dot("a.embedding", "b.embedding")
     pairs = f"""
       SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -367,7 +378,7 @@ def _semantic_dedup_oracle(k_fn, top2: bool) -> str:
     """
     return f"""
     WITH RECURSIVE {_fp_gate(f'''lblpin AS (
-      SELECT DISTINCT * FROM (VALUES {_labels_values(k, top2)})
+      SELECT DISTINCT * FROM (VALUES {_labels_values(k_for_sf, top2)})
         v(corpus_fp, vec_id, cluster_id)
     )''')},
     v AS (
@@ -389,29 +400,19 @@ def _semantic_dedup_oracle(k_fn, top2: bool) -> str:
 def semantic_cluster_dedup_oracle() -> str:
     from .similarity import adaptive_kmeans_blocks
 
-    def k_fn():
-        ks = {
-            adaptive_kmeans_blocks(len(_emb_corpus(sf)))
-            for sf in _pinned_dirs()
-        }
-        assert len(ks) == 1, f"pinned corpora disagree on k: {ks}"
-        return ks.pop()
-
-    return _semantic_dedup_oracle(k_fn, top2=False)
+    return _semantic_dedup_oracle(
+        lambda sf: adaptive_kmeans_blocks(len(_emb_corpus(sf))),
+        top2=False,
+    )
 
 
 def semantic_dedup_multiblock_oracle() -> str:
     from .similarity import adaptive_kmeans_blocks
 
-    def k_fn():
-        ks = {
-            adaptive_kmeans_blocks(len(_emb_corpus(sf)), 2)
-            for sf in _pinned_dirs()
-        }
-        assert len(ks) == 1, f"pinned corpora disagree on k: {ks}"
-        return ks.pop()
-
-    return _semantic_dedup_oracle(k_fn, top2=True)
+    return _semantic_dedup_oracle(
+        lambda sf: adaptive_kmeans_blocks(len(_emb_corpus(sf)), 2),
+        top2=True,
+    )
 
 
 def ann_ivf_kmeans_oracle() -> str:
@@ -439,7 +440,7 @@ def ann_ivf_kmeans_oracle() -> str:
     dot_pa = _duck_dot("p.q_emb", "a.embedding")
     return f"""
     WITH {_fp_gate(f'''lblpin AS (
-      SELECT DISTINCT * FROM (VALUES {_labels_values(IVF_N_LISTS, False)})
+      SELECT DISTINCT * FROM (VALUES {_labels_values(lambda sf: IVF_N_LISTS, False)})
         v(corpus_fp, vec_id, list_id)
     )''')},
     centpin AS (

@@ -356,18 +356,33 @@ def empty_window_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(l_quantity) OVER w AS prev_qty,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
                      (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                               l_partkey, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS DECIMAL(18,2)) AS DOUBLE) AS running_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          l_partkey, l_quantity)
     """,
 )
 def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank + lag + running sum over a deterministic window ordering."""
+    """rank + lag + running sum over a TOTAL window ordering.
+
+    (l_orderkey, l_linenumber) alone is not a safe tiebreak: the
+    driver-generated sf0.1 lineitem carries one (suppkey, shipdate,
+    orderkey, linenumber) collision with different quantities, and a
+    non-total ORDER BY makes lag/running-sum between tied rows
+    engine-order-dependent (found by the round-12 sf0.1 full-registry
+    gate — invisible at sf0.01, where the data has no collision).
+    l_partkey + l_quantity extend the order; rows still tied after
+    that are interchangeable for every output column here (rank ties
+    share a value; lag/sum read only l_quantity, equal within a tie).
+    """
     li = t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",

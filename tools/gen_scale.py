@@ -189,7 +189,15 @@ def generate(
     to ``out_dir``; idempotent via a manifest recording (src, mult).
     Returns the manifest."""
     manifest_path = f"{out_dir}/MANIFEST.json"
-    want = {"src": src, "mult": mult, "tables": tables or "all"}
+    # rule_version busts the idempotence cache when a scaling rule
+    # changes (round 12: documents copies split on \s+, not " ") —
+    # without it a stale dir would silently satisfy the manifest check
+    want = {
+        "src": src,
+        "mult": mult,
+        "tables": tables or "all",
+        "rule_version": 2,
+    }
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             have = json.load(fh)
