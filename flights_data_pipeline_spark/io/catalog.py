@@ -51,6 +51,17 @@ TESTDATA_TABLES = [
 
 _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
+#: memoized *logical plans* (DataFrame objects), keyed
+#: (applicationId, sf_dir, table). A DataFrame is an immutable plan —
+#: memoizing it reuses driver-side metadata (footer schema read, path
+#: validation, the read.parquet py4j round-trips, ~0.1 s per call, paid
+#: by EVERY query build), never rows: each action on the memoized plan
+#: re-scans the parquet from disk. This is the ``candidate_join
+#: _DECISIONS`` pattern (round-11), applied to the hottest plan-build
+#: chokepoint. Entries from other applicationIds are evicted on insert
+#: so cycling sessions never accumulate stale keys.
+_TABLE_PLANS: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def _pin_parquet_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -66,6 +77,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``io.paths.s3a_conf``), not a code change."""
     from .paths import validate_path
 
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_PLANS.get(key)
+    if hit is not None:
+        return hit
     _pin_parquet_confs(spark)
     path = validate_path(f"{sf_dir}/{name}.parquet")
     df = spark.read.parquet(path)
@@ -74,6 +89,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+    for stale in [k for k in _TABLE_PLANS if k[0] != key[0]]:
+        del _TABLE_PLANS[stale]
+    _TABLE_PLANS[key] = df
     return df
 
 

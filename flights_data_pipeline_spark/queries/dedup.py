@@ -298,20 +298,77 @@ def minhash_state(d: DataFrame) -> DataFrame:
     )
 
 
+#: memoized PURE plans (no checkpoint anywhere in the tree), keyed
+#: (applicationId, sf_dir, kind) — the ``candidate_join._DECISIONS``
+#: pattern applied to the clan's shared plan builders. Building the
+#: md5-dense per-doc signature plan costs ~0.4-0.6 s of py4j
+#: round-trips (measured, round-12 profile) and every clan member
+#: rebuilds it per run; the plan is a pure function of the immutable
+#: sf_dir parquet, so the OBJECT is reusable. Plans only — each action
+#: on a memoized plan re-reads parquet and recomputes rows; a
+#: checkpointed frame (which holds materialized blocks) must never
+#: land in here.
+_PURE_PLANS: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _pure_plan_memo(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    hit = _PURE_PLANS.get(key)
+    if hit is not None:
+        return hit
+    df = build()
+    for stale in [k for k in _PURE_PLANS if k[0] != key[0]]:
+        del _PURE_PLANS[stale]
+    _PURE_PLANS[key] = df
+    return df
+
+
+#: memoized few-splits probe per (applicationId, sf_dir): the
+#: ``inputFiles()`` listing is a driver round-trip paid per plan build
+#: otherwise; the answer is a pure function of the immutable sf_dir.
+_FEW_SPLITS: dict[tuple[str, str], bool] = {}
+
+
+def _corpus_has_few_splits(spark: SparkSession, sf_dir: str) -> bool:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _FEW_SPLITS.get(key)
+    if hit is None:
+        n_cores = spark.sparkContext.defaultParallelism
+        hit = len(t(spark, sf_dir, "documents").inputFiles()) < max(
+            2, n_cores // 2
+        )
+        for stale in [k for k in _FEW_SPLITS if k[0] != key[0]]:
+            del _FEW_SPLITS[stale]
+        _FEW_SPLITS[key] = hit
+    return hit
+
+
+def _spread_small_scan(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+    """A small corpus arrives as one parquet split → any hash-heavy
+    per-doc pass would run on one core. Spread by doc_id only when the
+    corpus scan has fewer splits than cores; a real many-split corpus
+    skips this shuffle entirely."""
+    if _corpus_has_few_splits(spark, sf_dir):
+        return d.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    return d
+
+
 def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``minhash_state`` over the corpus table, materialized at one
-    doc-level exchange that every consumer reuses."""
-    d = t(spark, sf_dir, "documents")
-    # A small corpus arrives as one parquet split → the md5-heavy pass
-    # would run on one core. Spread by doc_id only when the scan has
-    # fewer splits than cores; a real many-split corpus skips this
-    # shuffle entirely.
-    n_cores = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < max(2, n_cores // 2):
-        d = d.repartition(n_cores, "doc_id")
-    # doc-level rows (tiny vs the shingle-level explode this replaced);
-    # this exchange is the reuse point for downstream consumers
-    return minhash_state(d).repartition(n_cores, "doc_id")
+    doc-level exchange that every consumer reuses. The built plan is
+    memoized per (session, sf_dir) — see ``_PURE_PLANS``."""
+
+    def build() -> DataFrame:
+        d = _spread_small_scan(spark, sf_dir, t(spark, sf_dir, "documents"))
+        # doc-level rows (tiny vs the shingle-level explode this
+        # replaced); this exchange is the reuse point for downstream
+        # consumers
+        n_cores = spark.sparkContext.defaultParallelism
+        return minhash_state(d).repartition(n_cores, "doc_id")
+
+    return _pure_plan_memo(spark, sf_dir, "per_doc", build)
 
 
 def minhash_bands(per_doc: DataFrame) -> DataFrame:
@@ -832,12 +889,23 @@ def _candidate_runs(spark: SparkSession, sf_dir: str):
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    g = filter_by_keys(
-        positional_gram_hashes(t(spark, sf_dir, "documents")),
+    # filter documents to candidate ids BEFORE the gram explode+md5
+    # (round-12: the filter previously sat ABOVE the positional-gram
+    # pass, so every document in the corpus paid the explode and one
+    # md5 per gram only to be dropped by the semi join — a semi join
+    # cannot be pushed below a Generate). Identical rows survive
+    # (per-doc gram hashes are independent of other docs); the hash
+    # work is now proportional to the CANDIDATE set, and the filtered
+    # scan is spread across cores before the md5-dense pass.
+    docs_f = filter_by_keys(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
         ids,
         "doc_id",
         mode=mode,
     )
+    g = positional_gram_hashes(
+        _spread_small_scan(spark, sf_dir, docs_f)
+    ).localCheckpoint(eager=False)  # feeds BOTH pair-join sides once
     ga = g.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "h"
     )

@@ -244,18 +244,68 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 def test_connected_components_warns_when_not_converged(spark):
-    """A graph deeper than max_iterations must WARN, not silently
-    return split components (ADVICE round 2)."""
+    """The ITERATIVE path of a graph deeper than max_iterations must
+    WARN, not silently return split components (ADVICE round 2). The
+    small-graph fast path closes any graph exactly in one pass, so the
+    warning contract only applies to the iterative path — force it."""
     import warnings
 
-    from flights_data_pipeline_spark.operators.graph import connected_components
+    from flights_data_pipeline_spark.operators import graph as G
 
     chain = [(i, i + 1) for i in range(8)]  # diameter 8
     df = spark.createDataFrame(chain, "a_id BIGINT, b_id BIGINT")
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        connected_components(df, max_iterations=2).collect()
+    G.FORCE = "iterative"
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            G.connected_components(df, max_iterations=2).collect()
+    finally:
+        G.FORCE = None
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_connected_components_paths_bit_equal(spark):
+    """The size-dispatched single-task union-find fast path must label
+    every node EXACTLY like the iterative min-label loop — bigint and
+    string ids, chains, stars, self-loops, singleton edges."""
+    from flights_data_pipeline_spark.operators import graph as G
+
+    cases = [
+        ([(i, i + 1) for i in range(12)] + [(100, 100), (7, 3)],
+         "a_id BIGINT, b_id BIGINT"),
+        ([("b", "c"), ("a", "b"), ("x", "y"), ("m", "m"), ("y", "z")],
+         "a_id STRING, b_id STRING"),
+    ]
+    for rows, schema in cases:
+        df = spark.createDataFrame(rows, schema)
+        G.FORCE = "iterative"
+        try:
+            it = {tuple(r) for r in G.connected_components(df).collect()}
+            G.FORCE = "small"
+            sm = {tuple(r) for r in G.connected_components(df).collect()}
+        finally:
+            G.FORCE = None
+        assert it == sm
+
+
+def test_connected_components_dispatch_is_size_gated(spark):
+    """Dispatch is data-derived: a graph whose symmetrized edge count
+    exceeds SMALL_GRAPH_MAX_EDGES must take the iterative path (the
+    module constant gates it, not core count)."""
+    from flights_data_pipeline_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "a_id BIGINT, b_id BIGINT"
+    )
+    old = G.SMALL_GRAPH_MAX_EDGES
+    try:
+        G.SMALL_GRAPH_MAX_EDGES = 10  # 100 symmetrized edges >> 10
+        big = {tuple(r) for r in G.connected_components(df).collect()}
+        G.SMALL_GRAPH_MAX_EDGES = old
+        small = {tuple(r) for r in G.connected_components(df).collect()}
+    finally:
+        G.SMALL_GRAPH_MAX_EDGES = old
+    assert big == small
 
 
 def test_connected_components_string_ids(spark):
