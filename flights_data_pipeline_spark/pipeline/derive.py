@@ -421,6 +421,21 @@ def oracle_with(transform_sql: str) -> str:
 
 def derive_staging(spark, sf_dir: str):
     """Render and run the Spark-side derivation; returns
-    ``{table: DataFrame}`` for the 8 staging tables."""
+    ``{table: DataFrame}`` for the 8 staging tables.
+
+    Each chain step is analyzed ONCE and registered as a temp view the
+    next step's FROM resolves against — the previous one-statement-per-
+    table rendering re-inlined (and re-analyzed) the whole CTE prefix
+    per table, making total analysis quadratic in chain length
+    (measured 5-9 s of driver time at round 12). ``df.schema`` forces
+    analysis inside the loop so every returned frame is resolved
+    against THIS call's views before any later call could re-register
+    them for another sf_dir."""
     d = spark_dialect(sf_dir)
-    return {t: spark.sql(table_sql(d, t)) for t in STAGING_TABLES}
+    out = {}
+    for name, sql in _chain(d):
+        df = spark.sql(sql)
+        df.schema  # force analysis now (pin resolution, see docstring)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return {t: out[t] for t in STAGING_TABLES}

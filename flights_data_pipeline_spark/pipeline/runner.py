@@ -130,25 +130,53 @@ def run_transforms(
             f"unknown layout: {layout!r} (use 'sorted', 'zorder' or 'bucketed')"
         )
 
-    for name in TRANSFORM_ORDER:
-
-        def step(name=name):
-            df = TRANSFORMS[name](spark, staging_dir)
-            keys = FACT_SORT_KEYS.get(name)
-            if clustered and keys:
-                if layout == "bucketed":
-                    write_bucketed(
-                        df, f"{warehouse_dir}/{name}", f"wh_{name}", keys[:1],
-                        sort_cols=keys,
-                    )
-                elif layout == "zorder" and len(keys) >= 2:
-                    write_zordered(df, f"{warehouse_dir}/{name}", keys)
-                else:
-                    write_sorted(df, f"{warehouse_dir}/{name}", keys)
+    def step(name):
+        df = TRANSFORMS[name](spark, staging_dir)
+        keys = FACT_SORT_KEYS.get(name)
+        if clustered and keys:
+            if layout == "bucketed":
+                write_bucketed(
+                    df, f"{warehouse_dir}/{name}", f"wh_{name}", keys[:1],
+                    sort_cols=keys,
+                )
+            elif layout == "zorder" and len(keys) >= 2:
+                write_zordered(df, f"{warehouse_dir}/{name}", keys)
             else:
-                df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}")
+                write_sorted(df, f"{warehouse_dir}/{name}", keys)
+        else:
+            df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}")
 
-        _with_retries(f"transform:{name}", step, retries, on_failure)
+    # O4 preserved as a BARRIER, not a total order: every transform
+    # reads staging only and writes its own warehouse directory, so
+    # tables within a tier are independent — dims fan out as
+    # concurrent driver-thread jobs, then facts (the same overlap the
+    # extract fan-out already uses; one table's write tail backfills
+    # executors with the next table's scan). The dims→facts barrier
+    # keeps the reference's topological contract for any future
+    # fact-reads-dim transform.
+    # the bucketed layout registers catalog tables (saveAsTable);
+    # catalog mutations are kept sequential — the parquet-path layouts
+    # write disjoint directories and fan out safely
+    sequential = clustered and layout == "bucketed"
+    for tier in ("dim_", "fct_"):
+        names = [n for n in TRANSFORM_ORDER if n.startswith(tier)]
+        if sequential:
+            for n in names:
+                _with_retries(f"transform:{n}", lambda n=n: step(n), retries, on_failure)
+            continue
+        with ThreadPoolExecutor(max_workers=max(1, len(names))) as pool:
+            futures = [
+                pool.submit(
+                    _with_retries,
+                    f"transform:{n}",
+                    lambda n=n: step(n),
+                    retries,
+                    on_failure,
+                )
+                for n in names
+            ]
+            for f in futures:
+                f.result()
 
 
 def run_pipeline(

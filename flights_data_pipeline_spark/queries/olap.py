@@ -1190,6 +1190,57 @@ def _basket_items(li: DataFrame) -> DataFrame:
     )
 
 
+def _basket_arrays(li: DataFrame) -> DataFrame:
+    """``(l_orderkey, arr)``: each capped basket's SORTED DISTINCT item
+    array, in ONE shuffle — ``collect_set`` dedups inside the aggregate
+    (with map-side partials), replacing ``_basket_items``'s
+    dropDuplicates + window pair of exchanges; the ≤ ``BASKET_CAP``
+    gate is ``size(arr)``, the same distinct-item count the window
+    computed. Arrays are bounded by the cap (the filter drops larger
+    baskets right after the aggregate, the same dial as before)."""
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") <= BASKET_CAP)
+    )
+
+
+def _ordered_pairs(arr: F.Column) -> F.Column:
+    """All (pa < pb) item pairs of a sorted distinct array, built
+    IN-ROW: for the element at 0-based index i, pair it with every
+    later element (1-based slice start i+2). The indexed lambda is
+    safe here — ``arr`` is a materialized aggregate output column, not
+    a re-evaluated expression (contrast ``dedup._shingles``)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+
+
+def _basket_pair_counts(li: DataFrame) -> DataFrame:
+    """``(pa, pb, w)``: ordered co-purchase pairs with their basket
+    support, the shared kernel every co-purchase graph/rules query
+    derives from. Pairs are expanded IN-ROW from each basket's sorted
+    distinct item array instead of the classic items-⋈-items self-join
+    — the same pair multiset per basket (all i < j combinations of the
+    distinct items), but two exchanges total instead of four
+    (dropDuplicates + window + join-key + pair-groupBy), no join, and
+    the pair aggregate gets map-side partials (guide: aggregate before
+    you shuffle). Per-basket fan-out is C(|basket|, 2), bounded by
+    ``BASKET_CAP`` exactly as the self-join was."""
+    pairs = _basket_arrays(li).select(
+        F.explode(_ordered_pairs(F.col("arr"))).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+    ).agg(F.count("*").alias("w"))
+
+
 @query(
     "copurchase_part_pairs",
     oracle=f"""
@@ -1223,19 +1274,10 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 ranks on exact integer support with a total tiebreak.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    )
-    sup = pairs.groupBy("part_a", "part_b").agg(
-        F.count("*").cast("bigint").alias("support")
+    sup = _basket_pair_counts(li).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("w").cast("bigint").alias("support"),
     )
     w = W.orderBy(F.col("support").desc(), "part_a", "part_b")
     return (
@@ -1355,18 +1397,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sqrt(|E|)) without changing this query's contract.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a, b = items.alias("a"), items.alias("b")
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("u", "v")
+        _basket_pair_counts(li)
+        .filter(F.col("w") >= 2)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        # five plan references (3 triangle sides + edge/node counts):
+        # lambda-bearing subtrees don't canonicalize for exchange
+        # reuse, so materialize the pair expansion once
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -1461,6 +1499,56 @@ def _pr_oracle() -> str:
     """
 
 
+def _pagerank_small(edges: DataFrame) -> DataFrame:
+    """Single-task fixed-point PageRank over a dispatch-certified
+    SMALL symmetrized edge list ``(src, dst)``: the {PR_ROUNDS} power
+    rounds run in pandas inside one executor task with the SAME exact
+    integer arithmetic as the Spark loop (score DIV degree per
+    neighbor, base + (85·sum) DIV 100 damping) — floor division of
+    non-negative int64s in both engines, so scores are bit-identical
+    regardless of path. Returns ``(node, score, d)``."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    node_type = edges.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type),
+            StructField("score", LongType()),
+            StructField("d", LongType()),
+        ]
+    )
+    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
+
+    def _pr(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True)
+        deg = df.groupby("src").size().astype("int64")
+        s = pd.Series(PR_SCALE, index=deg.index, dtype="int64")
+        for _ in range(PR_ROUNDS):
+            contrib = (s // deg).reindex(df["src"]).to_numpy()
+            inc = (
+                pd.Series(contrib)
+                .groupby(df["dst"].to_numpy())
+                .sum()
+                .reindex(deg.index, fill_value=0)
+                .astype("int64")
+            )
+            s = base + (PR_D_NUM * inc) // PR_D_DEN
+        yield pd.DataFrame(
+            {
+                "node": deg.index.to_numpy(),
+                "score": s.to_numpy(),
+                "d": deg.to_numpy(),
+            }
+        )
+
+    return edges.repartition(1).mapInPandas(_pr, schema)
+
+
 @query("pagerank_copurchase", oracle=_pr_oracle())
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by PageRank over the co-purchase graph — the
@@ -1485,18 +1573,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence test on total score movement.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a, b = items.alias("a"), items.alias("b")
     und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("w"))
+        _basket_pair_counts(li)
         .filter(F.col("w") >= PR_MIN_SUPPORT)
         .select("pa", "pb")
     )
@@ -1505,6 +1583,28 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     ).localCheckpoint(eager=True)
+    # size dispatch (1-row count on the checkpointed list, shared
+    # convention with operators/graph): a small graph runs the whole
+    # fixed-point power iteration in ONE single-task pandas pass —
+    # identical exact-integer arithmetic, so scores are bit-equal to
+    # the round-per-round Spark loop below; large graphs keep the
+    # per-round join+aggregate plan unchanged.
+    from ..operators import graph as _G
+
+    n_e = edges.count()
+    if _G.FORCE == "small" or (
+        _G.FORCE is None and n_e <= _G.SMALL_GRAPH_MAX_EDGES
+    ):
+        state = _pagerank_small(edges)
+        return (
+            state.select(
+                F.col("node").alias("part_key"),
+                F.col("score").cast("bigint").alias("score"),
+                F.col("d").cast("bigint").alias("degree"),
+            )
+            .orderBy(F.col("score").desc(), "part_key")
+            .limit(20)
+        )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     state = deg.select(
         F.col("src").alias("node"),
@@ -1766,27 +1866,20 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (zero re-shuffle per round after the first).
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a = items.alias("a")
-    b = items.alias("b")
     # materialize edges ONCE: the unrolled composition otherwise
-    # re-derives the pair join inside every level (measured: 45
+    # re-derives the pair expansion inside every level (measured: 45
     # lineitem scans in the lazy plan tree; 4.7 → 3.3 s warm at sf0.1
     # with just this cut). Frontiers stay lazy — at depth 3 their
     # recompute is cheaper than eager checkpoints (measured both);
     # deeper unrolls should checkpoint per round like
-    # operators/graph.connected_components
+    # operators/graph.connected_components. Both directions of each
+    # distinct co-purchase pair = the a≠b self-join's distinct output.
+    und = _basket_pair_counts(li).select("pa", "pb")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     seed = li.agg(F.min("l_partkey").alias("part"))
@@ -1971,24 +2064,19 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back onto 40 rule rows — broadcast-sized by construction.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    n_baskets = items.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("nb")
+    arrs = _basket_arrays(li).localCheckpoint(
+        eager=False
+    )  # basket arrays feed pair supports, item supports AND the count
+    n_baskets = arrs.agg(F.count("*").cast("bigint").alias("nb"))
+    item_sup = (
+        arrs.select(F.explode("arr").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("sup"))
     )
-    item_sup = items.groupBy("l_partkey").agg(
-        F.count("*").cast("bigint").alias("sup")
-    )
-    a = items.alias("a")
-    b = items.alias("b")
     pair_sup = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        arrs.select(F.explode(_ordered_pairs(F.col("arr"))).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
         )
         .agg(F.count("*").cast("bigint").alias("sup_ab"))
     )
@@ -2204,20 +2292,14 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-orientation refinement applies unchanged.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a, b = items.alias("a"), items.alias("b")
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("u", "v")
+        _basket_pair_counts(li)
+        .filter(F.col("w") >= 2)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        # five plan references (sym both ways + 3 triangle sides):
+        # materialize the pair expansion once (no exchange reuse
+        # across lambda-bearing subtrees)
+        .localCheckpoint(eager=False)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
@@ -2697,23 +2779,37 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a pre-filter without changing semantics.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    # in-row ordered-triple expansion over each basket's sorted
+    # distinct item array — same triple multiset as the a<b<c two-join
+    # chain (C(|basket|,3) per basket, bounded by BASKET_CAP), zero
+    # joins, map-side partial aggregation on the triple key
+    trip = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(F.col("arr"), i + F.lit(2), F.size(F.col("arr"))),
+                    lambda y, j: F.transform(
+                        F.slice(
+                            F.col("arr"),
+                            i + j + F.lit(3),
+                            F.size(F.col("arr")),
+                        ),
+                        lambda z: F.struct(
+                            x.alias("pa"), y.alias("pb"), z.alias("pc")
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
     triples = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .join(
-            c,
-            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
-        )
+        _basket_arrays(li)
+        .select(F.explode(trip).alias("t"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-            F.col("c.l_partkey").alias("part_c"),
+            F.col("t.pa").alias("part_a"),
+            F.col("t.pb").alias("part_b"),
+            F.col("t.pc").alias("part_c"),
         )
         .agg(F.count("*").cast("bigint").alias("support"))
     )
@@ -2864,19 +2960,11 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is |distinct degrees| rows.
     """
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a, b = items.alias("a"), items.alias("b")
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .select("u", "v")
+        _basket_pair_counts(li)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        # two plan references (sym both directions): materialize once
+        .localCheckpoint(eager=False)
     )
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -3081,21 +3169,45 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle/clustering/BFS/PageRank queries build — materialized once
     for the iterative peel."""
     li = t(spark, sf_dir, "lineitem")
-    items = _basket_items(li)
-    a, b = items.alias("a"), items.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("u", "v")
+        _basket_pair_counts(li)
+        .filter(F.col("w") >= 2)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .localCheckpoint(eager=True)
+    )
+
+
+def _kcore_edges_small(edges: DataFrame, k: int) -> DataFrame:
+    """Single-task peel of a dispatch-certified SMALL (u < v) edge
+    list: ship the whole list to one executor task and run the
+    degree-prune loop in pandas there. The k-core fixed point is
+    unique (Seidman 1983), so the surviving edge SET is identical to
+    the iterative Spark peel's — only the physical plan differs (one
+    job instead of O(rounds) join+checkpoint+count jobs). Lazily
+    checkpointed so a chained peel (core(k+1) from core(k)) and its
+    convergence count consume ONE execution."""
+
+    def _peel(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True)
+        while not df.empty:
+            deg = pd.concat([df["u"], df["v"]]).value_counts()
+            keep = set(deg[deg >= k].index)
+            nxt = df[df["u"].isin(keep) & df["v"].isin(keep)]
+            if len(nxt) == len(df):
+                break
+            df = nxt
+        if not df.empty:
+            yield df
+
+    return (
+        edges.repartition(1)
+        .mapInPandas(_peel, edges.schema)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -3109,10 +3221,22 @@ def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
     localCheckpointed so plan depth stays constant (the
     ``connected_components`` discipline). The fixed point is unique,
     so the result is deterministic regardless of peel order.
+
+    Size dispatch (shared convention with
+    ``operators/graph.connected_components``): a small edge list peels
+    in ONE single-task pandas pass instead of O(rounds) Spark jobs;
+    the threshold is the data-derived ``SMALL_GRAPH_MAX_EDGES`` and
+    ``graph.FORCE`` pins a path for tests.
     """
+    from ..operators import graph as _G
+
     cur = edges
     # scale-ok: 1-row count per round, the peel loop's convergence probe
     n_cur = cur.count()
+    if _G.FORCE == "small" or (
+        _G.FORCE is None and n_cur <= _G.SMALL_GRAPH_MAX_EDGES
+    ):
+        return _kcore_edges_small(cur, k)
     while True:
         sym = cur.unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))

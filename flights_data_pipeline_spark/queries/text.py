@@ -891,8 +891,12 @@ def lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`lm_surprisal_surface`) so the streaming maintenance twin
     re-derives the identical surface from its bigram-count store.
     """
+    from ..queries.dedup import _spread_small_scan
+
     d = t(spark, sf_dir, "documents")
-    dbg = doc_bigram_counts(d).localCheckpoint(eager=False)
+    dbg = doc_bigram_counts(
+        _spread_small_scan(spark, sf_dir, d)
+    ).localCheckpoint(eager=False)
     return lm_surprisal_surface(d.select("doc_id"), dbg)
 
 
@@ -2275,10 +2279,13 @@ def surprisal_span_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number all run inside doc-grain partitions (bounded by doc
     length, never corpus-grain). Nothing is corpus-quadratic.
     """
+    from ..queries.dedup import _spread_small_scan
+
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     pos_bg = (
-        d.select(
+        _spread_small_scan(spark, sf_dir, d)
+        .select(
             "doc_id",
             F.posexplode(
                 F.zip_with(
@@ -2295,6 +2302,8 @@ def surprisal_span_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("col.w2").alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
+        # feeds the model aggregates AND the scoring join — one pass
+        .localCheckpoint(eager=False)
     )
     counts = pos_bg.groupBy("w1", "w2").agg(
         F.count("*").cast("bigint").alias("c12")
@@ -2506,10 +2515,17 @@ def lm_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
         ),
     )
+    from ..queries.dedup import _spread_small_scan
+
     bg3 = (
-        d.select("doc_id", F.explode(tris).alias("g"))
+        _spread_small_scan(spark, sf_dir, d)
+        .select("doc_id", F.explode(tris).alias("g"))
         .select("doc_id", "g.w1", "g.w2", "g.w3")
         .filter(F.col("w3").isNotNull())
+        # the trigram explode feeds the train-split model subtree AND
+        # the scoring join — materialize it once (round-12: the
+        # un-checkpointed plan re-ran the explode per model table)
+        .localCheckpoint(eager=False)
     )
     bucket = F.expr(
         _bucket_sql(_hex_val_spark, expr="md5(CAST(doc_id AS STRING))")
@@ -2521,8 +2537,11 @@ def lm_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx12 = c3.groupBy("w1", "w2").agg(
         F.sum("c123").cast("bigint").alias("c12")
     )
-    b2 = tr.groupBy("w2", "w3").agg(
-        F.count("*").cast("bigint").alias("c23")
+    # b2 rolls up from c3 instead of a second pass over the train
+    # trigrams: trigram-instance counts grouped by (w2, w3) are exactly
+    # Σ_w1 c123 (round-12; same "mergeable partials" algebra as cx12)
+    b2 = c3.groupBy("w2", "w3").agg(
+        F.sum("c123").cast("bigint").alias("c23")
     )
     cx2 = b2.groupBy("w2").agg(F.sum("c23").cast("bigint").alias("c2"))
     vocab = b2.agg(F.countDistinct("w3").cast("bigint").alias("v"))
