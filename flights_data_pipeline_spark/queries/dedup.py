@@ -323,18 +323,20 @@ def _pure_plan_memo(spark: SparkSession, sf_dir: str, kind: str, build):
     return df
 
 
-#: memoized few-splits probe per (applicationId, sf_dir): the
+#: memoized few-splits probe per (applicationId, sf_dir, table): the
 #: ``inputFiles()`` listing is a driver round-trip paid per plan build
 #: otherwise; the answer is a pure function of the immutable sf_dir.
-_FEW_SPLITS: dict[tuple[str, str], bool] = {}
+_FEW_SPLITS: dict[tuple[str, str, str], bool] = {}
 
 
-def _corpus_has_few_splits(spark: SparkSession, sf_dir: str) -> bool:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def table_has_few_splits(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> bool:
+    key = (spark.sparkContext.applicationId, sf_dir, table)
     hit = _FEW_SPLITS.get(key)
     if hit is None:
         n_cores = spark.sparkContext.defaultParallelism
-        hit = len(t(spark, sf_dir, "documents").inputFiles()) < max(
+        hit = len(t(spark, sf_dir, table).inputFiles()) < max(
             2, n_cores // 2
         )
         for stale in [k for k in _FEW_SPLITS if k[0] != key[0]]:
@@ -343,14 +345,21 @@ def _corpus_has_few_splits(spark: SparkSession, sf_dir: str) -> bool:
     return hit
 
 
-def _spread_small_scan(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
-    """A small corpus arrives as one parquet split → any hash-heavy
-    per-doc pass would run on one core. Spread by doc_id only when the
-    corpus scan has fewer splits than cores; a real many-split corpus
+def _spread_small_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    d: DataFrame,
+    *,
+    table: str = "documents",
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """A small table arrives as one parquet split → any hash-heavy
+    per-row pass would run on one core. Spread by key only when the
+    table's scan has fewer splits than cores; a real many-split table
     skips this shuffle entirely."""
-    if _corpus_has_few_splits(spark, sf_dir):
+    if table_has_few_splits(spark, sf_dir, table):
         return d.repartition(
-            spark.sparkContext.defaultParallelism, "doc_id"
+            spark.sparkContext.defaultParallelism, *keys
         )
     return d
 

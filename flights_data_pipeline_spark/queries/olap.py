@@ -1199,7 +1199,8 @@ def _basket_arrays(li: DataFrame) -> DataFrame:
     computed. Arrays are bounded by the cap (the filter drops larger
     baskets right after the aggregate, the same dial as before)."""
     return (
-        li.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
         .filter(F.size("arr") <= BASKET_CAP)
     )
