@@ -34,12 +34,19 @@ Prints TWO JSON lines:
      so the complete per-query surface is a committed artifact.
   2. FINAL line, compact (<1 KB): the driver snapshots only the last
      2000 chars of stdout and parses the last line — a full-name
-     per-query dict stopped fitting at round 9 (60 queries ≈ 1971
-     chars was the last fit), which is exactly why BENCH_r09..r11
-     carry ``parsed: null``. The summary keeps the driver-parseable
-     contract: total, build time, n_queries, the clan rows (the
-     yardstick-sensitive family, judged vs ISO_WARM_r{N}.json), and
-     a pointer to the full dict.
+     76-query dict measures 2076+ chars (names alone are 1451), which
+     is exactly why BENCH_r09..r11 carry ``parsed: null`` and why the
+     round-12 compact line carried only the 14-row clan dict (leaving
+     PERF_r12 blind: ``per_query: {}``). Per the round-12 VERDICT
+     (Next round #1), the final line now carries EVERY headline query
+     under a deterministic SHORT KEY (:func:`_short_key` — first
+     letter of each underscore word, extended on collision), ~900
+     chars total, so the driver's per-query and scaling comparisons
+     see the full surface again. The short→full mapping is committed
+     in BENCH_headline_latest.json (``short_keys``) next to the
+     full-name dict, which remains line 1 verbatim (append-only,
+     never renamed — the compact aliases are a transport encoding,
+     not a rename).
 """
 
 from __future__ import annotations
@@ -151,6 +158,30 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def short_key_map(names: list[str]) -> dict[str, str]:
+    """Deterministic collision-free abbreviation (full → short): first
+    letter of each underscore-separated word; on collision, extend
+    with successive letters of the LAST word, then a numeric suffix.
+    Processing in sorted order makes the mapping a pure function of
+    the name set, so the committed ``short_keys`` table stays stable
+    round over round for unchanged names."""
+    out: dict[str, str] = {}
+    used: set[str] = set()
+    for name in sorted(names):
+        parts = name.split("_")
+        key = "".join(p[0] for p in parts if p)
+        tail, i = parts[-1], 1
+        while key in used:
+            if i < len(tail):
+                key += tail[i]
+                i += 1
+            else:
+                key += "9"
+        used.add(key)
+        out[name] = key
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -224,14 +255,19 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(full))
+    shorts = short_key_map(list(timings))
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_headline_latest.json"), "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
+            json.dump(
+                {**full, "short_keys": shorts}, f, indent=1, sort_keys=True
+            )
             f.write("\n")
     except OSError as exc:
         print(f"bench: could not write headline artifact: {exc}", file=sys.stderr)
-    # FINAL line = the driver-parsed summary (see module docstring).
+    # FINAL line = the driver-parsed summary (see module docstring):
+    # the COMPLETE per-query surface under deterministic short keys
+    # (~900 chars, inside the driver's 2000-char stdout snapshot).
     print(
         json.dumps(
             {
@@ -241,12 +277,10 @@ def main() -> None:
                 "sf": sf,
                 "build_sec": round(build_sec, 2),
                 "n_queries": len(timings),
-                "clan": {
-                    n: round(v, 2)
-                    for n, v in timings.items()
-                    if n in clan
+                "queries": {
+                    shorts[n]: round(v, 2) for n, v in timings.items()
                 },
-                "full": "BENCH_headline_latest.json + first stdout line",
+                "keymap": "BENCH_headline_latest.json short_keys",
             },
             separators=(",", ":"),
         )

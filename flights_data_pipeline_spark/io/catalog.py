@@ -32,6 +32,8 @@ SparkSession (e.g. the driver's own).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -62,6 +64,12 @@ _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 #: so cycling sessions never accumulate stale keys.
 _TABLE_PLANS: dict[tuple[str, str, str], DataFrame] = {}
 
+#: guards _TABLE_PLANS (round-12 ADVICE): the engine now runs driver
+#: ThreadPoolExecutors (pipeline fan-outs), and dict iterate-then-
+#: delete under concurrent insert raises RuntimeError. Contention at
+#: plan-build frequency is negligible.
+_TABLE_PLANS_LOCK = threading.Lock()
+
 
 def _pin_parquet_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -78,8 +86,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .paths import validate_path
 
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    hit = _TABLE_PLANS.get(key)
+    with _TABLE_PLANS_LOCK:
+        hit = _TABLE_PLANS.get(key)
     if hit is not None:
+        # re-pin on hits too (round-12 ADVICE): idempotent and cheap,
+        # and it heals the memoized plan's conf assumptions if some
+        # in-session caller flipped the parquet confs since the miss
+        _pin_parquet_confs(spark)
         return hit
     _pin_parquet_confs(spark)
     path = validate_path(f"{sf_dir}/{name}.parquet")
@@ -89,9 +102,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
-    for stale in [k for k in _TABLE_PLANS if k[0] != key[0]]:
-        del _TABLE_PLANS[stale]
-    _TABLE_PLANS[key] = df
+    with _TABLE_PLANS_LOCK:
+        for stale in [k for k in _TABLE_PLANS if k[0] != key[0]]:
+            del _TABLE_PLANS[stale]
+        _TABLE_PLANS[key] = df
     return df
 
 

@@ -65,6 +65,8 @@ queries: everything derives from the sf_dir parquet) pass
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,6 +92,10 @@ CAND_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 #: session the dict is bounded by the number of distinct caller keys.
 _DECISIONS: dict[tuple[str, object], str] = {}
 
+#: guards _DECISIONS (round-12 ADVICE): driver thread pools exist in
+#: this codebase; iterate-then-delete under concurrent insert raises.
+_DECISIONS_LOCK = threading.Lock()
+
 
 def dispatch(
     cand: DataFrame,
@@ -111,7 +117,8 @@ def dispatch(
         return FORCE
     if cache_key is not None:
         key = (cand.sparkSession.sparkContext.applicationId, cache_key)
-        hit = _DECISIONS.get(key)
+        with _DECISIONS_LOCK:
+            hit = _DECISIONS.get(key)
         if hit is not None:
             return hit
     if plan_size_small(cand, CAND_BROADCAST_MAX_BYTES):
@@ -124,9 +131,10 @@ def dispatch(
         mode = "shuffle"
     if cache_key is not None:
         app_id = key[0]
-        for stale in [k for k in _DECISIONS if k[0] != app_id]:
-            del _DECISIONS[stale]
-        _DECISIONS[key] = mode
+        with _DECISIONS_LOCK:
+            for stale in [k for k in _DECISIONS if k[0] != app_id]:
+                del _DECISIONS[stale]
+            _DECISIONS[key] = mode
     return mode
 
 

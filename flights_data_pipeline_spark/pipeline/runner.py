@@ -158,6 +158,13 @@ def run_transforms(
     # catalog mutations are kept sequential — the parquet-path layouts
     # write disjoint directories and fan out safely
     sequential = clustered and layout == "bucketed"
+    # loud tier-coverage guard (round-12 ADVICE): a future transform
+    # named outside the dim_/fct_ prefixes must fail here, not be
+    # silently skipped by the prefix filters below
+    tiers = [n for n in TRANSFORM_ORDER if n.startswith(("dim_", "fct_"))]
+    if set(tiers) != set(TRANSFORM_ORDER):
+        missed = sorted(set(TRANSFORM_ORDER) - set(tiers))
+        raise ValueError(f"transforms outside dim_/fct_ tiers: {missed}")
     for tier in ("dim_", "fct_"):
         names = [n for n in TRANSFORM_ORDER if n.startswith(tier)]
         if sequential:
@@ -175,8 +182,18 @@ def run_transforms(
                 )
                 for n in names
             ]
-            for f in futures:
-                f.result()
+            try:
+                for f in futures:
+                    f.result()
+            except Exception:
+                # keep the reference chain's failure semantics close
+                # (round-12 ADVICE): a failed transform cancels the
+                # tier's NOT-YET-STARTED siblings instead of fanning
+                # more work out; already-running siblings finish (and
+                # alert) — the Airflow-parallel reading documented in
+                # test_runner_failures.
+                pool.shutdown(wait=True, cancel_futures=True)
+                raise
 
 
 def run_pipeline(

@@ -409,11 +409,14 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds BOTH self-join sides and the totals, and without the pin
     the whole fingerprinting subtree would execute four times.
     """
+    from .dedup import _spread_small_scan
     from .text import winnow_fp_set
 
     d = t(spark, sf_dir, "documents")
     fs = (
-        winnow_fp_set(d)
+        # spread the (one-split) scan so the gram explode+md5 runs on
+        # every core; the winnow window reuses the doc_id partitioning
+        winnow_fp_set(_spread_small_scan(spark, sf_dir, d))
         .join(d.select("doc_id", "source"), "doc_id")
         .select("source", "fp_hash")
         .distinct()

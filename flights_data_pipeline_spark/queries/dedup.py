@@ -23,6 +23,8 @@ near-dup plan. The n-gram Jaccard query is the *verification* kernel
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -280,8 +282,19 @@ def minhash_state(d: DataFrame) -> DataFrame:
         return lambda h: F.substring(h, 4 * i + 1, 4)
 
     return (
-        d.select("doc_id", _shingles().alias("sh"))
-        .filter(F.size("sh") > 0)
+        d
+        # ≥1 shingle exists ⇔ the normalized text has ≥ 3 tokens (the
+        # zip_with pads with NULL from position size(toks)-2 on, so a
+        # non-null 3-shingle exists iff size(toks) ≥ 3 — pure array-
+        # length logic, empty tokens included). Stated as the cheap
+        # token-count predicate instead of ``size(_shingles()) > 0``
+        # because Catalyst pushes this filter below the spread
+        # repartition onto the single-split scan (ONE core): the old
+        # predicate re-evaluated the whole zip_with shingle chain
+        # (5 regex+split passes plus two zips and a distinct) per row
+        # serially; this one is a single split+regex. Same rows.
+        .filter(F.size(F.split(_norm_text(), " ")) >= 3)
+        .select("doc_id", _shingles().alias("sh"))
         # materialize the md5 array ONCE per row (CollapseProject keeps
         # the alias because md5-in-a-lambda is not a cheap expression),
         # then take the 8 minima as in-row array folds — the signature
@@ -310,16 +323,24 @@ def minhash_state(d: DataFrame) -> DataFrame:
 #: land in here.
 _PURE_PLANS: dict[tuple[str, str, str], DataFrame] = {}
 
+#: guards the module's plan/probe memos (round-12 ADVICE): driver
+#: ThreadPoolExecutors exist in this codebase, and dict iterate-then-
+#: delete under concurrent insert raises RuntimeError. Contention at
+#: plan-build frequency is negligible.
+_MEMO_LOCK = threading.Lock()
+
 
 def _pure_plan_memo(spark: SparkSession, sf_dir: str, kind: str, build):
     key = (spark.sparkContext.applicationId, sf_dir, kind)
-    hit = _PURE_PLANS.get(key)
+    with _MEMO_LOCK:
+        hit = _PURE_PLANS.get(key)
     if hit is not None:
         return hit
     df = build()
-    for stale in [k for k in _PURE_PLANS if k[0] != key[0]]:
-        del _PURE_PLANS[stale]
-    _PURE_PLANS[key] = df
+    with _MEMO_LOCK:
+        for stale in [k for k in _PURE_PLANS if k[0] != key[0]]:
+            del _PURE_PLANS[stale]
+        _PURE_PLANS[key] = df
     return df
 
 
@@ -333,15 +354,17 @@ def table_has_few_splits(
     spark: SparkSession, sf_dir: str, table: str = "documents"
 ) -> bool:
     key = (spark.sparkContext.applicationId, sf_dir, table)
-    hit = _FEW_SPLITS.get(key)
+    with _MEMO_LOCK:
+        hit = _FEW_SPLITS.get(key)
     if hit is None:
         n_cores = spark.sparkContext.defaultParallelism
         hit = len(t(spark, sf_dir, table).inputFiles()) < max(
             2, n_cores // 2
         )
-        for stale in [k for k in _FEW_SPLITS if k[0] != key[0]]:
-            del _FEW_SPLITS[stale]
-        _FEW_SPLITS[key] = hit
+        with _MEMO_LOCK:
+            for stale in [k for k in _FEW_SPLITS if k[0] != key[0]]:
+                del _FEW_SPLITS[stale]
+            _FEW_SPLITS[key] = hit
     return hit
 
 
@@ -365,19 +388,43 @@ def _spread_small_scan(
 
 
 def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``minhash_state`` over the corpus table, materialized at one
-    doc-level exchange that every consumer reuses. The built plan is
-    memoized per (session, sf_dir) — see ``_PURE_PLANS``."""
+    """``minhash_state`` over the corpus table as a PURE plan (no
+    checkpoint anywhere in the tree), memoized per (session, sf_dir) —
+    see ``_PURE_PLANS``. Use for size DISPATCH (``cand_dispatch``
+    needs an estimatable plan); query bodies consume the per-call
+    checkpointed twin ``_minhash_per_doc_ckpt``."""
 
     def build() -> DataFrame:
         d = _spread_small_scan(spark, sf_dir, t(spark, sf_dir, "documents"))
         # doc-level rows (tiny vs the shingle-level explode this
-        # replaced); this exchange is the reuse point for downstream
-        # consumers
+        # replaced), hash-partitioned on doc_id for the downstream
+        # band/verify joins
         n_cores = spark.sparkContext.defaultParallelism
         return minhash_state(d).repartition(n_cores, "doc_id")
 
     return _pure_plan_memo(spark, sf_dir, "per_doc", build)
+
+
+def _minhash_per_doc_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc signature table materialized ONCE per query call
+    (lazy ``localCheckpoint`` of the memoized pure plan — never
+    memoized itself: a checkpoint holds blocks, and caching those
+    across runs would be result caching).
+
+    Why a checkpoint and not the trailing repartition: round 12
+    intended the post-md5 ``repartition(n, doc_id)`` as the exchange
+    every consumer reuses, but Catalyst COLLAPSES it into the pre-md5
+    spread repartition (CollapseRepartition — the committed
+    plans/r12/minhash_lsh_candidates_after.txt shows the only Exchange
+    holding raw ``(doc_id, text)`` with the md5 Project ABOVE it), so
+    the md5-dense signature pass re-executed once per plan reference —
+    six times per ``minhash_lsh_candidates`` run. The checkpoint is a
+    barrier the optimizer cannot cross: the signature pass runs once
+    and every consumer (band sides, verify sides, incremental cuts)
+    reads the materialized doc-level blocks. At scale this is exactly
+    the signature state a production LSH pipeline persists; blocks are
+    executor-local and linear in the corpus."""
+    return _minhash_per_doc(spark, sf_dir).localCheckpoint(eager=False)
 
 
 def minhash_bands(per_doc: DataFrame) -> DataFrame:
@@ -455,7 +502,19 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
        on (b_id, hash) — was measured 2-3× slower here because the
        candidate pipeline loses exchange reuse.)
     """
-    per_doc = _minhash_per_doc(spark, sf_dir)
+    # dispatch on the PURE plan (a checkpointed plan is unestimatable
+    # and would always route to the shuffle path); memoized per
+    # session via cache_key, so the ~0.2 s driver-side plan walk is
+    # paid once.
+    pure = _minhash_per_doc(spark, sf_dir)
+    mode = cand_dispatch(
+        _lsh_candidates(pure),
+        pure,
+        cache_key=("minhash_lsh_candidates", sf_dir),
+    )
+    # the signature pass materializes ONCE per run (see
+    # _minhash_per_doc_ckpt); bands and both verify sides read blocks
+    per_doc = _minhash_per_doc_ckpt(spark, sf_dir)
     cand = _lsh_candidates(per_doc)
     sha = per_doc.select(F.col("doc_id").alias("a_id"), F.col("hset").alias("hs_a"))
     shb = per_doc.select(F.col("doc_id").alias("b_id"), F.col("hset").alias("hs_b"))
@@ -464,17 +523,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast would round-trip the hash sets through the driver);
     # large/unestimatable ones take the semi-filter + SHUFFLE_HASH
     # plan so a dup-dense 100 TB corpus degrades to a shuffle instead
-    # of OOMing the driver. per_doc's exchange is reused by
-    # sha/shb/bands either way, so the corpus pass still runs once.
-    # cache_key: all inputs derive from the immutable sf_dir parquet,
-    # so the ~0.2 s driver-side plan walk is paid once per session.
-    paired = join_candidates(
-        sha,
-        cand,
-        "a_id",
-        scale_df=per_doc,
-        cache_key=("minhash_lsh_candidates", sf_dir),
-    )
+    # of OOMing the driver.
+    paired = join_candidates(sha, cand, "a_id", mode=mode)
     both = shb.join(paired.hint("shuffle_hash"), "b_id")
     n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("bigint")
     return both.select(
@@ -529,8 +579,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the verification-free candidate subtree: the closure only needs
     # pair KEYS, so it skips the Jaccard-verify joins (same pair set —
-    # verification adds columns, never filters)
-    pairs = _lsh_candidates(_minhash_per_doc(spark, sf_dir)).select(
+    # verification adds columns, never filters). Checkpointed per-doc
+    # state: the signature pass runs once, both band sides read blocks.
+    pairs = _lsh_candidates(_minhash_per_doc_ckpt(spark, sf_dir)).select(
         "a_id", "b_id"
     )
     comp = connected_components(pairs, "a_id", "b_id")
@@ -740,7 +791,10 @@ def substring_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     for quoted passages — ``substring_dup_unaligned`` below is the
     alignment-INVARIANT companion with a hard detection guarantee.
     """
-    d = t(spark, sf_dir, "documents")
+    # spread the (one-split) scan: the strided substring explode runs
+    # on every core, and the per-doc distinct + final doc-grain
+    # aggregate reuse the doc_id partitioning (key-subset clustering)
+    d = _spread_small_scan(spark, sf_dir, t(spark, sf_dir, "documents"))
     n = (F.length("text") - SUBDUP_L) / SUBDUP_STRIDE
     grams = (
         d.filter(
@@ -835,7 +889,12 @@ def substring_dup_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import winnow_fp_set
 
     f = (
-        winnow_fp_set(t(spark, sf_dir, "documents"))
+        # spread the (one-split) scan: parallel gram explode+md5, and
+        # both the winnow window and this distinct reuse the doc_id
+        # partitioning (ClusteredDistribution on a key subset)
+        winnow_fp_set(
+            _spread_small_scan(spark, sf_dir, t(spark, sf_dir, "documents"))
+        )
         .select("doc_id", "fp_hash")
         .distinct()
     )
@@ -883,14 +942,21 @@ def _candidate_runs(spark: SparkSession, sf_dir: str):
     bounded by the LSH candidate set; the diagonal windows partition
     by (pair, diag) — many small partitions, no corpus-grain window.
     """
-    per_doc = _minhash_per_doc(spark, sf_dir)
-    cand = _lsh_candidates(per_doc).select("a_id", "b_id")
-    # dispatch BEFORE the checkpoint (a checkpointed plan is
+    # dispatch BEFORE any checkpoint (a checkpointed plan is
     # unestimatable and would always route to the shuffle path)
+    pure = _minhash_per_doc(spark, sf_dir)
     mode = cand_dispatch(
-        cand, per_doc, cache_key=("candidate_runs", sf_dir)
+        _lsh_candidates(pure).select("a_id", "b_id"),
+        pure,
+        cache_key=("candidate_runs", sf_dir),
     )
-    cand = cand.localCheckpoint(eager=False)  # feeds id filter + pair join
+    # data path: signature pass materializes once (per-doc blocks),
+    # then the candidate pairs once more (feeds id filter + pair join)
+    cand = (
+        _lsh_candidates(_minhash_per_doc_ckpt(spark, sf_dir))
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
     from .text import positional_gram_hashes
 
     ids = (
@@ -1128,7 +1194,10 @@ def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
     )
     fs = (
-        winnow_fp_set(d)
+        # spread the (one-split) scan so the gram explode+md5 runs on
+        # every core; the winnow window then REUSES the doc_id
+        # partitioning — same exchange count, parallel hash work
+        winnow_fp_set(_spread_small_scan(spark, sf_dir, d))
         .join(sp, "doc_id")
         .select("split", "fp_hash")
         .distinct()
@@ -1695,7 +1764,7 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix itself is a tiny groupBy over source pairs.
     """
     d = t(spark, sf_dir, "documents")
-    pairs = _lsh_candidates(_minhash_per_doc(spark, sf_dir)).select(
+    pairs = _lsh_candidates(_minhash_per_doc_ckpt(spark, sf_dir)).select(
         "a_id", "b_id"
     )
     src = d.select("doc_id", "source")
@@ -2122,7 +2191,19 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``b_id``, so "has an older near-dup source" is a filter, not a
     second join.
     """
-    per_doc = _minhash_per_doc(spark, sf_dir)
+    # dispatch on the PURE plans (pre-checkpoint; the unfiltered
+    # candidate frame upper-bounds the b_id-filtered one, so the
+    # certificate is conservative); cache_key memoizes the ~0.2-0.3 s
+    # driver-side plan walk (BASELINE round-10) once per session.
+    pure = _minhash_per_doc(spark, sf_dir)
+    mode = cand_dispatch(
+        _lsh_candidates(pure),
+        pure,
+        cache_key=("incremental_neardup_ingest", sf_dir),
+    )
+    # signature pass materializes once; cut/cand/sha/shb/incoming all
+    # read the doc-level blocks
+    per_doc = _minhash_per_doc_ckpt(spark, sf_dir)
     cut = per_doc.agg(
         F.floor(F.max("doc_id") * INCR_SPLIT_FRAC).cast("bigint").alias("c")
     )
@@ -2141,16 +2222,7 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same size-gated discipline as minhash_lsh_candidates: small
     # id-only candidate frames broadcast, large/unknown ones take the
     # semi-filter + shuffle plan; array sides always join SHUFFLE_HASH.
-    # cache_key memoizes the ~0.2-0.3 s driver-side plan walk this
-    # query's large composed plan pays (BASELINE round-10) — inputs
-    # are the immutable sf_dir parquet, so once per session.
-    paired = join_candidates(
-        sha,
-        cand,
-        "a_id",
-        scale_df=per_doc,
-        cache_key=("incremental_neardup_ingest", sf_dir),
-    )
+    paired = join_candidates(sha, cand, "a_id", mode=mode)
     both = shb.join(paired.hint("shuffle_hash"), "b_id")
     ver = both.select(
         "b_id",

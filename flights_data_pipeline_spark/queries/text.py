@@ -1314,7 +1314,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the window is partition-local — fingerprinting shards
     perfectly at 100 TB.
     """
-    return winnow_fp_set(t(spark, sf_dir, "documents"))
+    from .dedup import _spread_small_scan
+
+    # spread the (one-split) scan so the gram explode+md5 runs on
+    # every core; the winnow window and the trailing distinct both
+    # reuse the doc_id partitioning — same exchange count
+    return winnow_fp_set(
+        _spread_small_scan(spark, sf_dir, t(spark, sf_dir, "documents"))
+    )
 
 
 # ---------------------------------------------------------------------------
