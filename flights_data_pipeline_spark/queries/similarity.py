@@ -920,10 +920,20 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session quantizer cache: fit once per (session, corpus, k); the
     # cached assignments replace a second full corpus assignment scan.
     model = _kmeans_cached(spark, sf_dir, k)
-    labeled = model.assignments.join(
-        e.select("vec_id", "embedding"), "vec_id"
-    ).select(
-        "vec_id", "cluster_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    labeled = (
+        model.assignments.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        # materialize the assignment frame ONCE per run (round-12
+        # VERDICT #5): it feeds both self-join sides, and without the
+        # barrier the assignments⋈embeddings join + norm projection
+        # re-derive per side; the checkpoint also truncates the plan
+        # the O(N²/k) pair kernel is built over
+        .localCheckpoint(eager=False)
     )
     a, b = labeled.alias("a"), labeled.alias("b")
     pairs = (
@@ -1155,6 +1165,11 @@ def semantic_dedup_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.crossJoin(F.broadcast(carr))
         .select("vec_id", "vec", "nrm", F.explode(top2).alias("blk"))
         .select("vec_id", "vec", "nrm", F.col("blk.cid").alias("block_id"))
+        # materialize the top-2 block assignment ONCE per run
+        # (round-12 VERDICT #5): the k-distance sort per vector feeds
+        # both self-join sides; the checkpoint runs it once and
+        # truncates the big top2 expression tree from the pair plan
+        .localCheckpoint(eager=False)
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (

@@ -1693,7 +1693,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("freq"))
         .withColumn("syms", F.split(F.col("word"), ""))
         .select("freq", "syms")
-        .localCheckpoint(eager=True)
+        # LAZY checkpoints throughout the merge loop: each round's
+        # argmax collect materializes the (truncated-lineage) vocab
+        # blocks inline — one job per round instead of two (the eager
+        # form ran a separate materialization job per checkpoint; 13
+        # jobs for 6 rounds, now 7). Same values: the checkpoint is a
+        # lineage barrier either way.
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, BPE_ROUNDS + 1):
@@ -1725,7 +1731,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((rnd, left, right, cnt))
         words = words.withColumn(
             "syms", _bpe_apply_merge(F.col("syms"), left, right)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint"
     )

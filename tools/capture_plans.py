@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump ``explain('formatted')`` for named registry queries into
-``plans/r12/<query>_<suffix>.txt`` — the before/after plan evidence for
+``plans/r13/<query>_<suffix>.txt`` — the before/after plan evidence for
 the optimization round.
 
 Usage: python tools/capture_plans.py <suffix> <query> [<query> ...]
@@ -27,7 +27,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r12")
+    out_dir = os.path.join(here, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("fdp-capture-plans")
     for name in names:

@@ -49,13 +49,21 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # A/B conveniences (round-13): SPARK_GRAFT_ISO_QUERIES restricts
+    # the sweep to a comma-separated subset (default: the whole clan);
+    # SPARK_GRAFT_ISO_WARMUPS overrides the warmup count. Protocol per
+    # run is otherwise unchanged.
+    subset = os.environ.get("SPARK_GRAFT_ISO_QUERIES", "")
+    names = subset.split(",") if subset else lsh_composer_clan()
+    n_warm = int(os.environ.get("SPARK_GRAFT_ISO_WARMUPS", "5"))
+
     out: dict[str, float] = {}
-    for name in lsh_composer_clan():
+    for name in names:
         q = REGISTRY.get(name)
         if q is None:
             continue
         try:
-            for _ in range(5):
+            for _ in range(n_warm):
                 materialize(q.fn(spark, sf_dir))
                 _gc()
             runs = []
