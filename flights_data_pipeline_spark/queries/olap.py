@@ -1192,17 +1192,29 @@ def _basket_items(li: DataFrame) -> DataFrame:
 
 def _basket_arrays(li: DataFrame) -> DataFrame:
     """``(l_orderkey, arr)``: each capped basket's SORTED DISTINCT item
-    array, in ONE shuffle — ``collect_set`` dedups inside the aggregate
-    (with map-side partials), replacing ``_basket_items``'s
-    dropDuplicates + window pair of exchanges; the ≤ ``BASKET_CAP``
-    gate is ``size(arr)``, the same distinct-item count the window
-    computed. Arrays are bounded by the cap (the filter drops larger
-    baskets right after the aggregate, the same dial as before)."""
+    array. Round 12 built every basket's array in one ``collect_set``
+    pass and filtered ≤ ``BASKET_CAP`` afterwards — which meant a
+    pathological million-item basket allocated a million-element
+    aggregation buffer BEFORE the cap could drop it (round-12 VERDICT
+    "What's wrong #5"). Round 13 bounds the buffer: cap membership is
+    decided first from a two-level COUNT pass whose buffers are
+    constant-size (dedup at (basket, item) grain with map-side
+    partials, then a count per basket), and only in-cap baskets reach
+    ``collect_set`` — its array buffer is then ≤ cap by construction.
+    Same result set: the count pass computes exactly the distinct-item
+    count the old ``size(arr)`` filter read off the built array."""
+    items = li.select("l_orderkey", "l_partkey")
+    ok = (
+        items.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+        .filter(F.col("n_items") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
     return (
-        li.select("l_orderkey", "l_partkey")
+        items.join(ok, "l_orderkey", "left_semi")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
-        .filter(F.size("arr") <= BASKET_CAP)
     )
 
 

@@ -1693,13 +1693,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("freq"))
         .withColumn("syms", F.split(F.col("word"), ""))
         .select("freq", "syms")
-        # LAZY checkpoints throughout the merge loop: each round's
-        # argmax collect materializes the (truncated-lineage) vocab
-        # blocks inline — one job per round instead of two (the eager
-        # form ran a separate materialization job per checkpoint; 13
-        # jobs for 6 rounds, now 7). Same values: the checkpoint is a
-        # lineage barrier either way.
-        .localCheckpoint(eager=False)
+        # the INITIAL vocab checkpoint stays EAGER (its plan holds the
+        # corpus-explode exchange; measured A/B showed the lazy form
+        # costs more here — the AQE prefix executes at build time and
+        # the final stage again at first use), while the LOOP
+        # checkpoints below go lazy: a merged vocab is a narrow map
+        # over these blocks, so each round's argmax collect
+        # materializes it inline — one job per round instead of two.
+        # Same values: the checkpoint is a lineage barrier either way.
+        .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, BPE_ROUNDS + 1):
