@@ -206,6 +206,36 @@ def probe_docs128(spark) -> dict:
     return out
 
 
+def probe_iterative_sf1(spark) -> dict:
+    """Round-12 VERDICT #6: exercise the ITERATIVE graph paths at sf1
+    by forcing past the small-graph dispatch (the sf1 pair/co-purchase
+    graphs still sit under SMALL_GRAPH_MAX_EDGES, so the natural
+    dispatch keeps the single-task path; production-scale graphs take
+    the loop, and this probe keeps that plan measured end-to-end).
+    1 warm + 1 timed per query; FORCE restored afterwards."""
+    from flights_data_pipeline_spark.operators import graph as G
+
+    out = {}
+    prev = G.FORCE
+    G.FORCE = "iterative"
+    try:
+        for name in (
+            "near_dup_clusters",
+            "kcore_summary",
+            "pagerank_copurchase",
+        ):
+            q = REGISTRY[name]
+            materialize(q.fn(spark, SF1))  # warm (codegen/JIT)
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, SF1))
+            out[name] = round(time.perf_counter() - t0, 4)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+    finally:
+        G.FORCE = prev
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "fdp-bench-scale",
@@ -224,6 +254,7 @@ def main() -> None:
 
     dispatch = dispatch_probes(spark)
     probe = probe_docs128(spark)
+    iterative = probe_iterative_sf1(spark)
     sf01 = run_pass(spark, SF01, base, app_id)
     sf1 = run_pass(spark, SF1, base, app_id)
 
@@ -240,6 +271,7 @@ def main() -> None:
                 "counts": {k: v.get("counts") for k, v in gen.items()},
                 "dispatch": dispatch,
                 "probe_docs128": probe,
+                "probe_iterative_sf1": iterative,
                 "sf01": sf01,
                 "sf1": sf1,
                 "ratio": ratio,
